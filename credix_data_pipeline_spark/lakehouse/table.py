@@ -1,0 +1,380 @@
+"""LakeTable: a minimal Iceberg-style table format on a filesystem.
+
+Layout::
+
+    <table>/
+      _meta/v00000000001.json     # snapshot manifests, monotone versions
+      data/<commit-uuid>/_bucket=<k>/part-*.parquet
+
+Commit protocol: write the manifest to a temp file, then ``os.link`` it to its
+final versioned name.  ``link(2)`` fails with EEXIST if the version already
+exists, giving atomic optimistic concurrency without any lock service — the
+same contract as an Iceberg catalog's atomic swap.  Readers list ``_meta/``
+and take the highest version; data files are immutable, so a reader pinned to
+snapshot V is unaffected by later commits (snapshot isolation).
+
+Scale posture: manifests store per-bucket file lists, so key-targeted MERGE
+prunes to dirty buckets only (the Iceberg partition-pruning analogue); reads
+pass explicit file lists to the vectorized parquet reader with the table
+schema, so late-added columns read as NULL from old files (Iceberg-style
+evolution).  At 100 TB the manifest grows with file count — the same knee
+real Iceberg hits — mitigated by ``compact()`` (rewrite_data_files analogue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+BUCKET_COL = "_bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic CC loss)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    snapshot_id: int
+    parent_id: int | None
+    schema: T.StructType
+    key: list[str]
+    bucket_by: list[str]
+    num_buckets: int
+    # bucket id (as str) -> list of data-file paths relative to table root
+    files: dict[str, list[str]]
+    summary: dict[str, Any]
+    committed_at_ms: int
+
+    def all_files(self) -> list[str]:
+        return [f for fl in self.files.values() for f in fl]
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version:011d}.json"
+
+
+class LakeTable:
+    """Handle to one snapshot-committed table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_path = os.path.join(self.path, META_DIR)
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: list[str],
+        num_buckets: int = 16,
+        bucket_by: list[str] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t.meta_path, exist_ok=True)
+        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
+        if t.exists():
+            raise FileExistsError(f"table already exists at {path}")
+        t._commit(
+            parent=None,
+            schema=schema,
+            key=key,
+            bucket_by=bucket_by or key[:1],
+            num_buckets=num_buckets,
+            files={},
+            summary={"operation": "create"},
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if not t.exists():
+            raise FileNotFoundError(f"no lakehouse table at {path}")
+        return t
+
+    @classmethod
+    def create_if_not_exists(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: list[str],
+        num_buckets: int = 16,
+        bucket_by: list[str] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if t.exists():
+            return t
+        return cls.create(spark, path, schema, key, num_buckets, bucket_by)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.meta_path) and bool(self._versions())
+
+    # ------------------------------------------------------------- snapshots
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_path):
+            return []
+        out = []
+        for name in os.listdir(self.meta_path):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> Snapshot:
+        with open(os.path.join(self.meta_path, _manifest_name(version))) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            snapshot_id=m["snapshot_id"],
+            parent_id=m.get("parent_id"),
+            schema=T.StructType.fromJson(m["schema"]),
+            key=m["key"],
+            bucket_by=m.get("bucket_by", m["key"][:1]),
+            num_buckets=m["num_buckets"],
+            files=m["files"],
+            summary=m.get("summary", {}),
+            committed_at_ms=m["committed_at_ms"],
+        )
+
+    def current(self) -> Snapshot:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        return self._read_manifest(versions[-1])
+
+    def history(self) -> list[Snapshot]:
+        return [self._read_manifest(v) for v in self._versions()]
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        for s in self.history():
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found")
+
+    def _commit(
+        self,
+        parent: Snapshot | None,
+        schema: T.StructType,
+        key: list[str],
+        bucket_by: list[str],
+        num_buckets: int,
+        files: dict[str, list[str]],
+        summary: dict[str, Any],
+    ) -> Snapshot:
+        version = (parent.version + 1) if parent else 1
+        snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
+        manifest = {
+            "version": version,
+            "snapshot_id": snapshot_id,
+            "parent_id": parent.snapshot_id if parent else None,
+            "schema": schema.jsonValue(),
+            "key": key,
+            "bucket_by": bucket_by,
+            "num_buckets": num_buckets,
+            "files": files,
+            "summary": summary,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.meta_path, _manifest_name(version))
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic; EEXIST => lost the race
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed at {self.path}"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return self._read_manifest(version)
+
+    # ----------------------------------------------------------------- read
+    def bucket_expr(self, snap: Snapshot | None = None):
+        """Deterministic bucket id for a row: pmod(xxhash64(key...), N)."""
+        snap = snap or self.current()
+        return F.pmod(F.xxhash64(*snap.bucket_by), F.lit(snap.num_buckets)).cast("int")
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally a past snapshot / a bucket subset).
+
+        Files are immutable, the manifest pins the set — this is snapshot
+        isolation and time travel.  ``buckets`` is the partition-pruning path
+        used by MERGE (only dirty buckets are read).
+        """
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current()
+        file_map = snap.files
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            file_map = {b: fl for b, fl in file_map.items() if b in wanted}
+        paths = [os.path.join(self.path, f) for fl in file_map.values() for f in fl]
+        if not paths:
+            return self.spark.createDataFrame([], snap.schema)
+        # Explicit schema => old files missing late-added columns yield NULL.
+        return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    # ---------------------------------------------------------------- write
+    def _write_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[str]]:
+        """Write df (already carrying BUCKET_COL) under a fresh commit dir.
+
+        Returns bucket -> relative file paths.  partitionBy(_bucket) keeps the
+        bucket column out of the data files; each bucket's rows are colocated
+        so per-bucket replacement stays surgical.
+        """
+        commit_dir = uuid.uuid4().hex
+        out_abs = os.path.join(self.path, DATA_DIR, commit_dir)
+        cols = [f.name for f in snap.schema.fields]
+        (
+            df.select(BUCKET_COL, *cols)
+            .write.partitionBy(BUCKET_COL)
+            .mode("append")
+            .parquet(out_abs)
+        )
+        files: dict[str, list[str]] = {}
+        if not os.path.isdir(out_abs):
+            return files
+        for entry in sorted(os.listdir(out_abs)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_abs, entry)
+            rel = [
+                os.path.join(DATA_DIR, commit_dir, entry, fn)
+                for fn in sorted(os.listdir(bdir))
+                if fn.endswith(".parquet")
+            ]
+            if rel:
+                files[b] = rel
+        return files
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        """Append rows (no key reconciliation — the reference's WRITE_APPEND,
+        credix_pipeline/resources/gcp_resource.py:32-67)."""
+        snap = self.current()
+        bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
+        new_files = self._write_files(bucketed, snap)
+        merged = {b: list(fl) for b, fl in snap.files.items()}
+        for b, fl in new_files.items():
+            merged.setdefault(b, []).extend(fl)
+        return self._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=merged,
+            summary={"operation": "append", **(summary or {})},
+        )
+
+    def replace_buckets(
+        self,
+        dirty_buckets: list[int],
+        new_df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        schema: T.StructType | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: swap the file sets of ``dirty_buckets`` for
+        the files of ``new_df`` (which must contain exactly those buckets'
+        rows, post-merge).  Untouched buckets keep their files — this is the
+        partition-scoped overwrite that makes MERGE O(dirty) not O(table).
+
+        ``schema`` lets the same commit carry an evolution (add-column): the
+        new files are written with the new schema, old files in untouched
+        buckets read as NULL for the added columns.
+        """
+        snap = self.current()
+        out_schema = schema or snap.schema
+        write_snap = Snapshot(
+            version=snap.version,
+            snapshot_id=snap.snapshot_id,
+            parent_id=snap.parent_id,
+            schema=out_schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary=snap.summary,
+            committed_at_ms=snap.committed_at_ms,
+        )
+        bucketed = new_df.withColumn(BUCKET_COL, self.bucket_expr(snap))
+        new_files = self._write_files(bucketed, write_snap)
+        dirty = {str(b) for b in dirty_buckets}
+        merged = {b: list(fl) for b, fl in snap.files.items() if b not in dirty}
+        for b, fl in new_files.items():
+            merged.setdefault(b, []).extend(fl)
+        return self._commit(
+            parent=snap,
+            schema=out_schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=merged,
+            summary={"operation": "merge", **(summary or {})},
+        )
+
+    def add_columns(self, fields: list[T.StructField]) -> Snapshot:
+        """Metadata-only schema evolution (Iceberg ALTER TABLE ADD COLUMNS).
+
+        The reference only *tolerates* a missing schema
+        (installments_assets.py:151-156); in-flight add-column is new engine
+        capability required by the north rule.
+        """
+        snap = self.current()
+        existing = {f.name for f in snap.schema.fields}
+        new_fields = [f for f in fields if f.name not in existing]
+        if not new_fields:
+            return snap
+        # Keep engine bookkeeping columns (`_`-prefixed) as the last columns.
+        base = [f for f in snap.schema.fields if not f.name.startswith("_")]
+        tail = [f for f in snap.schema.fields if f.name.startswith("_")]
+        new_schema = T.StructType(base + new_fields + tail)
+        return self._commit(
+            parent=snap,
+            schema=new_schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={
+                "operation": "add-columns",
+                "columns": [f.name for f in new_fields],
+            },
+        )
+
+    def compact(self, target_buckets: list[int] | None = None) -> Snapshot:
+        """Rewrite each bucket's many small files into one file set
+        (Iceberg ``rewrite_data_files`` analogue; small-file defense for the
+        60 s-rotation change feed, datastream_streams.tf:75-76)."""
+        snap = self.current()
+        buckets = (
+            [int(b) for b in snap.files]
+            if target_buckets is None
+            else target_buckets
+        )
+        multi = [b for b in buckets if len(snap.files.get(str(b), [])) > 1]
+        if not multi:
+            return snap
+        df = self.read(buckets=multi).coalesce(max(1, len(multi)))
+        return self.replace_buckets(multi, df, summary={"operation": "compact"})

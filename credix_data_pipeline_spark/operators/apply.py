@@ -1,0 +1,301 @@
+"""Batch apply core: LWW dedup → fenced idempotent CoW MERGE → lineage.
+
+Capability map (SURVEY §2):
+* W2  last-writer-wins per key      — window ``row_number`` over (lsn desc)
+* J3  MERGE upsert on composite key — copy-on-write bucket rewrite (the
+      Iceberg ``MERGE INTO … WHEN MATCHED [AND op='D'] DELETE/UPDATE …``
+      equivalent; reference: dbt ``incremental_strategy='merge'``,
+      dbt/business_case/models/silver/installments_clean.sql:1-8)
+* ST3 exactly-once fencing          — batch_id recorded inside the atomic
+      snapshot commit; re-delivered batches are skipped (the reference
+      advances its watermark only after downstream success, README.md:65-72)
+* ST6 dead-letter                   — malformed events quarantined, never
+      poison the commit (reference: failed loads → `failed/` prefix,
+      credix_pipeline/resources/gcp_resource.py:110-118)
+* ST7 run metrics                   — lineage sidecar row per batch
+      (reference: Dagster metadata, credix_pipeline/utils/cdc_helpers.py:29-38)
+* P8  no-change short-circuit       — empty batch commits nothing
+      (reference: `no_changes` marker, gcs_operations.py:14-17)
+
+Pure function of ``(table, batch_df, batch_id)`` so it is unit-testable
+without streaming (SURVEY §7.2 step 3) and drop-in usable as a
+``foreachBatch`` body.
+
+Scale design: a micro-batch touches only the hash-buckets its keys map to —
+the read, the merge shuffle, and the rewrite are all O(dirty buckets), not
+O(table).  The merge union shuffles by the *composite* key (conv_id,
+turn_idx), so a hot conversation spreads across partitions; the final write
+is repartitioned by (bucket, salted key) so one hot bucket still fans out to
+``write_salt`` parallel writers (north-rule skew defense).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from credix_data_pipeline_spark.lakehouse.table import BUCKET_COL, LakeTable
+from credix_data_pipeline_spark.schema import ENGINE_COLS, ENVELOPE_COLS
+from credix_data_pipeline_spark.streaming.lineage import LineageLog
+
+_SRC_EXISTING = 0
+_SRC_EVENT = 1
+
+VALID_OPS = ("I", "U", "D")
+
+
+@dataclass
+class ApplyResult:
+    batch_id: int
+    skipped: bool = False
+    snapshot_id: int | None = None
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+    rows_in: int = 0
+    rows_deduped: int = 0
+    rows_applied: int = 0
+    rows_quarantined: int = 0
+    dirty_buckets: list[int] = field(default_factory=list)
+    partition_stats: dict[str, int] = field(default_factory=dict)
+    wall_ms: int = 0
+
+
+def last_applied_batch_id(table: LakeTable) -> int | None:
+    """Newest merge-commit's batch_id (the fence).  Authoritative because it
+    was written in the same atomic commit as the data."""
+    for snap in reversed(table.history()):
+        if "batch_id" in snap.summary:
+            return int(snap.summary["batch_id"])
+    return None
+
+
+def dedup_events(events: DataFrame, key: list[str]) -> DataFrame:
+    """W2: one winner per key per batch — highest lsn (ties: identical
+    payloads from at-least-once redelivery; commit_ts desc is a stable
+    formality)."""
+    w = Window.partitionBy(*key).orderBy(
+        F.col("lsn").desc(), F.col("commit_ts").desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def split_malformed(events: DataFrame, key: list[str]):
+    """ST6: events that cannot be applied (null key / null lsn / unknown op)
+    go to the dead-letter side, the rest proceed."""
+    bad_cond = (
+        F.col("lsn").isNull()
+        | ~F.col("op").isin(*VALID_OPS)
+        | F.lit(False)
+    )
+    for k in key:
+        bad_cond = bad_cond | F.col(k).isNull()
+    return events.filter(~bad_cond), events.filter(bad_cond)
+
+
+def _evolve_if_needed(table: LakeTable, events: DataFrame) -> None:
+    """In-flight schema evolution: payload columns present in the batch but
+    absent from the target become nullable target columns (metadata-only
+    commit; old files read as NULL).  SURVEY §4 'Schema evolution' row."""
+    snap = table.current()
+    existing = {f.name for f in snap.schema.fields}
+    new = [
+        f
+        for f in events.schema.fields
+        if f.name not in ENVELOPE_COLS and f.name not in existing
+    ]
+    if new:
+        table.add_columns([T.StructField(f.name, f.dataType, True) for f in new])
+
+
+def apply_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    lineage: LineageLog | None = None,
+    dead_letter: Callable[[DataFrame], None] | None = None,
+    write_salt: int = 4,
+    collect_stats: bool = True,
+) -> ApplyResult:
+    """Apply one micro-batch of change events to the target table."""
+    t0 = time.monotonic()
+    spark = batch_df.sparkSession
+    res = ApplyResult(batch_id=batch_id)
+
+    # --- ST3 fence: streaming batch ids are monotone; a re-delivered batch
+    # after crash-before-checkpoint is already in the table -> skip.
+    last = last_applied_batch_id(table)
+    if last is not None and batch_id <= last:
+        res.skipped = True
+        res.wall_ms = int((time.monotonic() - t0) * 1000)
+        if lineage:
+            lineage.record(res, note="fenced-duplicate")
+        return res
+
+    # --- P8 empty-batch short-circuit.
+    if batch_df.isEmpty():
+        res.wall_ms = int((time.monotonic() - t0) * 1000)
+        if lineage:
+            lineage.record(res, note="no_changes")
+        return res
+
+    key = table.current().key
+
+    events, malformed = split_malformed(batch_df, key)
+    if dead_letter is not None:
+        res.rows_quarantined = malformed.count()
+        if res.rows_quarantined:
+            dead_letter(malformed)
+
+    # --- in-flight evolution before any column alignment.
+    _evolve_if_needed(table, events)
+    snap = table.current()
+    out_cols = [f.name for f in snap.schema.fields]
+    payload_cols = [c for c in out_cols if c not in ENGINE_COLS]
+
+    if transform is not None:
+        events = transform(events)
+
+    if collect_stats:
+        # One pass: batch size + raw event-LSN range (the lineage contract is
+        # the *applied event range*, not the post-dedup winners' range).
+        srow = events.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        ).first()
+        res.rows_in = srow["n"]
+        res.lsn_min, res.lsn_max = srow["lo"], srow["hi"]
+
+    # --- W2 within-batch LWW.
+    deduped = dedup_events(events, key)
+
+    # --- dirty-bucket pruning: only buckets containing batch keys are read
+    # and rewritten (J3 as copy-on-write; O(batch), not O(table)).
+    bexpr = table.bucket_expr(snap)
+    deduped = deduped.withColumn(BUCKET_COL, bexpr)
+    dirty = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
+    res.dirty_buckets = sorted(dirty)
+
+    existing = table.read(buckets=dirty)
+
+    # Align both sides to (payload..., lsn, op, _src) and take the max-lsn
+    # winner per key: cross-batch LWW against the stored `_lsn`, tombstones
+    # included so late lower-LSN updates cannot resurrect deleted turns.
+    ex_side = existing.select(
+        *[F.col(c) for c in payload_cols],
+        F.col("_lsn").alias("lsn"),
+        F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D"))
+        .otherwise(F.lit("E"))
+        .alias("op"),
+        F.lit(_SRC_EXISTING).alias("_src"),
+    )
+    ev_cols = set(deduped.columns)
+    ev_side = deduped.select(
+        *[
+            (F.col(c) if c in ev_cols else F.lit(None).cast(d.dataType)).alias(c)
+            for c, d in zip(payload_cols, [snap.schema[c] for c in payload_cols])
+        ],
+        F.col("lsn"),
+        F.col("op"),
+        F.lit(_SRC_EVENT).alias("_src"),
+    )
+    combined = ex_side.unionByName(ev_side)
+    w = Window.partitionBy(*key).orderBy(F.col("lsn").desc(), F.col("_src").desc())
+    winners = (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    is_del = F.col("op") == "D"
+    result = winners.select(
+        *[
+            F.when(is_del, F.lit(None).cast(snap.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c not in key
+            else F.col(c)
+            for c in payload_cols
+        ],
+        F.col("lsn").alias("_lsn"),
+        is_del.alias("_deleted"),
+        F.col("_src"),
+    )
+
+    if collect_stats:
+        result = result.persist()
+        stats = result.groupBy("_src").count().collect()
+        by_src = {r["_src"]: r["count"] for r in stats}
+        res.rows_applied = by_src.get(_SRC_EVENT, 0)
+        res.rows_deduped = res.rows_in - res.rows_applied
+        pstats = (
+            result.groupBy(F.col(BUCKET_COL) if BUCKET_COL in result.columns else bexpr)
+            .count()
+            .collect()
+        )
+
+    # --- skew-defused write: fan a hot bucket out over `write_salt` writers.
+    out = result.drop("_src")
+    salt = F.pmod(F.xxhash64(*key), F.lit(max(1, write_salt)))
+    out = out.repartition(
+        max(1, len(dirty) * max(1, write_salt) // 2), bexpr, salt
+    )
+
+    new_snap = table.replace_buckets(
+        dirty,
+        out,
+        summary={
+            "batch_id": batch_id,
+            "lsn_min": res.lsn_min,
+            "lsn_max": res.lsn_max,
+            "rows_applied": res.rows_applied,
+        },
+    )
+    res.snapshot_id = new_snap.snapshot_id
+
+    if collect_stats:
+        res.partition_stats = {
+            str(r[0]): r["count"] for r in pstats  # noqa: F821 (guarded)
+        }
+        result.unpersist()
+
+    res.wall_ms = int((time.monotonic() - t0) * 1000)
+    if lineage:
+        lineage.record(res)
+    return res
+
+
+def read_clean(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
+    """Public view of the target: tombstones and bookkeeping filtered out."""
+    df = table.read(snapshot_id=snapshot_id)
+    return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+
+
+def expire_tombstones(table: LakeTable, horizon_lsn: int) -> None:
+    """Drop tombstones whose delete LSN is older than the reorder horizon
+    (safe once no in-flight event can carry a lower LSN), then compact."""
+    snap = table.current()
+    buckets = [int(b) for b in snap.files]
+    if not buckets:
+        return
+    df = table.read().filter(
+        ~(
+            F.coalesce(F.col("_deleted"), F.lit(False))
+            & (F.col("_lsn") < F.lit(horizon_lsn))
+        )
+    )
+    table.replace_buckets(buckets, df, summary={"operation": "expire-tombstones"})
+
+
+def partition_stats_json(stats: dict[str, int]) -> str:
+    return json.dumps(stats, sort_keys=True)

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Capability parity: the reference wires its engines (Postgres/pandas/BigQuery)
+together with per-service configuration (dbt profiles, Dagster resources); the
+engine's single knob surface is this session factory.  Scale posture: AQE on
+(runtime shuffle-partition coalescing + skew-join splitting), Arrow on (all
+Python crossings are vectorized), UTC timestamps (reference coerces to UTC
+microseconds in credix_pipeline/utils/data_processing.py:29-41).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "credix_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in-sandbox; on a real
+    cluster pass ``None`` and let spark-submit decide (the engine ships as a
+    ``--py-files`` zip, per the north rule).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # File-source listing parallelism for the change-feed directory scan.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,248 @@
+"""Synthetic CDC change feed: generator + reader (SURVEY §2.1 S3/S4).
+
+Plays the role the reference delegates to GCP Datastream: an ordered stream of
+insert/update/delete change files (Avro rotated at 100 MB / 60 s,
+``terraform/modules/datastream/datastream_streams.tf:71-79``).  Here the feed
+is a directory of parquet *chunks* (``chunk=K/``), each a contiguous-ish LSN
+range — the rotation analogue — plus a tiny JSON manifest and a schema
+registry file (the Datastream discovery analogue).
+
+Determinism contract: every field is a pure arithmetic function of the event
+id, using only multiply/mod hashes — reproducible bit-for-bit by the pure-
+Python oracle in tests (no engine-specific hash like xxhash64).  Generation
+runs distributed through ``spark.range`` column expressions, so the same knob
+set scales from 10^3 (pytest) to 10^10 (the north-rule shape) without a
+driver-side loop.
+
+Knobs (FIXTURES.md §2): #conversations, turns/conversation, delete ratio,
+duplicate ratio, out-of-order shuffle window, hot-key skew, events/chunk, and
+an evolution switch-point after which events carry ``tool_meta``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, EVOLVED_COLUMN
+
+# Word list with Unicode edge cases (accents, fullwidth, ligature, NBSP) so
+# text normalization is pinned against the oracle (FIXTURES determinism rules).
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "café", "naïve", "reçu", "Ｗｉｄｅ", "ﬁre", "über", "jalapeño", "søren",
+    "data", "spark", "merge", "stream", "turn", "tool", "agent", "reply",
+    "plan step", "  pad  ", "MiXeD", "ño",
+]
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "calculator", "browser", "python"]
+
+MOD = 1_000_003  # prime modulus for the portable hash
+MULT = 2_654_435_761  # Knuth multiplicative constant
+
+BASE_EPOCH_S = 1_700_000_000  # 2023-11-14T22:13:20Z; fixed feed epoch
+
+
+def _h(col, c: int):
+    """Portable hash as a Spark column: ((e + c) * MULT) % MOD.
+
+    Stays far below 2^63 so Spark LongType and Python int agree exactly.
+    """
+    return ((col + F.lit(c)) * F.lit(MULT)) % F.lit(MOD)
+
+
+def h_py(e: int, c: int) -> int:
+    """The same portable hash in pure Python (for the oracle)."""
+    return ((e + c) * MULT) % MOD
+
+
+@dataclass(frozen=True)
+class FeedSpec:
+    """Seeded feed shape.  All fields feed pure functions of the event id."""
+
+    n_events: int = 10_000
+    n_conversations: int = 500
+    turns_per_conversation: int = 10
+    delete_pct: int = 5  # % of events that are deletes
+    duplicate_pct: int = 3  # % of events re-emitted verbatim (at-least-once)
+    hot_pct: int = 0  # % of events redirected to conversation 0 (skew)
+    shuffle_window: int = 64  # out-of-order jitter in LSNs across chunks
+    events_per_chunk: int = 2_000  # rotation analogue
+    evolution_frac: float | None = None  # chunks >= frac*n carry tool_meta
+
+    @property
+    def n_keys(self) -> int:
+        return self.n_conversations * self.turns_per_conversation
+
+    @property
+    def n_chunks(self) -> int:
+        return max(1, -(-self.n_events // self.events_per_chunk))
+
+    @property
+    def evolution_chunk(self) -> int | None:
+        if self.evolution_frac is None:
+            return None
+        return int(self.n_chunks * self.evolution_frac)
+
+
+def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
+    """The full event stream as one DataFrame (before chunking/duplication).
+
+    Column-only construction => embarrassingly parallel, deterministic under
+    any partitioning — the property that lets the identical feed be produced
+    at local[8] and local[32] for the scaling-efficiency benchmark.
+    """
+    e = F.col("id")
+    df = spark.range(0, spec.n_events)
+
+    key_id = _h(e, 1) % F.lit(spec.n_keys)
+    conv_nat = (key_id / F.lit(spec.turns_per_conversation)).cast("long")
+    conv = F.when(_h(e, 2) % 100 < F.lit(spec.hot_pct), F.lit(0)).otherwise(conv_nat)
+    turn = (key_id % F.lit(spec.turns_per_conversation)).cast("int")
+
+    is_del = _h(e, 3) % 100 < F.lit(spec.delete_pct)
+    # I vs U is cosmetic for an upsert engine (both arms of the MERGE insert
+    # when the key is absent); mark the key's plausible first event as I.
+    op = F.when(is_del, F.lit("D")).when(_h(e, 4) % 3 == 0, F.lit("I")).otherwise(
+        F.lit("U")
+    )
+
+    lsn = e + F.lit(1)
+    commit_ts = F.timestamp_seconds(F.lit(BASE_EPOCH_S) + e)
+
+    words_arr = F.array(*[F.lit(w) for w in WORDS])
+    n_words = (F.lit(3) + _h(e, 13) % 8).cast("int")
+    picked = F.array(
+        *[F.element_at(words_arr, (_h(e, 7 + j) % len(WORDS) + 1).cast("int"))
+          for j in range(10)]
+    )
+    body = F.array_join(F.slice(picked, 1, n_words), " ")
+    # Leading/trailing junk whitespace on ~25% of texts (normalization fodder).
+    text = F.when(_h(e, 23) % 4 == 0, F.concat(F.lit("  "), body, F.lit(" \t"))).otherwise(body)
+
+    role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), (_h(e, 17) % 4 + 1).cast("int"))
+    tool = F.when(role == "tool",
+                  F.element_at(F.array(*[F.lit(t) for t in TOOLS]), (_h(e, 19) % 4 + 1).cast("int")))
+    ts = F.timestamp_seconds(F.lit(BASE_EPOCH_S) + lsn)
+
+    null_s = F.lit(None).cast("string")
+    null_t = F.lit(None).cast("timestamp")
+    out = df.select(
+        op.alias("op"),
+        lsn.cast("long").alias("lsn"),
+        commit_ts.alias("commit_ts"),
+        F.format_string("conv%08d", conv.cast("int")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.when(is_del, null_s).otherwise(role).alias("role"),
+        F.when(is_del, null_s).otherwise(text).alias("text"),
+        F.when(is_del, null_s).otherwise(tool).alias("tool"),
+        F.when(is_del, null_t).otherwise(ts).alias("ts"),
+    )
+    if spec.evolution_frac is not None:
+        tool_meta = F.when(
+            (F.col("role") == "tool"),
+            F.format_string('{"call_id": %d}', (F.col("lsn") * 31) % 9973),
+        )
+        out = out.withColumn(EVOLVED_COLUMN.name, tool_meta)
+    return out
+
+
+def chunk_expr(spec: FeedSpec):
+    """Chunk (file-group) assignment: lsn order + bounded jitter.
+
+    Events land within ``shuffle_window`` LSNs of their in-order chunk, so the
+    feed is *locally* out of order (the reference's Datastream files are
+    commit-ordered; real network reorder is bounded) — exercising LWW without
+    a global sort in the generator.
+    """
+    jitter = _h(F.col("lsn") - 1, 29) % F.lit(max(1, spec.shuffle_window))
+    pos = F.col("lsn") - 1 + jitter - F.lit(spec.shuffle_window // 2)
+    pos = F.greatest(pos, F.lit(0))
+    return F.least(
+        (pos / F.lit(spec.events_per_chunk)).cast("int"),
+        F.lit(spec.n_chunks - 1),
+    )
+
+
+def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
+    """Materialize the feed directory: chunk=K/*.parquet + _feed.json +
+    _schema.json (schema registry; grows at the evolution point)."""
+    os.makedirs(path, exist_ok=True)
+    df = change_events_df(spark, spec)
+    base = df.withColumn("chunk", chunk_expr(spec))
+
+    evo_chunk = spec.evolution_chunk
+    has_evo = spec.evolution_frac is not None
+    if has_evo:
+        # tool_meta exists only for events whose *base* chunk is past the
+        # switch-point; a duplicate re-emission must carry identical payload
+        # (same lsn => same bytes) even when it lands in a later chunk.
+        base = base.withColumn(
+            EVOLVED_COLUMN.name,
+            F.when(F.col("chunk") >= evo_chunk, F.col(EVOLVED_COLUMN.name)),
+        )
+
+    # At-least-once duplicates: re-emit ~duplicate_pct% of events verbatim
+    # (same lsn & payload), landing one chunk later.
+    dup_chunked = base.filter(
+        _h(F.col("lsn") - 1, 31) % 100 < F.lit(spec.duplicate_pct)
+    ).withColumn(
+        "chunk", F.least(F.col("chunk") + F.lit(1), F.lit(spec.n_chunks - 1))
+    )
+    allev = base.unionByName(dup_chunked)
+    if has_evo:
+        pre = allev.filter(F.col("chunk") < evo_chunk).drop(EVOLVED_COLUMN.name)
+        post = allev.filter(F.col("chunk") >= evo_chunk)
+        pre.write.partitionBy("chunk").mode("overwrite").parquet(
+            os.path.join(path, "pre")
+        )
+        post.write.partitionBy("chunk").mode("overwrite").parquet(
+            os.path.join(path, "post")
+        )
+    else:
+        allev.write.partitionBy("chunk").mode("overwrite").parquet(
+            os.path.join(path, "pre")
+        )
+
+    # Enumerate chunk dirs in replay order (chunk id = arrival order).
+    chunks: list[str] = []
+    for sub in ("pre", "post"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if d.startswith("chunk="):
+                chunks.append((int(d.split("=")[1]), os.path.join(sub, d)))
+    chunks = [p for _, p in sorted(chunks)]
+
+    schema = CHANGE_SCHEMA if not has_evo else CHANGE_SCHEMA.add(EVOLVED_COLUMN)
+    manifest = {
+        "spec": asdict(spec),
+        "chunks": chunks,
+        "n_chunks": spec.n_chunks,
+        "evolution_chunk": evo_chunk,
+        "schema": schema.jsonValue(),
+    }
+    with open(os.path.join(path, "_feed.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "_feed.json")) as f:
+        return json.load(f)
+
+
+def read_chunks(
+    spark: SparkSession, path: str, chunk_paths: list[str]
+) -> DataFrame:
+    """Batch-read a set of chunk dirs with per-batch schema discovery
+    (mergeSchema) — this is how in-flight column adds surface to the engine."""
+    paths = [os.path.join(path, c) for c in chunk_paths]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if "chunk" in df.columns:  # partition col inferred from dir names
+        df = df.drop("chunk")
+    return df

@@ -1,0 +1,241 @@
+"""Streaming front door: tail the change feed, apply micro-batches.
+
+Two execution modes over the same apply core (operators/apply.py):
+
+``replay()`` — the engine's incremental executor, the primary mode.  A
+driver loop lists feed chunks in arrival order, batch-reads the next K with
+per-batch schema discovery (mergeSchema), applies them, then advances a
+checkpoint file.  This is ``Trigger.AvailableNow`` re-expressed with two
+capabilities stock Structured Streaming lacks: true *in-flight* schema
+evolution (SS pins the source schema at query start) and deterministic
+chunk-aligned batches for replay verification.  It mirrors the reference's
+pull path exactly: list → process → advance watermark only after success
+(credix_pipeline/assets/cnpj_assets.py watermark flow, README.md:65-72).
+
+``stream()`` — genuine ``spark.readStream`` + ``foreachBatch(apply_batch)``
+with a Spark checkpointLocation, for standard Structured Streaming
+integration (continuous service mode / ``processingTime`` triggers).  Schema
+comes from the feed registry at query start; the fence inside apply_batch
+makes ``foreachBatch``'s at-least-once delivery exactly-once.
+
+Crash contract (both modes): data commit carries the batch_id atomically; the
+checkpoint advances after.  Crash between the two ⇒ the batch is re-delivered
+and fenced out.  Crash before the commit ⇒ the batch re-applies from scratch.
+Either way the final table state is identical (tested in tests/test_resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from credix_data_pipeline_spark.lakehouse.table import LakeTable
+from credix_data_pipeline_spark.operators.apply import ApplyResult, apply_batch
+from credix_data_pipeline_spark.sources import feed as feed_mod
+from credix_data_pipeline_spark.streaming.lineage import LineageLog
+
+FAILED_DIR = "_failed"
+
+
+@dataclass
+class ReplayStats:
+    batches: int = 0
+    rows_in: int = 0
+    rows_applied: int = 0
+    rows_deduped: int = 0
+    wall_ms: int = 0
+
+    def add(self, r: ApplyResult) -> None:
+        if r.skipped:
+            return
+        self.batches += 1
+        self.rows_in += r.rows_in
+        self.rows_applied += r.rows_applied
+        self.rows_deduped += r.rows_deduped
+        self.wall_ms += r.wall_ms
+
+
+class Checkpoint:
+    """Tiny atomic progress file: {next_chunk, next_batch_id}."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"next_chunk": 0, "next_batch_id": 0}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def save(self, next_chunk: int, next_batch_id: int) -> None:
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"next_chunk": next_chunk, "next_batch_id": next_batch_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.path)
+
+
+def quarantine_writer(table_path: str) -> Callable[[DataFrame], None]:
+    """ST6 dead-letter: malformed events land under <table>/_failed/ (the
+    reference moves failed loads to a `failed/` prefix,
+    credix_pipeline/resources/gcp_resource.py:110-118)."""
+    failed = os.path.join(os.path.abspath(table_path), FAILED_DIR)
+
+    def _write(df: DataFrame) -> None:
+        df.write.mode("append").parquet(failed)
+
+    return _write
+
+
+def replay(
+    spark: SparkSession,
+    feed_path: str,
+    table_path: str,
+    *,
+    chunks_per_batch: int = 4,
+    num_buckets: int = 16,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    checkpoint_path: str | None = None,
+    max_batches: int | None = None,
+    write_salt: int = 4,
+    collect_stats: bool = True,
+    fail_at_batch: int | None = None,
+) -> ReplayStats:
+    """Replay the feed to exhaustion (availableNow semantics), resumable.
+
+    ``fail_at_batch`` injects a crash *after* the data commit but *before*
+    the checkpoint advance — the worst-case window — for exactly-once tests.
+    """
+    manifest = feed_mod.read_manifest(feed_path)
+    chunks: list[str] = manifest["chunks"]
+    feed_schema = T.StructType.fromJson(manifest["schema"])
+    target_schema = _target_schema_base(feed_schema, manifest)
+
+    table = LakeTable.create_if_not_exists(
+        spark,
+        table_path,
+        target_schema,
+        key=["conv_id", "turn_idx"],
+        num_buckets=num_buckets,
+        bucket_by=["conv_id"],
+    )
+    lineage = LineageLog(table_path)
+    dead = quarantine_writer(table_path)
+    ckpt = Checkpoint(checkpoint_path or os.path.join(table_path, "_checkpoint.json"))
+    state = ckpt.load()
+    pos, batch_id = state["next_chunk"], state["next_batch_id"]
+
+    stats = ReplayStats()
+    done = 0
+    while pos < len(chunks):
+        if max_batches is not None and done >= max_batches:
+            break
+        batch_chunks = chunks[pos : pos + chunks_per_batch]
+        batch_df = feed_mod.read_chunks(spark, feed_path, batch_chunks)
+        res = apply_batch(
+            table,
+            batch_df,
+            batch_id,
+            transform=transform,
+            lineage=lineage,
+            dead_letter=dead,
+            write_salt=write_salt,
+            collect_stats=collect_stats,
+        )
+        stats.add(res)
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(f"injected crash after commit of batch {batch_id}")
+        pos += len(batch_chunks)
+        batch_id += 1
+        ckpt.save(pos, batch_id)
+        done += 1
+    return stats
+
+
+def _target_schema_base(feed_schema: T.StructType, manifest: dict) -> T.StructType:
+    """Initial target schema: payload of the *pre-evolution* feed schema.
+
+    Columns appearing at the evolution switch-point must NOT pre-exist — the
+    engine adds them in-flight when they first arrive (that is the test).
+    """
+    from credix_data_pipeline_spark.schema import (
+        CHANGE_SCHEMA,
+        target_schema_for,
+    )
+
+    if manifest.get("evolution_chunk") is not None:
+        return target_schema_for(CHANGE_SCHEMA)
+    return target_schema_for(feed_schema)
+
+
+def stream(
+    spark: SparkSession,
+    feed_path: str,
+    table_path: str,
+    *,
+    num_buckets: int = 16,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    write_salt: int = 4,
+    collect_stats: bool = True,
+):
+    """Structured Streaming mode: readStream file source → foreachBatch MERGE.
+
+    The classic exactly-once pattern: SS checkpoint gives offset tracking and
+    monotone batch ids; the fence inside apply_batch de-duplicates the
+    at-least-once `foreachBatch` redelivery window (SURVEY §2.8 ST3).
+    """
+    manifest = feed_mod.read_manifest(feed_path)
+    feed_schema = T.StructType.fromJson(manifest["schema"])
+    target_schema = _target_schema_base(feed_schema, manifest)
+
+    table = LakeTable.create_if_not_exists(
+        spark,
+        table_path,
+        target_schema,
+        key=["conv_id", "turn_idx"],
+        num_buckets=num_buckets,
+        bucket_by=["conv_id"],
+    )
+    lineage = LineageLog(table_path)
+    dead = quarantine_writer(table_path)
+
+    reader = (
+        spark.readStream.schema(feed_schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(feed_path + "/*")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(
+            table,
+            batch_df,
+            batch_id,
+            transform=transform,
+            lineage=lineage,
+            dead_letter=dead,
+            write_salt=write_salt,
+            collect_stats=collect_stats,
+        )
+
+    writer = src.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(table_path, "_ss_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,98 @@
+"""Pure-Python replay oracle (SURVEY §5.2.1, FIXTURES determinism rules).
+
+Replays the *same* deterministic feed spec event-by-event in global LSN order
+into a dict — the ~30-line LWW reference implementation the engine's final
+table state must equal byte-for-byte on per-turn text under stable
+(conv_id, turn_idx) ordering (BASELINE.json ``input_hint``).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from credix_data_pipeline_spark.functions.normalize import normalize_text_py
+from credix_data_pipeline_spark.sources.feed import (
+    BASE_EPOCH_S,
+    ROLES,
+    TOOLS,
+    WORDS,
+    FeedSpec,
+    h_py,
+)
+
+
+def _utc(seconds: int) -> datetime:
+    return datetime.fromtimestamp(seconds, tz=timezone.utc)
+
+
+def event_py(e: int, spec: FeedSpec) -> dict:
+    """Reproduce one change event exactly as sources/feed.change_events_df."""
+    key_id = h_py(e, 1) % spec.n_keys
+    conv = key_id // spec.turns_per_conversation
+    if h_py(e, 2) % 100 < spec.hot_pct:
+        conv = 0
+    turn = key_id % spec.turns_per_conversation
+
+    is_del = h_py(e, 3) % 100 < spec.delete_pct
+    op = "D" if is_del else ("I" if h_py(e, 4) % 3 == 0 else "U")
+    lsn = e + 1
+
+    n_words = 3 + h_py(e, 13) % 8
+    body = " ".join(
+        WORDS[h_py(e, 7 + j) % len(WORDS)] for j in range(n_words)
+    )
+    text = f"  {body} \t" if h_py(e, 23) % 4 == 0 else body
+    role = ROLES[h_py(e, 17) % 4]
+    tool = TOOLS[h_py(e, 19) % 4] if role == "tool" else None
+
+    ev = {
+        "op": op,
+        "lsn": lsn,
+        "commit_ts": _utc(BASE_EPOCH_S + e),
+        "conv_id": f"conv{conv:08d}",
+        "turn_idx": turn,
+        "role": None if is_del else role,
+        "text": None if is_del else text,
+        "tool": None if is_del else tool,
+        "ts": None if is_del else _utc(BASE_EPOCH_S + lsn),
+    }
+    if spec.evolution_frac is not None:
+        ev["tool_meta"] = (
+            '{"call_id": %d}' % ((lsn * 31) % 9973)
+            if (role == "tool" and not is_del and chunk_py(e, spec) >= spec.evolution_chunk)
+            else None
+        )
+    return ev
+
+
+def chunk_py(e: int, spec: FeedSpec) -> int:
+    lsn = e + 1
+    jitter = h_py(lsn - 1, 29) % max(1, spec.shuffle_window)
+    pos = max(lsn - 1 + jitter - spec.shuffle_window // 2, 0)
+    return min(pos // spec.events_per_chunk, spec.n_chunks - 1)
+
+
+def replay_oracle(spec: FeedSpec, normalize: bool = True) -> dict[tuple, dict]:
+    """Global-LSN-order LWW replay → {(conv_id, turn_idx): row}."""
+    state: dict[tuple, dict] = {}
+    for e in range(spec.n_events):  # e order == lsn order
+        ev = event_py(e, spec)
+        k = (ev["conv_id"], ev["turn_idx"])
+        if ev["op"] == "D":
+            state.pop(k, None)
+        else:
+            row = {c: ev[c] for c in ev if c not in ("op", "lsn", "commit_ts")}
+            if normalize:
+                row["text"] = normalize_text_py(row["text"])
+            row["_lsn"] = ev["lsn"]
+            state[k] = row
+    return state
+
+
+def oracle_sorted_rows(spec: FeedSpec, normalize: bool = True) -> list[tuple]:
+    """Stable (conv_id, turn_idx)-ordered [(conv_id, turn_idx, text)] for the
+    byte-equality invariant."""
+    state = replay_oracle(spec, normalize=normalize)
+    return sorted(
+        (k[0], k[1], v["text"]) for k, v in state.items()
+    )
