@@ -218,7 +218,14 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
                 chunks.append((int(d.split("=")[1]), os.path.join(sub, d)))
     chunks = [p for _, p in sorted(chunks)]
 
-    schema = CHANGE_SCHEMA if not has_evo else CHANGE_SCHEMA.add(EVOLVED_COLUMN)
+    # NB: StructType.add() mutates in place — build a fresh StructType.
+    from pyspark.sql import types as T
+
+    schema = (
+        CHANGE_SCHEMA
+        if not has_evo
+        else T.StructType([*CHANGE_SCHEMA.fields, EVOLVED_COLUMN])
+    )
     manifest = {
         "spec": asdict(spec),
         "chunks": chunks,

@@ -1,0 +1,137 @@
+"""Structured Streaming mode (ST5), dead-letter (ST6), no-change batches (P8),
+and commit-conflict safety."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from credix_data_pipeline_spark.lakehouse import CommitConflict, LakeTable
+from credix_data_pipeline_spark.operators.apply import apply_batch, read_clean
+from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+from credix_data_pipeline_spark.streaming.lineage import LineageLog
+from tests.oracle_cdc import oracle_sorted_rows
+
+SPEC = FeedSpec(
+    n_events=1_500,
+    n_conversations=20,
+    turns_per_conversation=6,
+    delete_pct=5,
+    duplicate_pct=3,
+    shuffle_window=16,
+    events_per_chunk=500,
+)
+
+
+def test_structured_streaming_available_now(spark, tmp_feed, tmp_table):
+    """Genuine readStream → foreachBatch MERGE reaches the oracle state."""
+    write_feed(spark, tmp_feed, SPEC)
+    q = runner.stream(
+        spark, tmp_feed, tmp_table, num_buckets=4, max_files_per_trigger=8
+    )
+    q.awaitTermination(300)
+    t = LakeTable.load(spark, tmp_table)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in read_clean(t).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == [
+        (c, ti, x) for c, ti, x in oracle_sorted_rows(SPEC, normalize=False)
+    ]
+
+
+def _mk_table(spark, path):
+    return LakeTable.create(
+        spark,
+        path,
+        target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"],
+        num_buckets=4,
+        bucket_by=["conv_id"],
+    )
+
+
+def _events_df(spark, rows):
+    # Parquet files don't enforce nullability — mirror that in the fixture.
+    from pyspark.sql import types as T
+
+    lax = T.StructType([T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA])
+    return spark.createDataFrame(rows, lax)
+
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def test_malformed_events_quarantined_not_applied(spark, tmp_table):
+    t = _mk_table(spark, tmp_table)
+    lin = LineageLog(tmp_table)
+    captured = []
+    rows = [
+        ("I", 1, TS, "c1", 0, "user", "hello", None, TS),
+        ("X", 2, TS, "c1", 1, "user", "bad-op", None, TS),  # unknown op
+        ("I", 3, TS, None, 0, "user", "null-key", None, TS),  # null conv_id
+        ("U", 4, TS, "c1", 2, "user", "fine", None, TS),
+    ]
+    res = apply_batch(
+        t,
+        _events_df(spark, rows),
+        0,
+        lineage=lin,
+        dead_letter=lambda df: captured.append(df.count()),
+    )
+    assert res.rows_quarantined == 2
+    assert captured == [2]
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in read_clean(t).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == [("c1", 0, "hello"), ("c1", 2, "fine")]
+
+
+def test_empty_batch_no_commit_but_lineage_row(spark, tmp_table):
+    t = _mk_table(spark, tmp_table)
+    lin = LineageLog(tmp_table)
+    n_snaps = len(t.history())
+    res = apply_batch(t, _events_df(spark, []), 0, lineage=lin)
+    assert not res.skipped and res.snapshot_id is None
+    assert len(t.history()) == n_snaps  # P8: snapshot unchanged
+    notes = [r["note"] for r in lin.read(spark).collect()]
+    assert "no_changes" in notes
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_table):
+    """Two writers race the same version: exactly one wins (optimistic CC)."""
+    t = _mk_table(spark, tmp_table)
+    df = _events_df(
+        spark, [("I", 1, TS, "c1", 0, "user", "a", None, TS)]
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+             F.col("lsn").alias("_lsn"), F.lit(False).alias("_deleted"))
+    snap = t.current()
+    t.append(df)
+    # Second writer still holding the old snapshot tries to commit version 2.
+    with pytest.raises(CommitConflict):
+        t._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={"operation": "race"},
+        )
+
+
+def test_quarantine_dir_written_by_replay(spark, tmp_feed, tmp_table, tmp_path):
+    """End-to-end: a poisoned chunk lands rows in <table>/_failed/."""
+    write_feed(spark, tmp_feed, SPEC)
+    t = _mk_table(spark, tmp_table)
+    dead = runner.quarantine_writer(tmp_table)
+    rows = [("Z", 99, TS, "cX", 0, "user", "poison", None, TS)]
+    apply_batch(t, _events_df(spark, rows), 0, dead_letter=dead)
+    failed = os.path.join(tmp_table, runner.FAILED_DIR)
+    assert spark.read.parquet(failed).count() == 1
