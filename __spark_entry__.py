@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC-shaped pipeline over sf0.001.
+``queries()``   — one entry per implemented operator family (SURVEY §2),
+each mirrored by a DuckDB oracle in ``oracle_sql()``; entries without an
+oracle (the end-to-end CDC replay) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from credix_data_pipeline_spark.plans.reference_queries import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW dedup (W2) + gold-style rollup over the events change
+    feed at sf0.001 — the reference's medallion flow as one declarative plan."""
+    fn, _ = QUERIES["user_activity_summary"]
+    return fn(spark, SF0001)
+
+
+def _cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end engine demo: deterministic feed → streaming replay with
+    normalization, dedup, tombstones, fencing → gold conversation summary of
+    the final lakehouse state.  Non-SQL-expressible (stateful streaming) —
+    rows-only check; full value correctness is pinned by tests/ against the
+    pure-Python LWW oracle."""
+    from credix_data_pipeline_spark.functions.normalize import with_normalized_text
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    from credix_data_pipeline_spark.plans.gold import conversation_summary
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    spec = FeedSpec(
+        n_events=4_000,
+        n_conversations=50,
+        turns_per_conversation=8,
+        delete_pct=5,
+        duplicate_pct=3,
+        shuffle_window=32,
+        events_per_chunk=1_000,
+        evolution_frac=0.5,
+    )
+    work = os.path.join(tempfile.gettempdir(), "cdc_replay_e2e")
+    shutil.rmtree(work, ignore_errors=True)
+    feed, table = os.path.join(work, "feed"), os.path.join(work, "transcripts")
+    write_feed(spark, feed, spec)
+    runner.replay(
+        spark, feed, table,
+        chunks_per_batch=2, num_buckets=8,
+        transform=with_normalized_text, collect_stats=False,
+    )
+    return conversation_summary(read_clean(LakeTable.load(spark, table))).orderBy(
+        "conv_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in QUERIES.items()
+    }
+    out["cdc_replay_e2e"] = _cdc_replay_e2e
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items()}

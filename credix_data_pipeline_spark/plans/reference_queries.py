@@ -1,0 +1,548 @@
+"""Reference-operator parity queries over the driver testdata (SURVEY §2).
+
+Every operator family the reference implements, re-expressed as a Spark
+DataFrame plan over ``/root/testdata/sf*/`` tables, each with a DuckDB-
+runnable ANSI-SQL oracle (driver correctness gate).  Names map to SURVEY §2
+operator ids; docstrings cite the reference file:line they mirror.
+
+Parity rules:
+* every computed column aliased identically in DataFrame and SQL
+* aggregates rounded (4 dp) on both sides — double summation order differs
+  between engines
+* fixed watermark/as-of constants — the reference's CURRENT_DATE() use
+  (installments_clean.sql:29,38) is nondeterministic (SURVEY F5 hazard)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# Deterministic constants (F5 determinism hazard: never CURRENT_DATE in tests)
+WM_TS = "1997-01-01 00:00:00"
+EVENTS_WM = "2024-01-15 00:00:00"
+AS_OF = "1998-06-01"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# S1/P1/P2/W1 — watermark scan: projection + OR-watermark predicate
+# (cnpj_assets.py:24-50: SELECT <cols> WHERE updated_at > wm OR created_at > wm)
+# ---------------------------------------------------------------------------
+def q_watermark_scan(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .filter(
+            (F.col("o_orderdate") > F.lit(WM_TS))
+            | (F.col("o_orderdate") > F.lit(WM_TS))  # OR-shape kept (2 ts cols in ref)
+        )
+    )
+
+
+SQL_WATERMARK_SCAN = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{WM_TS}' OR o_orderdate > TIMESTAMP '{WM_TS}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2/P3 — GREATEST/COALESCE watermark (installments_assets.py:48-51)
+# ---------------------------------------------------------------------------
+def q_greatest_watermark(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    o = t(spark, sf_dir, "orders")
+    j = o.join(agg, o.o_orderkey == agg.l_orderkey, "left")
+    eff = F.greatest(
+        F.coalesce(F.col("max_ship"), F.lit("1900-01-01").cast("timestamp")),
+        F.coalesce(F.col("o_orderdate"), F.lit("1900-01-01").cast("timestamp")),
+    )
+    return (
+        j.filter(eff > F.lit(WM_TS))
+        .select("o_orderkey", "o_orderstatus", eff.alias("effective_ts"))
+    )
+
+
+SQL_GREATEST_WATERMARK = f"""
+SELECT o.o_orderkey, o.o_orderstatus,
+       GREATEST(COALESCE(a.max_ship, TIMESTAMP '1900-01-01'),
+                COALESCE(o.o_orderdate, TIMESTAMP '1900-01-01')) AS effective_ts
+FROM orders o
+LEFT JOIN (SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+           FROM lineitem GROUP BY l_orderkey) a
+  ON o.o_orderkey = a.l_orderkey
+WHERE GREATEST(COALESCE(a.max_ship, TIMESTAMP '1900-01-01'),
+               COALESCE(o.o_orderdate, TIMESTAMP '1900-01-01')) > TIMESTAMP '{WM_TS}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4/P5/F1–F5 — silver cleaning (installments_clean.sql:12-50): not-null key
+# filters, non-negative amounts, cents→currency round, date cast, 3-way
+# status CASE, datediff vs fixed as-of
+# ---------------------------------------------------------------------------
+def q_silver_clean(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    as_of = F.lit(AS_OF).cast("date")
+    ship_d = F.col("l_shipdate").cast("date")
+    status = (
+        F.when(F.col("l_returnflag") == "R", F.lit("RETURNED"))
+        .when(ship_d <= as_of, F.lit("SHIPPED"))
+        .otherwise(F.lit("PENDING"))
+    )
+    return (
+        li.filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .filter((F.col("l_extendedprice").isNull()) | (F.col("l_extendedprice") >= 0))
+        .filter((F.col("l_discount").isNull()) | (F.col("l_discount") >= 0))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # 4 dp: the source has exactly 2 decimals, so /100 is exact at 4 dp —
+            # avoids HALF_UP (Spark) vs HALF_EVEN (DuckDB) divergence on .5 ties
+            F.round(F.col("l_extendedprice") / 100.0, 4).alias("price_hundredths"),
+            ship_d.alias("ship_date"),
+            status.alias("ship_status"),
+            F.datediff(as_of, ship_d).alias("days_since_ship"),
+        )
+    )
+
+
+SQL_SILVER_CLEAN = f"""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice / 100.0, 4) AS price_hundredths,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CASE WHEN l_returnflag = 'R' THEN 'RETURNED'
+            WHEN CAST(l_shipdate AS DATE) <= DATE '{AS_OF}' THEN 'SHIPPED'
+            ELSE 'PENDING' END AS ship_status,
+       DATE_DIFF('day', CAST(l_shipdate AS DATE), DATE '{AS_OF}') AS days_since_ship
+FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+  AND l_quantity IS NOT NULL AND l_shipdate IS NOT NULL
+  AND (l_extendedprice IS NULL OR l_extendedprice >= 0)
+  AND (l_discount IS NULL OR l_discount >= 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1–A8/F13/F12/F11/J1 — the gold summary shape
+# (company_payment_summary.sql:33-196): group-agg with conditional aggregates
+# on a coalesced key, guarded ratios, clamped weighted score, tier CASE,
+# broadcast LEFT JOIN dim×agg
+# ---------------------------------------------------------------------------
+def q_gold_customer_summary(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    paid = F.col("o_orderstatus") == "F"  # finished ≈ PAID
+    open_ = F.col("o_orderstatus") == "O"
+    pend = F.col("o_orderstatus") == "P"
+    days = F.datediff(F.lit(AS_OF).cast("date"), F.col("o_orderdate").cast("date"))
+
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count(F.when(paid, 1)).alias("paid_orders"),
+        F.count(F.when(open_, 1)).alias("open_orders"),
+        F.count(F.when(pend, 1)).alias("pending_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_amount"),
+        F.round(F.sum(F.when(open_, F.col("o_totalprice")).otherwise(0)), 4).alias(
+            "open_amount"
+        ),
+        F.round(F.avg(F.when(paid, days)), 4).alias("avg_days_paid"),
+        F.min(F.when(paid, days)).alias("min_days_paid"),
+        F.max(F.when(paid, days)).alias("max_days_paid"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+    )
+
+    ratio = lambda num, den: F.round(  # noqa: E731  (guarded ratio F13)
+        F.when(den > 0, num * 100.0 / den).otherwise(0.0), 4
+    )
+    m = agg.withColumn("paid_rate", ratio(F.col("paid_orders"), F.col("total_orders")))
+    m = m.withColumn("open_rate", ratio(F.col("open_orders"), F.col("total_orders")))
+    # F12: clamped weighted score
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(100.0),
+            F.round(
+                0.4 * F.col("paid_rate")
+                + 0.3 * (100.0 - F.col("open_rate"))
+                + F.when(F.coalesce(F.col("avg_days_paid"), F.lit(0.0)) <= 365, 30.0)
+                .when(F.col("avg_days_paid") <= 730, 15.0)
+                .otherwise(0.0),
+                4,
+            ),
+        ),
+    )
+    m = m.withColumn("risk_score", score)
+    # F11: banded CASE ladder (order-sensitive)
+    m = m.withColumn(
+        "risk_tier",
+        F.when(F.col("risk_score") >= 80, "LOW")
+        .when(F.col("risk_score") >= 60, "MEDIUM")
+        .when(F.col("risk_score") >= 40, "HIGH")
+        .otherwise("SEVERE"),
+    )
+    # J1: broadcast LEFT JOIN dim × agg
+    return (
+        c.join(F.broadcast(m), c.c_custkey == m.custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce(F.col("total_orders"), F.lit(0)).alias("total_orders"),
+            F.coalesce(F.col("paid_orders"), F.lit(0)).alias("paid_orders"),
+            F.coalesce(F.col("open_orders"), F.lit(0)).alias("open_orders"),
+            F.coalesce(F.col("pending_orders"), F.lit(0)).alias("pending_orders"),
+            F.coalesce(F.col("total_amount"), F.lit(0.0)).alias("total_amount"),
+            F.coalesce(F.col("open_amount"), F.lit(0.0)).alias("open_amount"),
+            "avg_days_paid",
+            "min_days_paid",
+            "max_days_paid",
+            "first_order_date",
+            "last_order_date",
+            "paid_rate",
+            "open_rate",
+            F.coalesce(F.col("risk_score"), F.lit(0.0)).alias("risk_score"),
+            F.coalesce(F.col("risk_tier"), F.lit("NO_DATA")).alias("risk_tier"),
+        )
+    )
+
+
+SQL_GOLD_CUSTOMER_SUMMARY = f"""
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         COUNT(*) AS total_orders,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS paid_orders,
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
+         ROUND(SUM(o_totalprice), 4) AS total_amount,
+         ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS open_amount,
+         ROUND(AVG(CASE WHEN o_orderstatus = 'F'
+                   THEN DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') END), 4) AS avg_days_paid,
+         MIN(CASE WHEN o_orderstatus = 'F'
+                  THEN DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') END) AS min_days_paid,
+         MAX(CASE WHEN o_orderstatus = 'F'
+                  THEN DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') END) AS max_days_paid,
+         MIN(CAST(o_orderdate AS DATE)) AS first_order_date,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+  FROM orders GROUP BY o_custkey
+), m AS (
+  SELECT *,
+         ROUND(CASE WHEN total_orders > 0 THEN paid_orders * 100.0 / total_orders ELSE 0.0 END, 4) AS paid_rate,
+         ROUND(CASE WHEN total_orders > 0 THEN open_orders * 100.0 / total_orders ELSE 0.0 END, 4) AS open_rate
+  FROM agg
+), s AS (
+  SELECT *,
+         GREATEST(0.0, LEAST(100.0, ROUND(
+             0.4 * paid_rate + 0.3 * (100.0 - open_rate) +
+             CASE WHEN COALESCE(avg_days_paid, 0.0) <= 365 THEN 30.0
+                  WHEN avg_days_paid <= 730 THEN 15.0
+                  ELSE 0.0 END, 4))) AS risk_score
+  FROM m
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       COALESCE(s.total_orders, 0) AS total_orders,
+       COALESCE(s.paid_orders, 0) AS paid_orders,
+       COALESCE(s.open_orders, 0) AS open_orders,
+       COALESCE(s.pending_orders, 0) AS pending_orders,
+       COALESCE(s.total_amount, 0.0) AS total_amount,
+       COALESCE(s.open_amount, 0.0) AS open_amount,
+       s.avg_days_paid, s.min_days_paid, s.max_days_paid,
+       s.first_order_date, s.last_order_date, s.paid_rate, s.open_rate,
+       COALESCE(s.risk_score, 0.0) AS risk_score,
+       COALESCE(CASE WHEN s.risk_score >= 80 THEN 'LOW'
+                     WHEN s.risk_score >= 60 THEN 'MEDIUM'
+                     WHEN s.risk_score >= 40 THEN 'HIGH'
+                     ELSE 'SEVERE' END, 'NO_DATA') AS risk_tier
+FROM customer c LEFT JOIN s ON c.c_custkey = s.custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2/F9/F10/F11 — detailed analytics (payment_analytics_detailed.sql:18,90-150):
+# LEFT JOIN on a derived COALESCE key, year/month/quarter extracts, variance +
+# abs tolerance, banded classification ladders
+# ---------------------------------------------------------------------------
+def q_detailed_analytics(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    facts = li.withColumn(
+        "primary_partkey", F.coalesce(F.col("l_partkey"), F.col("l_suppkey"))
+    )
+    variance = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_extendedprice"),
+        4,
+    )
+    j = facts.join(
+        F.broadcast(p), facts.primary_partkey == p.p_partkey, "left"
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "primary_partkey",
+        F.col("p_brand").alias("brand"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.quarter("l_shipdate").alias("ship_quarter"),
+        variance.alias("discount_variance"),
+        F.when(F.abs(variance) <= 0.01, F.lit("EXACT"))
+        .when(F.col("l_discount") <= 0.02, F.lit("LOW_DISCOUNT"))
+        .when(F.col("l_discount") <= 0.05, F.lit("MID_DISCOUNT"))
+        .otherwise(F.lit("HIGH_DISCOUNT"))
+        .alias("discount_band"),
+        F.when(F.col("l_quantity") >= 40, F.lit("BULK"))
+        .when(F.col("l_quantity") >= 20, F.lit("LARGE"))
+        .when(F.col("l_quantity") >= 10, F.lit("MEDIUM"))
+        .otherwise(F.lit("SMALL"))
+        .alias("size_category"),
+    )
+
+
+SQL_DETAILED_ANALYTICS = """
+SELECT l.l_orderkey, l.l_linenumber,
+       COALESCE(l.l_partkey, l.l_suppkey) AS primary_partkey,
+       p.p_brand AS brand,
+       EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+       EXTRACT(MONTH FROM l.l_shipdate) AS ship_month,
+       EXTRACT(QUARTER FROM l.l_shipdate) AS ship_quarter,
+       ROUND(l.l_extendedprice * (1 - l.l_discount) - l.l_extendedprice, 4) AS discount_variance,
+       CASE WHEN ABS(ROUND(l.l_extendedprice * (1 - l.l_discount) - l.l_extendedprice, 4)) <= 0.01 THEN 'EXACT'
+            WHEN l.l_discount <= 0.02 THEN 'LOW_DISCOUNT'
+            WHEN l.l_discount <= 0.05 THEN 'MID_DISCOUNT'
+            ELSE 'HIGH_DISCOUNT' END AS discount_band,
+       CASE WHEN l.l_quantity >= 40 THEN 'BULK'
+            WHEN l.l_quantity >= 20 THEN 'LARGE'
+            WHEN l.l_quantity >= 10 THEN 'MEDIUM'
+            ELSE 'SMALL' END AS size_category
+FROM lineitem l
+LEFT JOIN part p ON COALESCE(l.l_partkey, l.l_suppkey) = p.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2 — LWW dedup as a standalone operator over the events stream table
+# ---------------------------------------------------------------------------
+def q_lww_dedup_events(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+SQL_LWW_DEDUP_EVENTS = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — uniqueness contract (dbt unique / unique_combination_of_columns,
+# models/silver/schema.yml:66-78): violations table, expected empty
+# ---------------------------------------------------------------------------
+def q_uniqueness_contract(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+SQL_UNIQUENESS_CONTRACT = """
+SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10 — incremental high-water scalar subquery
+# (payment_analytics_detailed.sql:39-41)
+# ---------------------------------------------------------------------------
+def q_incremental_highwater(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hw = (
+        e.filter(F.col("event_type") == "signup")
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    return e.filter(F.col("ts") > F.lit(hw)).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+SQL_INCREMENTAL_HIGHWATER = """
+SELECT event_id, user_id, event_type, ts
+FROM events
+WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set op — unionByName of schema-evolved batches (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+def q_union_evolved(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "value")
+    b = (
+        e.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value", "props")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+SQL_UNION_EVOLVED = """
+SELECT event_id, user_id, value, NULL AS props FROM events WHERE event_type = 'click'
+UNION ALL BY NAME
+SELECT event_id, user_id, value, props FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6–F17 — scalar-function battery (md5 temp-table hashing F14, regex
+# identifier cleanup F15, upper/trim F7, length F8, to_date F17, …)
+# ---------------------------------------------------------------------------
+def q_scalar_battery(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_mktsegment"))).alias("segment_std"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9_]", "_").alias(
+            "name_ident"
+        ),
+        F.round(F.abs(F.col("c_acctbal")) / 100.0, 4).alias("absbal_hundredths"),
+        F.greatest(
+            F.lit(0.0), F.least(F.lit(100.0), F.round(F.col("c_acctbal") / 100.0, 4))
+        ).alias("bal_clamped"),
+        F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("bal_or_zero"),
+        F.when(F.col("c_acctbal") < 0, "NEGATIVE")
+        .when(F.col("c_acctbal") < 1000, "LOW")
+        .when(F.col("c_acctbal") < 5000, "MID")
+        .otherwise("HIGH")
+        .alias("bal_band"),
+    )
+
+
+SQL_SCALAR_BATTERY = """
+SELECT c_custkey,
+       UPPER(TRIM(c_mktsegment)) AS segment_std,
+       LENGTH(c_name) AS name_len,
+       MD5(c_name) AS name_md5,
+       REGEXP_REPLACE(LOWER(c_name), '[^a-z0-9_]', '_', 'g') AS name_ident,
+       ROUND(ABS(c_acctbal) / 100.0, 4) AS absbal_hundredths,
+       GREATEST(0.0, LEAST(100.0, ROUND(c_acctbal / 100.0, 4))) AS bal_clamped,
+       COALESCE(c_acctbal, 0.0) AS bal_or_zero,
+       CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+            WHEN c_acctbal < 1000 THEN 'LOW'
+            WHEN c_acctbal < 5000 THEN 'MID'
+            ELSE 'HIGH' END AS bal_band
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: CDC-shaped pipeline over the generic `events` change feed —
+# LWW dedup per key (W2) then a gold-style per-user rollup (A1-A8, F13, F11).
+# This is the reference's whole medallion flow (dedup → clean → gold) as one
+# declarative plan.
+# ---------------------------------------------------------------------------
+def q_user_activity_summary(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("last_seen"),
+    )
+    err_rate = F.round(
+        F.when(F.col("total_events") > 0, F.col("errors") * 100.0 / F.col("total_events"))
+        .otherwise(0.0),
+        4,
+    )
+    distinct_latest = latest.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_event_types")
+    )
+    out = agg.join(distinct_latest, "user_id", "left").withColumn(
+        "error_rate", err_rate
+    )
+    return out.withColumn(
+        "activity_band",
+        F.when(F.col("total_events") >= 100, "HEAVY")
+        .when(F.col("total_events") >= 50, "ACTIVE")
+        .when(F.col("total_events") >= 10, "LIGHT")
+        .otherwise("MINIMAL"),
+    )
+
+
+SQL_USER_ACTIVITY_SUMMARY = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), agg AS (
+  SELECT user_id,
+         COUNT(*) AS total_events,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+         ROUND(SUM(value), 4) AS total_value,
+         MAX(ts) AS last_seen
+  FROM events GROUP BY user_id
+), dl AS (
+  SELECT user_id, COUNT(*) AS active_event_types FROM latest GROUP BY user_id
+)
+SELECT a.user_id, a.total_events, a.clicks, a.errors, a.total_value, a.last_seen,
+       dl.active_event_types,
+       ROUND(CASE WHEN a.total_events > 0
+                  THEN a.errors * 100.0 / a.total_events ELSE 0.0 END, 4) AS error_rate,
+       CASE WHEN a.total_events >= 100 THEN 'HEAVY'
+            WHEN a.total_events >= 50 THEN 'ACTIVE'
+            WHEN a.total_events >= 10 THEN 'LIGHT'
+            ELSE 'MINIMAL' END AS activity_band
+FROM agg a LEFT JOIN dl ON a.user_id = dl.user_id
+"""
+
+
+QUERIES = {
+    "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
+    "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
+    "greatest_watermark": (q_greatest_watermark, SQL_GREATEST_WATERMARK),
+    "silver_clean": (q_silver_clean, SQL_SILVER_CLEAN),
+    "gold_customer_summary": (q_gold_customer_summary, SQL_GOLD_CUSTOMER_SUMMARY),
+    "detailed_analytics": (q_detailed_analytics, SQL_DETAILED_ANALYTICS),
+    "lww_dedup_events": (q_lww_dedup_events, SQL_LWW_DEDUP_EVENTS),
+    "uniqueness_contract": (q_uniqueness_contract, SQL_UNIQUENESS_CONTRACT),
+    "incremental_highwater": (q_incremental_highwater, SQL_INCREMENTAL_HIGHWATER),
+    "union_evolved": (q_union_evolved, SQL_UNION_EVOLVED),
+    "scalar_battery": (q_scalar_battery, SQL_SCALAR_BATTERY),
+}
