@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the engine's authoritative north-rule metric — sustained
+change-events/sec applied end-to-end (feed replay → final lakehouse state) —
+as ``cdc_events_per_sec``.  Queries are materialized with the noop sink, so
+the time measured is full plan execution without driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from credix_data_pipeline_spark.plans.reference_queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.monotonic()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def bench_cdc_replay(spark, n_events: int) -> dict:
+    """End-to-end: synthetic feed → streaming replay (dedup, normalize,
+    tombstones, fencing, lineage) → applied table.  Generation is excluded
+    from the timed window; replay includes everything through the last
+    commit."""
+    from credix_data_pipeline_spark.functions.normalize import with_normalized_text
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    spec = FeedSpec(
+        n_events=n_events,
+        n_conversations=max(100, n_events // 200),
+        turns_per_conversation=10,
+        delete_pct=5,
+        duplicate_pct=3,
+        hot_pct=5,
+        shuffle_window=64,
+        events_per_chunk=max(5_000, n_events // 16),
+    )
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    feed = os.path.join(work, "feed")
+    table = os.path.join(work, "transcripts")
+    try:
+        write_feed(spark, feed, spec)
+        t0 = time.monotonic()
+        stats = runner.replay(
+            spark,
+            feed,
+            table,
+            chunks_per_batch=4,
+            num_buckets=32,
+            transform=with_normalized_text,
+            collect_stats=False,
+        )
+        wall = time.monotonic() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # duplicates ride along; throughput is counted on distinct change events
+    return {
+        "cdc_events": n_events,
+        "cdc_replay_sec": round(wall, 3),
+        "cdc_events_per_sec": round(n_events / wall, 1),
+        "cdc_batches": stats.batches,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from credix_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    queries = bench_queries(spark, sf_dir)
+    cdc = bench_cdc_replay(spark, n_events)
+    queries["cdc_replay"] = cdc["cdc_replay_sec"]
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    out = {
+        "metric": "total_query_plus_replay_seconds",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
