@@ -15,7 +15,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
 from credix_data_pipeline_spark.plans.reference_queries import QUERIES
+
+ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES}
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -66,11 +69,11 @@ def _cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: fn for name, (fn, _sql) in QUERIES.items()
+        name: fn for name, (fn, _sql) in ALL_QUERIES.items()
     }
     out["cdc_replay_e2e"] = _cdc_replay_e2e
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items()}
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items()}

@@ -1,0 +1,828 @@
+"""Training-data corpus operators over ``documents`` / ``embeddings``.
+
+The reference pipeline cleans and dedups financial records before analytics
+(silver not-null/uniqueness contracts, `models/silver/schema.yml:66-78`;
+MERGE dedup on `unique_key`, `installments_clean.sql:1-8`).  A 100 TB
+training-data pipeline needs the same families generalized to text/embedding
+corpora: exact + near deduplication, similarity search, text quality
+analysis, and multimodal column plumbing.  Every operator here is a pure
+DataFrame plan (JVM-side higher-order functions — no per-row Python except
+the explicitly-Arrow ``mapInPandas`` multimodal stub) with a DuckDB-runnable
+ANSI-SQL oracle built from the *same constants* so Spark and the oracle stay
+in lock-step.
+
+Scale notes (100 TB posture):
+* Shingle/minhash hashing uses ``md5`` — evaluated in whole-stage codegen,
+  identical output in any engine (the parity trick: MinHash takes the MIN of
+  the md5 *hex string* per seed, which is a valid random permutation min and
+  is engine-portable).
+* Candidate generation is the only O(n²) risk; the MinHash-LSH variant
+  band-buckets first so the verification join touches candidate pairs only.
+* Embedding kernels fold in index order (``zip_with`` + ``aggregate``) so
+  double-precision results are bit-identical to the oracle's ordered fold.
+* The multimodal decode is a deterministic stub (image/audio libs are not
+  available here); the Spark-side plumbing — binary column, Arrow batches,
+  ``mapInPandas`` schema — is real and tested.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# Shared constants — interpolated into BOTH the Spark plan and the SQL oracle
+# ---------------------------------------------------------------------------
+NGRAM_N = 3                     # shingle width (tokens)
+JACCARD_THRESHOLD = 0.8         # near-dup confirm threshold
+MINHASH_SEEDS = [f"s{i}|" for i in range(9)]   # 9 hashes = 3 bands x 3 rows
+MINHASH_BAND_ROWS = 3
+COSINE_NEAR_DUP = 0.4           # embedding near-dup threshold (data max ~0.48)
+ANN_QUERIES = 100               # vec_id < N act as ANN query set
+ANN_K = 3
+LSH_SIGN_DIMS = 8               # sign-projection LSH bucket bits
+EMB_DIM = 64
+HASH_MOD = 1_000_000_007        # rolling-hash modulus
+SIMHASH_BITS = 16
+
+# language marker lists (n-gram/stopword heuristic lang-ID)
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "los", "y", "es", "que", "una"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish token regex (shared dialect)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _toks(col: str = "text"):
+    """Whitespace tokens, empties dropped — JVM higher-order fns only."""
+    return F.filter(F.split(F.lower(F.col(col)), " "), lambda x: x != "")
+
+
+_SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def _docs_with_shingles(spark, sf_dir) -> DataFrame:
+    """documents + distinct NGRAM_N-token shingles (array<string>)."""
+    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    n = NGRAM_N
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + off) for off in range(n)]
+            ),
+        )
+    )
+    return d.filter(F.size("toks") >= n).withColumn("shingles", sh)
+
+
+_SQL_SHINGLES = f"""
+  SELECT doc_id, toks,
+         list_distinct(list_transform(range(1, len(toks) - {NGRAM_N - 2}),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= {NGRAM_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup (reference: MERGE unique_key dedup,
+# installments_clean.sql:2; uniqueness contracts schema.yml:66-78)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(" ", _toks()))  # whitespace-normalized content hash
+    d = d.withColumn("content_md5", h)
+    w = Window.partitionBy("content_md5")
+    return d.select(
+        "doc_id",
+        "content_md5",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT doc_id, content_md5,
+       MIN(doc_id) OVER (PARTITION BY content_md5) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY content_md5) AS is_dup
+FROM (SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS content_md5
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — n-gram shingle Jaccard near-dup pairs.
+# Candidate pairs share >=1 shingle; confirmed at JACCARD_THRESHOLD.
+# Scale path: prefer dedup_minhash_lsh (bands prune candidates first).
+# ---------------------------------------------------------------------------
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jacc = F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+    )
+    return (
+        pairs.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+       ROUND(COUNT(*) * 1.0 /
+             (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)), 4) AS jaccard
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING ROUND(COUNT(*) * 1.0 /
+             (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)), 4)
+       >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures (min of md5(seed||shingle) hex
+# string per seed — a portable permutation-min), banded LSH bucketing, then
+# exact-Jaccard verification restricted to LSH candidates.  This is the
+# 100 TB-safe near-dup: candidate volume scales with bucket collisions, not
+# with n².
+# ---------------------------------------------------------------------------
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sh = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(seed), F.col("s")))).alias(f"mh{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ]
+    )
+    r = MINHASH_BAND_ROWS
+    n_bands = len(MINHASH_SEEDS) // r
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat(*[F.col(f"mh{bi * r + j}") for j in range(r)])
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verification join touches candidate pairs only (anti-n² at scale)
+    ea = ex.alias("ea")
+    eb = ex.alias("eb")
+    verified = (
+        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
+        .join(
+            eb,
+            (F.col("eb.doc_id") == F.col("doc_b"))
+            & (F.col("eb.s") == F.col("ea.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("ea.n_sh").alias("na"),
+            F.first("eb.n_sh").alias("nb"),
+        )
+    )
+    jacc = F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+    )
+    return (
+        verified.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _sql_minhash():
+    r = MINHASH_BAND_ROWS
+    n_bands = len(MINHASH_SEEDS) // r
+    mh_cols = ",\n         ".join(
+        f"MIN(md5('{seed}' || s)) AS mh{i}" for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5("
+        + " || ".join(f"mh{bi * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM ex GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(COUNT(*) * 1.0 /
+             (ANY_VALUE(ea.n_sh) + ANY_VALUE(eb.n_sh) - COUNT(*)), 4) AS jaccard
+FROM cand c
+JOIN ex ea ON ea.doc_id = c.doc_a
+JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+GROUP BY c.doc_a, c.doc_b
+HAVING ROUND(COUNT(*) * 1.0 /
+             (ANY_VALUE(ea.n_sh) + ANY_VALUE(eb.n_sh) - COUNT(*)), 4)
+       >= {JACCARD_THRESHOLD}
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 16-bit SimHash over token hashes (bit-majority), dedup by
+# identical signature.  Token hash = first 4 hex digits of md5 (portable).
+# ---------------------------------------------------------------------------
+_H16 = (
+    "((instr('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(tk), 4, 1)) - 1))"
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    ex = d.select("doc_id", F.explode("toks").alias("tk")).withColumn(
+        "h", F.expr(_H16)
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.expr(f"CAST(FLOOR(h / {2 ** j}.0) AS INT) % 2") == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = ex.groupBy("doc_id").agg(*bit_sums).select(
+        "doc_id", sig_expr.cast("long").alias("simhash")
+    )
+    w = Window.partitionBy("simhash")
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def _sql_simhash():
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(h / {2 ** j}.0) AS INT) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
+), hx AS (
+  SELECT doc_id, {_H16} AS h FROM ex
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hx GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+)
+SELECT doc_id, simhash,
+       MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY simhash) AS is_dup
+FROM sigs
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------
+# Embedding kernels — ordered-fold dot product / norms so doubles match the
+# oracle bit-for-bit (same IEEE op sequence).
+# ---------------------------------------------------------------------------
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return F.round(_dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b)), 4)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[ ({a})[i] * ({b})[i] for i in range(1, {EMB_DIM + 1}) ]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"ROUND({_sql_dot(a, b)} / "
+        f"SQRT({_sql_dot(a, a)} * {_sql_dot(b, b)}), 4)"
+    )
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+
+
+_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_topk — brute-force cosine top-k (the correctness baseline ANN)
+# ---------------------------------------------------------------------------
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("qe"), F.col("ne")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH e AS ({_SQL_EMB}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine("q.emb", "c.emb")} AS cosine
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id < {ANN_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_bucketed — sign-projection LSH: bucket by the sign bits of the
+# first LSH_SIGN_DIMS dims, search within bucket only (the scale path: the
+# cross join becomes a co-partitioned equi-join on bucket).
+# ---------------------------------------------------------------------------
+def _bucket(col):
+    expr = None
+    for j in range(LSH_SIGN_DIMS):
+        term = F.when(
+            F.element_at(col, j + 1) >= 0, F.lit(2 ** j)
+        ).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return expr.cast("int")
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("emb")))
+    a = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.col("bucket").alias("nbucket"),
+    )
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("nbucket")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("qe"), F.col("ne")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", "bucket", "neighbor_id", "cosine")
+    )
+
+
+def _sql_bucket(col: str) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN ({col})[{j + 1}] >= 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(LSH_SIGN_DIMS)
+        )
+        + " AS INT)"
+    )
+
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+         {_sql_cosine("a.emb", "b.emb")} AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT query_id, bucket, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup — cosine-threshold near-duplicate pairs
+# ---------------------------------------------------------------------------
+def q_embedding_near_dup(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= COSINE_NEAR_DUP)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS ({_SQL_EMB})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_cosine("a.emb", "b.emb")} AS cosine
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND {_sql_cosine("a.emb", "b.emb")} >= {COSINE_NEAR_DUP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_id_ngram — stopword/marker-list language scoring with deterministic
+# argmax (alphabetical tie-break); 'und' (undetermined) when all scores 0.
+# ---------------------------------------------------------------------------
+def q_lang_id_ngram(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        d = d.withColumn(
+            f"score_{lang}",
+            F.round(
+                F.expr(f"size(filter(toks, t -> t IN ({markers})))")
+                / F.greatest(F.size("toks"), F.lit(1)),
+                4,
+            ),
+        )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[f"score_{lg}" for lg in langs],
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def _sql_lang_id():
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        f"ROUND(len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        + f"))) * 1.0 / GREATEST(len(toks), 1), 4) AS score_{lg}"
+        for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE "
+    for lg in langs:
+        pred += f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}' "
+    pred += "ELSE 'und' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM tok
+)
+SELECT doc_id, lang, {", ".join(f"score_{lg}" for lg in langs)},
+       {pred} AS predicted_lang,
+       ({pred}) = lang AS is_match
+FROM scored
+"""
+
+
+SQL_LANG_ID_NGRAM = _sql_lang_id()
+
+
+# ---------------------------------------------------------------------------
+# text_quality — length / stopword / distinctness quality score with the
+# reference's clamp + band ladder shapes (F11/F12)
+# ---------------------------------------------------------------------------
+def q_text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_toks = F.size("toks")
+    d = (
+        d.withColumn("n_tokens", n_toks)
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+                / F.greatest(n_toks, F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.expr(f"size(filter(toks, t -> t IN ({stop})))")
+                / F.greatest(n_toks, F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(
+                F.size(F.array_distinct("toks")) / F.greatest(n_toks, F.lit(1)), 4
+            ),
+        )
+    )
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(100.0),
+            F.round(
+                40.0 * F.col("distinct_ratio")
+                + 30.0 * (1.0 - F.col("stopword_ratio"))
+                + 30.0 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0),
+                4,
+            ),
+        ),
+    )
+    d = d.withColumn("quality_score", score)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality_score",
+        F.when(F.col("quality_score") >= 80, "HIGH")
+        .when(F.col("quality_score") >= 60, "MEDIUM")
+        .when(F.col("quality_score") >= 40, "LOW")
+        .otherwise("REJECT")
+        .alias("quality_band"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         ROUND(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                           (acc, x) -> acc + x) * 1.0
+               / GREATEST(len(toks), 1), 4) AS avg_token_len,
+         ROUND(len(list_filter(toks, t -> t IN ({", ".join(f"'{s}'" for s in STOPWORDS)})))
+               * 1.0 / GREATEST(len(toks), 1), 4) AS stopword_ratio,
+         ROUND(len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1), 4)
+           AS distinct_ratio
+  FROM tok
+), s AS (
+  SELECT *,
+         GREATEST(0.0, LEAST(100.0, ROUND(
+             40.0 * distinct_ratio + 30.0 * (1.0 - stopword_ratio)
+             + 30.0 * LEAST(1.0, n_tokens / 100.0), 4))) AS quality_score
+  FROM m
+)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio,
+       quality_score,
+       CASE WHEN quality_score >= 80 THEN 'HIGH'
+            WHEN quality_score >= 60 THEN 'MEDIUM'
+            WHEN quality_score >= 40 THEN 'LOW'
+            ELSE 'REJECT' END AS quality_band
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_stats — whitespace vs BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+def q_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(_toks())
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length("text") / F.greatest(ws, F.lit(1)), 4).alias(
+            "chars_per_ws_token"
+        ),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("bpe_per_ws"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       len({_SQL_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe_tokens,
+       ROUND(LENGTH(text) * 1.0 / GREATEST(len({_SQL_TOKS}), 1), 4)
+         AS chars_per_ws_token,
+       ROUND(len(regexp_extract_all(lower(text), '{BPE_RE}')) * 1.0
+             / GREATEST(len({_SQL_TOKS}), 1), 4) AS bpe_per_ws
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — content fingerprints: whitespace-normalized md5, rolling
+# polynomial hash over 16-bit token hashes (exact integer parity), and the
+# minimum shingle hash (winnowing-lite)
+# ---------------------------------------------------------------------------
+def q_doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    n = NGRAM_N
+    d = d.withColumn(
+        "shingles",
+        F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("toks"), i + off) for off in range(n)],
+                ),
+            ),
+        ),
+    )
+    rolling = F.expr(
+        f"aggregate(transform(toks, tk -> CAST({_H16} AS BIGINT)), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {HASH_MOD})"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "toks")).alias("norm_md5"),
+        rolling.alias("rolling_hash"),
+        F.when(
+            F.col("shingles").isNotNull(),
+            F.array_min(F.transform(F.col("shingles"), F.md5)),
+        ).alias("min_shingle_md5"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= {NGRAM_N} THEN
+           list_transform(range(1, len(toks) - {NGRAM_N - 2}),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         END AS shingles
+  FROM tok
+)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS norm_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, tk -> CAST({_H16} AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS rolling_hash,
+       CASE WHEN shingles IS NOT NULL THEN
+         list_min(list_transform(shingles, s -> md5(s)))
+       END AS min_shingle_md5
+FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_features — binary payload column + Arrow-batched mapInPandas
+# feature extraction (decode is a deterministic stub; the Spark plumbing —
+# schema, binary column, batch iteration — is real).  Oracle recomputes the
+# same deterministic features in SQL.
+# ---------------------------------------------------------------------------
+def q_multimodal_features(spark, sf_dir):
+    from credix_data_pipeline_spark.functions.multimodal import (
+        extract_features_map_in_pandas,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features_map_in_pandas(d)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       64 + octet_length(encode(text)) % 512 AS width,
+       64 + (octet_length(encode(text)) * 7) % 512 AS height,
+       1 + octet_length(encode(text)) % 16 AS n_frames
+FROM documents
+"""
+
+
+CORPUS_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+}

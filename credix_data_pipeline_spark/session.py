@@ -33,6 +33,17 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
 
+    # Python workers (pandas UDFs / mapInPandas) import this package by name;
+    # make sure they can resolve it even when the driver added the repo root
+    # to sys.path manually.  On a real cluster this is what --py-files does —
+    # locally we extend the worker PYTHONPATH before the JVM starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -47,6 +58,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # File-source listing parallelism for the change-feed directory scan.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

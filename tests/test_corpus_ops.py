@@ -1,0 +1,101 @@
+"""Training-data corpus operators (dedup / similarity / text-analysis /
+multimodal): oracle parity at sf0.001 plus semantic checks on the planted
+near-duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from credix_data_pipeline_spark.plans.corpus_ops import (
+    ANN_K,
+    CORPUS_QUERIES,
+    JACCARD_THRESHOLD,
+)
+from tests.duck_compare import compare, duckdb_conn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_conn(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS_QUERIES))
+def test_corpus_query_matches_oracle(spark, con, name):
+    fn, sql = CORPUS_QUERIES[name]
+    problems = compare(fn(spark, SF_DIR), con, sql, name)
+    assert not problems, "\n".join(problems)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH candidates (verified) recover nearly all true Jaccard near-dups —
+    the planted pairs sit at ~0.98 so banded MinHash should find them."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in CORPUS_QUERIES["dedup_ngram_jaccard"][0](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in CORPUS_QUERIES["dedup_minhash_lsh"][0](spark, SF_DIR).collect()
+    }
+    assert exact, "expected planted near-dup pairs in the corpus"
+    assert lsh <= exact  # verification step guarantees no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_ngram_jaccard_pairs_are_high_similarity(spark):
+    rows = CORPUS_QUERIES["dedup_ngram_jaccard"][0](spark, SF_DIR).collect()
+    assert rows, "expected planted near-dup pairs"
+    assert all(r.jaccard >= JACCARD_THRESHOLD for r in rows)
+
+
+def test_ann_topk_shape_and_ordering(spark):
+    df = CORPUS_QUERIES["ann_cosine_topk"][0](spark, SF_DIR)
+    rows = df.collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == ANN_K
+        ranked = sorted(rs, key=lambda r: r.rank)
+        cosines = [r.cosine for r in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_ann_neighbor_is_bucket_local_and_suboptimal_at_worst(spark):
+    """Bucketed ANN returns a neighbor whose cosine is <= the brute-force
+    top-1 (approximation never beats the exact answer)."""
+    brute = {
+        r.query_id: r.cosine
+        for r in CORPUS_QUERIES["ann_cosine_topk"][0](spark, SF_DIR)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    for r in CORPUS_QUERIES["ann_lsh_bucketed"][0](spark, SF_DIR).collect():
+        if r.query_id in brute:
+            assert r.cosine <= brute[r.query_id] + 1e-9
+
+
+def test_multimodal_features_deterministic_and_typed(spark):
+    fn = CORPUS_QUERIES["multimodal_features"][0]
+    a = {r.doc_id: (r.n_bytes, r.content_md5, r.width, r.height, r.n_frames)
+         for r in fn(spark, SF_DIR).collect()}
+    b = {r.doc_id: (r.n_bytes, r.content_md5, r.width, r.height, r.n_frames)
+         for r in fn(spark, SF_DIR).collect()}
+    assert a == b and len(a) == 500
+    for n_bytes, md5hex, w, h, fr in a.values():
+        assert len(md5hex) == 32
+        assert 64 <= w < 576 and 64 <= h < 576 and 1 <= fr <= 16
+
+
+def test_multimodal_decode_stubs_raise():
+    from credix_data_pipeline_spark.functions import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
