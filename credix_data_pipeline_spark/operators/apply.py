@@ -87,17 +87,19 @@ def dedup_events(events: DataFrame, key: list[str]) -> DataFrame:
     )
 
 
-def split_malformed(events: DataFrame, key: list[str]):
-    """ST6: events that cannot be applied (null key / null lsn / unknown op)
-    go to the dead-letter side, the rest proceed."""
-    bad_cond = (
-        F.col("lsn").isNull()
-        | ~F.col("op").isin(*VALID_OPS)
-        | F.lit(False)
-    )
+def malformed_condition(key: list[str]):
+    """ST6 predicate: events that cannot be applied (null key / null lsn /
+    unknown op)."""
+    bad_cond = F.col("lsn").isNull() | ~F.col("op").isin(*VALID_OPS)
     for k in key:
         bad_cond = bad_cond | F.col(k).isNull()
-    return events.filter(~bad_cond), events.filter(bad_cond)
+    return bad_cond
+
+
+def split_malformed(events: DataFrame, key: list[str]):
+    """ST6: dead-letter side vs applicable side."""
+    bad = malformed_condition(key)
+    return events.filter(~bad), events.filter(bad)
 
 
 def _evolve_if_needed(table: LakeTable, events: DataFrame) -> None:
@@ -141,20 +143,50 @@ def apply_batch(
             lineage.record(res, note="fenced-duplicate")
         return res
 
+    key = table.current().key
+    bexpr = table.bucket_expr()
+    bad = malformed_condition(key)
+
+    # --- single profiling pass over the raw batch: dirty buckets (the
+    # copy-on-write pruning set), malformed count, batch size, and the raw
+    # event-LSN range for lineage.  Malformed rows profile under bucket -1 so
+    # a null key can never poison the bucket hash.  This replaces what used
+    # to be three separate jobs (isEmpty / malformed.count / dirty-distinct).
+    prof = (
+        batch_df.groupBy(
+            F.when(bad, F.lit(-1)).otherwise(bexpr).alias("_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        )
+        .collect()
+    )
+
     # --- P8 empty-batch short-circuit.
-    if batch_df.isEmpty():
+    if not prof:
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         if lineage:
             lineage.record(res, note="no_changes")
         return res
 
-    key = table.current().key
+    good = [r for r in prof if r["_b"] >= 0]
+    res.rows_quarantined = sum(r["n"] for r in prof if r["_b"] < 0)
+    res.rows_in = sum(r["n"] for r in good)
+    res.lsn_min = min((r["lo"] for r in good), default=None)
+    res.lsn_max = max((r["hi"] for r in good), default=None)
+    dirty = [r["_b"] for r in good]
+    res.dirty_buckets = sorted(dirty)
 
-    events, malformed = split_malformed(batch_df, key)
-    if dead_letter is not None:
-        res.rows_quarantined = malformed.count()
-        if res.rows_quarantined:
-            dead_letter(malformed)
+    events = batch_df.filter(~bad)
+    if res.rows_quarantined and dead_letter is not None:
+        dead_letter(batch_df.filter(bad))
+    if not dirty:
+        res.wall_ms = int((time.monotonic() - t0) * 1000)
+        if lineage:
+            lineage.record(res, note="all_quarantined")
+        return res
 
     # --- in-flight evolution before any column alignment.
     _evolve_if_needed(table, events)
@@ -164,27 +196,6 @@ def apply_batch(
 
     if transform is not None:
         events = transform(events)
-
-    if collect_stats:
-        # One pass: batch size + raw event-LSN range (the lineage contract is
-        # the *applied event range*, not the post-dedup winners' range).
-        srow = events.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-        ).first()
-        res.rows_in = srow["n"]
-        res.lsn_min, res.lsn_max = srow["lo"], srow["hi"]
-
-    # --- W2 within-batch LWW.
-    deduped = dedup_events(events, key)
-
-    # --- dirty-bucket pruning: only buckets containing batch keys are read
-    # and rewritten (J3 as copy-on-write; O(batch), not O(table)).
-    bexpr = table.bucket_expr(snap)
-    deduped = deduped.withColumn(BUCKET_COL, bexpr)
-    dirty = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
-    res.dirty_buckets = sorted(dirty)
 
     existing = table.read(buckets=dirty)
 
@@ -199,8 +210,8 @@ def apply_batch(
         .alias("op"),
         F.lit(_SRC_EXISTING).alias("_src"),
     )
-    ev_cols = set(deduped.columns)
-    ev_side = deduped.select(
+    ev_cols = set(events.columns)
+    ev_side = events.select(
         *[
             (F.col(c) if c in ev_cols else F.lit(None).cast(d.dataType)).alias(c)
             for c, d in zip(payload_cols, [snap.schema[c] for c in payload_cols])
@@ -210,11 +221,19 @@ def apply_batch(
         F.lit(_SRC_EVENT).alias("_src"),
     )
     combined = ex_side.unionByName(ev_side)
-    w = Window.partitionBy(*key).orderBy(F.col("lsn").desc(), F.col("_src").desc())
+    # W2 + cross-batch LWW in ONE hash aggregation: max_by over (lsn, _src)
+    # picks the newest version per key — within-batch duplicates, the stored
+    # row, and tombstones all compete in the same comparator.  A hash agg
+    # partial-aggregates map-side (duplicates collapse before the shuffle)
+    # and needs no sort — strictly cheaper than the equivalent row_number
+    # window at any scale.
+    row_struct = F.struct(
+        *[F.col(c) for c in payload_cols], F.col("lsn"), F.col("op"), F.col("_src")
+    )
     winners = (
-        combined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        combined.groupBy(*[F.col(k) for k in key])
+        .agg(F.max_by(row_struct, F.struct(F.col("lsn"), F.col("_src"))).alias("_w"))
+        .select("_w.*")
     )
 
     is_del = F.col("op") == "D"
