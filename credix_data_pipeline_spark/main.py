@@ -1,0 +1,185 @@
+"""CLI entry point — the engine's ``spark-submit`` surface (SURVEY §2.10).
+
+The reference exposes per-table Dagster jobs (`cnpj_data_pipeline`,
+`installments_data_pipeline`, `full_data_pipeline`, `monitoring_job` —
+credix_pipeline/credix_pipeline/jobs/data_pipeline_jobs.py:4-28).  The engine
+exposes the same surface as subcommands runnable via::
+
+    spark-submit --py-files engine.zip -m credix_data_pipeline_spark.main ...
+    # or locally:
+    python -m credix_data_pipeline_spark.main <cmd> ...
+
+Subcommands:
+
+* ``generate``  — write a deterministic synthetic change feed
+* ``replay``    — replay a feed to exhaustion into a lakehouse table
+                  (availableNow semantics, resumable from checkpoint)
+* ``stream``    — genuine Structured Streaming mode (foreachBatch MERGE)
+* ``metrics``   — print the lineage/throughput sidecar (monitoring_job analogue)
+* ``gold``      — run the per-conversation gold summary over the table
+* ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from credix_data_pipeline_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"credix-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_generate(args) -> int:
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+
+    spark = _spark(args)
+    spec = FeedSpec(
+        n_events=args.events,
+        n_conversations=args.conversations,
+        turns_per_conversation=args.turns,
+        delete_pct=args.delete_pct,
+        duplicate_pct=args.duplicate_pct,
+        hot_pct=args.hot_pct,
+        events_per_chunk=args.events_per_chunk,
+    )
+    manifest = write_feed(spark, args.feed, spec)
+    print(json.dumps({"feed": args.feed, "chunks": len(manifest["chunks"])}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from credix_data_pipeline_spark.functions.normalize import with_normalized_text
+    from credix_data_pipeline_spark.streaming import runner
+
+    spark = _spark(args)
+    stats = runner.replay(
+        spark,
+        args.feed,
+        args.table,
+        chunks_per_batch=args.chunks_per_batch,
+        num_buckets=args.buckets,
+        transform=with_normalized_text if not args.no_normalize else None,
+        collect_stats=not args.fast,
+    )
+    print(
+        json.dumps(
+            {
+                "batches": stats.batches,
+                "rows_in": stats.rows_in,
+                "rows_applied": stats.rows_applied,
+                "wall_ms": stats.wall_ms,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from credix_data_pipeline_spark.functions.normalize import with_normalized_text
+    from credix_data_pipeline_spark.streaming import runner
+
+    spark = _spark(args)
+    q = runner.stream(
+        spark,
+        args.feed,
+        args.table,
+        num_buckets=args.buckets,
+        transform=with_normalized_text if not args.no_normalize else None,
+        available_now=not args.continuous,
+        processing_time=args.trigger,
+        collect_stats=not args.fast,
+    )
+    q.awaitTermination()
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from credix_data_pipeline_spark.streaming.lineage import LineageLog
+
+    spark = _spark(args)
+    df = LineageLog(args.table).read(spark)
+    df.orderBy("batch_id").show(n=args.limit, truncate=False)
+    return 0
+
+
+def cmd_gold(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    from credix_data_pipeline_spark.plans.gold import conversation_summary
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    conversation_summary(read_clean(table)).orderBy("conv_id").show(
+        n=args.limit, truncate=False
+    )
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    snap = LakeTable.load(spark, args.table).compact()
+    print(json.dumps({"snapshot_id": snap.snapshot_id, "version": snap.version}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="credix_data_pipeline_spark")
+    p.add_argument("--master", default=None, help="spark master (default: env)")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic change feed")
+    g.add_argument("--feed", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--conversations", type=int, default=1_000)
+    g.add_argument("--turns", type=int, default=10)
+    g.add_argument("--delete-pct", type=int, default=5)
+    g.add_argument("--duplicate-pct", type=int, default=3)
+    g.add_argument("--hot-pct", type=int, default=5)
+    g.add_argument("--events-per-chunk", type=int, default=10_000)
+    g.set_defaults(fn=cmd_generate)
+
+    for name, fn in (("replay", cmd_replay), ("stream", cmd_stream)):
+        r = sub.add_parser(name)
+        r.add_argument("--feed", required=True)
+        r.add_argument("--table", required=True)
+        r.add_argument("--buckets", type=int, default=32)
+        r.add_argument("--no-normalize", action="store_true")
+        r.add_argument("--fast", action="store_true",
+                       help="skip per-batch stats collection")
+        if name == "replay":
+            r.add_argument("--chunks-per-batch", type=int, default=4)
+        else:
+            r.add_argument("--continuous", action="store_true")
+            r.add_argument("--trigger", default="10 seconds")
+        r.set_defaults(fn=fn)
+
+    for name, fn in (("metrics", cmd_metrics), ("gold", cmd_gold)):
+        m = sub.add_parser(name)
+        m.add_argument("--table", required=True)
+        m.add_argument("--limit", type=int, default=50)
+        m.set_defaults(fn=fn)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.set_defaults(fn=cmd_compact)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,13 @@ def get_spark(
         # File-source listing parallelism for the change-feed directory scan.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # Direct task-commit (v2): our lakehouse writes into immutable
+        # uuid-named commit dirs that only become visible via the manifest
+        # swap, so v2's weaker job-abort guarantees are safe here and the
+        # serial driver-side rename pass of v1 disappears from every batch.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
