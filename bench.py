@@ -50,13 +50,13 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
 
     spec = FeedSpec(
         n_events=n_events,
-        n_conversations=max(100, n_events // 200),
+        n_conversations=max(100, n_events // 10),  # insert-heavy: table ~ events
         turns_per_conversation=10,
         delete_pct=5,
         duplicate_pct=3,
         hot_pct=5,
         shuffle_window=64,
-        events_per_chunk=max(5_000, n_events // 16),
+        events_per_chunk=max(5_000, n_events // 32),
     )
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     feed = os.path.join(work, "feed")
@@ -68,7 +68,7 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
             spark,
             feed,
             table,
-            chunks_per_batch=4,
+            chunks_per_batch=8,
             num_buckets=32,
             transform=with_normalized_text,
             collect_stats=False,
@@ -97,6 +97,12 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf={
+            # wide stages even over the small-file sandbox inputs
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "512k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
@@ -118,6 +124,19 @@ def main() -> None:
         "cpus": cpus,
         **cdc,
     }
+    # Attach the north-rule scaling evidence if bench_scaling.py has run
+    # (see BENCH/BASELINE.md for methodology).
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_efficiency_n_to_4n"] = s.get("efficiency_n_to_4n")
+        out["scaling_passes_north_rule"] = s.get("passes_north_rule")
+        out["scaling_events_per_sec_by_level"] = {
+            k: v["events_per_sec"] for k, v in s.get("levels", {}).items()
+        }
     print(json.dumps(out))
 
 

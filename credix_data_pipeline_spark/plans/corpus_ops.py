@@ -375,6 +375,14 @@ def _cosine(a, b):
     return F.round(_dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b)), 4)
 
 
+def _cosine_pre(a, b, a2, b2):
+    """Cosine with per-vector squared norms precomputed once per side (the
+    pairwise plan would otherwise fold dot(a,a)/dot(b,b) per PAIR — O(n²·d)
+    wasted).  Same expression tree as :func:`_cosine` — sqrt(na2*nb2) — so
+    results stay bit-identical to the oracle."""
+    return F.round(_dot(a, b) / F.sqrt(a2 * b2), 4)
+
+
 def _sql_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
@@ -390,13 +398,22 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+def _sql_cosine_pre(a: str, b: str, a2: str, b2: str) -> str:
+    return f"ROUND({_sql_dot(a, b)} / SQRT({a2} * {b2}), 4)"
+
+
 def _emb(spark, sf_dir) -> DataFrame:
-    return t(spark, sf_dir, "embeddings").withColumn(
+    e = t(spark, sf_dir, "embeddings").withColumn(
         "emb", F.col("embedding").cast("array<double>")
     )
+    return e.withColumn("n2", _dot(F.col("emb"), F.col("emb")))
 
 
-_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+_SQL_EMB = (
+    "SELECT vec_id, emb, "
+    + _sql_dot("emb", "emb")
+    + " AS n2 FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -405,13 +422,22 @@ _SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
 def q_ann_cosine_topk(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < ANN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("n2").alias("qn2"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.col("n2").alias("nn2"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("qe"), F.col("ne")))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -427,7 +453,7 @@ SQL_ANN_COSINE_TOPK = f"""
 WITH e AS ({_SQL_EMB}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_sql_cosine("q.emb", "c.emb")} AS cosine
+         {_sql_cosine_pre("q.emb", "c.emb", "q.n2", "c.n2")} AS cosine
   FROM e q CROSS JOIN e c
   WHERE q.vec_id < {ANN_QUERIES} AND q.vec_id <> c.vec_id
 )
@@ -459,17 +485,22 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     a = e.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
+        F.col("n2").alias("qn2"),
         "bucket",
     )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("ne"),
+        F.col("n2").alias("nn2"),
         F.col("bucket").alias("nbucket"),
     )
     scored = (
         a.join(b, (F.col("bucket") == F.col("nbucket")))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("qe"), F.col("ne")))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -494,13 +525,13 @@ def _sql_bucket(col: str) -> str:
 
 SQL_ANN_LSH_BUCKETED = f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         {_sql_bucket("embedding::DOUBLE[]")} AS bucket
-  FROM embeddings
+  SELECT vec_id, emb, {_sql_dot("emb", "emb")} AS n2,
+         {_sql_bucket("emb")} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 ),
 scored AS (
   SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
-         {_sql_cosine("a.emb", "b.emb")} AS cosine
+         {_sql_cosine_pre("a.emb", "b.emb", "a.n2", "b.n2")} AS cosine
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 )
 SELECT query_id, bucket, neighbor_id, cosine FROM (
@@ -516,24 +547,37 @@ SELECT query_id, bucket, neighbor_id, cosine FROM (
 # ---------------------------------------------------------------------------
 def q_embedding_near_dup(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", _cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2")),
+        )
         .filter(F.col("cosine") >= COSINE_NEAR_DUP)
         .select("vec_a", "vec_b", "cosine")
     )
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH e AS ({_SQL_EMB})
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_sql_cosine("a.emb", "b.emb")} AS cosine
-FROM e a CROSS JOIN e b
-WHERE a.vec_id < b.vec_id
-  AND {_sql_cosine("a.emb", "b.emb")} >= {COSINE_NEAR_DUP}
+WITH e AS ({_SQL_EMB}),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_sql_cosine_pre("a.emb", "b.emb", "a.n2", "b.n2")} AS cosine
+  FROM e a CROSS JOIN e b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COSINE_NEAR_DUP}
 """
 
 
