@@ -533,6 +533,90 @@ FROM agg a LEFT JOIN dl ON a.user_id = dl.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Engine extras (beyond the reference, SURVEY §2.8 "Not present" rows):
+# tumbling-window rollup + gap-based sessionization — the two batch shapes a
+# streaming analytics consumer of the CDC target needs.  F.window() is the
+# same operator Structured Streaming uses with withWatermark; the oracle
+# mirrors via date_trunc (aligned 1h tumble ⇒ window.start == trunc).
+# ---------------------------------------------------------------------------
+def q_tumbling_hourly_rollup(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+SQL_TUMBLING_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_session_gap_analysis(spark, sf_dir):
+    """Sessionization: a 30-min inactivity gap starts a new session (the
+    batch analogue of a session window; lag + running-sum windows)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+
+
+SQL_SESSION_GAP_ANALYSIS = """
+WITH g AS (
+  -- FLOOR(epoch(..)) mirrors Spark's unix_timestamp (whole-second floor)
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+         - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_no
+"""
+
+
 QUERIES = {
     "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -545,4 +629,6 @@ QUERIES = {
     "incremental_highwater": (q_incremental_highwater, SQL_INCREMENTAL_HIGHWATER),
     "union_evolved": (q_union_evolved, SQL_UNION_EVOLVED),
     "scalar_battery": (q_scalar_battery, SQL_SCALAR_BATTERY),
+    "tumbling_hourly_rollup": (q_tumbling_hourly_rollup, SQL_TUMBLING_HOURLY_ROLLUP),
+    "session_gap_analysis": (q_session_gap_analysis, SQL_SESSION_GAP_ANALYSIS),
 }
