@@ -40,7 +40,13 @@ WORDS = [
 ROLES = ["user", "assistant", "system", "tool"]
 TOOLS = ["search", "calculator", "browser", "python"]
 
-MOD = 1_000_003  # prime modulus for the portable hash
+# Prime modulus for the portable hash (Mersenne M31).  Must exceed the
+# largest key space a bench run asks for — a smaller modulus silently caps
+# distinct (conv, turn) keys at MOD and turns an insert-heavy feed into an
+# update-heavy one.  (e + c) * MULT stays under 2^63 for n_events up to
+# ~3.4e9, which bounds in-sandbox runs; beyond that the Spark LongType and
+# Python int results would diverge on overflow.
+MOD = 2_147_483_647
 MULT = 2_654_435_761  # Knuth multiplicative constant
 
 BASE_EPOCH_S = 1_700_000_000  # 2023-11-14T22:13:20Z; fixed feed epoch
