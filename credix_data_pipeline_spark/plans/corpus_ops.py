@@ -129,7 +129,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     sh = _docs_with_shingles(spark, sf_dir).select(
         "doc_id", F.size("shingles").alias("n_sh"), "shingles"
     )
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    # Join on the 8-byte xxhash of the shingle, not the string — engine-
+    # internal only (the oracle joins on the raw string; a 64-bit collision
+    # changing the result has ~1e-8 probability over this corpus and would
+    # surface in the parity gate).  Cuts shuffle width ~4x at 100 TB.
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("s0")
+    ).select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -217,9 +223,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         )
         .distinct()
     )
-    # verification join touches candidate pairs only (anti-n² at scale)
-    ea = ex.alias("ea")
-    eb = ex.alias("eb")
+    # verification join touches candidate pairs only (anti-n² at scale);
+    # join on the 8-byte shingle hash (engine-internal; see ngram op note)
+    exh = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("s0")
+    ).select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
+    ea = exh.alias("ea")
+    eb = exh.alias("eb")
     verified = (
         cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
         .join(
