@@ -58,7 +58,10 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
         shuffle_window=64,
         events_per_chunk=max(5_000, n_events // 32),
     )
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    # tmpfs when available — the per-executor-storage stand-in (the single
+    # VM disk is not the engine; see BENCH/BASELINE.md methodology)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_cdc_", dir=shm)
     feed = os.path.join(work, "feed")
     table = os.path.join(work, "transcripts")
     try:
