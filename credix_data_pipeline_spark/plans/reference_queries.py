@@ -534,6 +534,44 @@ FROM agg a LEFT JOIN dl ON a.user_id = dl.user_id
 
 
 # ---------------------------------------------------------------------------
+# P7 — data-quality gate (cnpj_ws_clean.sql:14-43, contract in
+# silver/schema.yml:54-55): CASE-classify rows into INVALID_* reasons, keep
+# only VALID; emit the reason so rejects are auditable (order-sensitive
+# ladder — first failing rule wins, as in the reference).
+# ---------------------------------------------------------------------------
+def q_dq_gate(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    reason = (
+        F.when(F.col("c_acctbal").isNull() | (F.col("c_acctbal") < -999.99),
+               F.lit("INVALID_BALANCE"))
+        .when(F.length(F.trim(F.col("c_name"))) < 5, F.lit("INVALID_NAME"))
+        .when(F.col("c_mktsegment").isNull()
+              | (F.length(F.col("c_mktsegment")) == 0),
+              F.lit("MISSING_SEGMENT"))
+        .when(~F.col("c_nationkey").between(0, 24), F.lit("INVALID_NATION"))
+        .otherwise(F.lit("VALID"))
+    )
+    return (
+        c.withColumn("dq_status", reason)
+        .filter(F.col("dq_status") == "VALID")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "dq_status")
+    )
+
+
+SQL_DQ_GATE = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, dq_status FROM (
+  SELECT *,
+         CASE WHEN c_acctbal IS NULL OR c_acctbal < -999.99 THEN 'INVALID_BALANCE'
+              WHEN LENGTH(TRIM(c_name)) < 5 THEN 'INVALID_NAME'
+              WHEN c_mktsegment IS NULL OR LENGTH(c_mktsegment) = 0 THEN 'MISSING_SEGMENT'
+              WHEN c_nationkey NOT BETWEEN 0 AND 24 THEN 'INVALID_NATION'
+              ELSE 'VALID' END AS dq_status
+  FROM customer
+) WHERE dq_status = 'VALID'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Engine extras (beyond the reference, SURVEY §2.8 "Not present" rows):
 # tumbling-window rollup + gap-based sessionization — the two batch shapes a
 # streaming analytics consumer of the CDC target needs.  F.window() is the
@@ -629,6 +667,7 @@ QUERIES = {
     "incremental_highwater": (q_incremental_highwater, SQL_INCREMENTAL_HIGHWATER),
     "union_evolved": (q_union_evolved, SQL_UNION_EVOLVED),
     "scalar_battery": (q_scalar_battery, SQL_SCALAR_BATTERY),
+    "dq_gate": (q_dq_gate, SQL_DQ_GATE),
     "tumbling_hourly_rollup": (q_tumbling_hourly_rollup, SQL_TUMBLING_HOURLY_ROLLUP),
     "session_gap_analysis": (q_session_gap_analysis, SQL_SESSION_GAP_ANALYSIS),
 }
