@@ -36,6 +36,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 # ---------------------------------------------------------------------------
 NGRAM_N = 3                     # shingle width (tokens)
 JACCARD_THRESHOLD = 0.8         # near-dup confirm threshold
+# Candidate-generation guard: shingles occurring in more than this fraction
+# of documents are excluded from candidate PAIRING (verification still uses
+# full shingle sets, so Jaccard values are exact).  Standard anti-blowup
+# heuristic — near-dup pairs share many shingles, so losing the ultra-common
+# ones from candidate generation almost never loses the pair, while the
+# join volume stops scaling with (docs-per-common-shingle)².
+MAX_SHINGLE_DOC_FRAC = 0.05
+MIN_SHINGLE_DOC_CAP = 10        # floor so tiny corpora never filter
 MINHASH_SEEDS = [f"s{i}|" for i in range(9)]   # 9 hashes = 3 bands x 3 rows
 MINHASH_BAND_ROWS = 3
 COSINE_NEAR_DUP = 0.4           # embedding near-dup threshold (data max ~0.48)
@@ -136,24 +144,51 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     ex = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("s0")
     ).select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+
+    # Phase 1 — candidate pairs share >=1 RARE shingle (frequency cap).
+    cap = max(MIN_SHINGLE_DOC_CAP, int(MAX_SHINGLE_DOC_FRAC * sh.count()))
+    rare = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("s")
+    )
+    exr = ex.join(rare, "s")
+    ra = exr.alias("ra")
+    rb = exr.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.s") == F.col("rb.s"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
         )
+        .select(
+            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Phase 2 — exact Jaccard over FULL shingle sets, candidates only.
+    ea = ex.alias("ea")
+    eb = ex.alias("eb")
+    verified = (
+        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
+        .join(
+            eb,
+            (F.col("eb.doc_id") == F.col("doc_b"))
+            & (F.col("eb.s") == F.col("ea.s")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("shared"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
+            F.first("ea.n_sh").alias("na"),
+            F.first("eb.n_sh").alias("nb"),
         )
     )
     jacc = F.round(
         F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
     )
     return (
-        pairs.withColumn("jaccard", jacc)
+        verified.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
@@ -161,14 +196,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+rare AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING COUNT(*) <= GREATEST({MIN_SHINGLE_DOC_CAP},
+                              CAST(FLOOR({MAX_SHINGLE_DOC_FRAC} * (SELECT COUNT(*) FROM sh)) AS BIGINT))
+),
+exr AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, COUNT(*) AS shared,
        ROUND(COUNT(*) * 1.0 /
-             (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)), 4) AS jaccard
-FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+             (ANY_VALUE(ea.n_sh) + ANY_VALUE(eb.n_sh) - COUNT(*)), 4) AS jaccard
+FROM cand c
+JOIN ex ea ON ea.doc_id = c.doc_a
+JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+GROUP BY c.doc_a, c.doc_b
 HAVING ROUND(COUNT(*) * 1.0 /
-             (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)), 4)
+             (ANY_VALUE(ea.n_sh) + ANY_VALUE(eb.n_sh) - COUNT(*)), 4)
        >= {JACCARD_THRESHOLD}
 """
 
