@@ -139,6 +139,16 @@ WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 # (company_payment_summary.sql:33-196): group-agg with conditional aggregates
 # on a coalesced key, guarded ratios, clamped weighted score, tier CASE,
 # broadcast LEFT JOIN dim×agg
+#
+# Parity note (VERDICT r1 root-cause): ratios / avg / score are rounded in
+# EXACT INTEGER ARITHMETIC — HALF_UP to 4 dp as ``(2·num·10⁴ + den) div
+# (2·den)``, all BIGINT — so no value can ever land on a .00005 double tie
+# where Spark (HALF_UP on BigDecimal) and DuckDB (double rounding) diverge.
+# ``div`` (Spark) and ``//`` (DuckDB) are both truncating integer division;
+# operands are kept non-negative (abs + explicit sign) so they agree exactly.
+# The risk_tier CASE runs BEFORE the left join (pre-join ``s`` CTE), matching
+# the reference CTE order (company_payment_summary.sql:110-196): customers
+# with no orders get NO_DATA, not a NULL-score SEVERE.
 # ---------------------------------------------------------------------------
 def q_gold_customer_summary(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
@@ -158,36 +168,64 @@ def q_gold_customer_summary(spark, sf_dir):
         F.round(F.sum(F.when(open_, F.col("o_totalprice")).otherwise(0)), 4).alias(
             "open_amount"
         ),
-        F.round(F.avg(F.when(paid, days)), 4).alias("avg_days_paid"),
+        F.sum(F.when(paid, days)).alias("sum_days_paid"),
         F.min(F.when(paid, days)).alias("min_days_paid"),
         F.max(F.when(paid, days)).alias("max_days_paid"),
         F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
     )
 
-    ratio = lambda num, den: F.round(  # noqa: E731  (guarded ratio F13)
-        F.when(den > 0, num * 100.0 / den).otherwise(0.0), 4
-    )
-    m = agg.withColumn("paid_rate", ratio(F.col("paid_orders"), F.col("total_orders")))
-    m = m.withColumn("open_rate", ratio(F.col("open_orders"), F.col("total_orders")))
-    # F12: clamped weighted score
-    score = F.greatest(
-        F.lit(0.0),
-        F.least(
-            F.lit(100.0),
-            F.round(
-                0.4 * F.col("paid_rate")
-                + 0.3 * (100.0 - F.col("open_rate"))
-                + F.when(F.coalesce(F.col("avg_days_paid"), F.lit(0.0)) <= 365, 30.0)
-                .when(F.col("avg_days_paid") <= 730, 15.0)
-                .otherwise(0.0),
-                4,
+    # F13 guarded ratios, integer basis ×10⁴ (pr_i/or_i are the exact
+    # HALF_UP-rounded rates ×10⁴; the doubles derive from them exactly)
+    m = (
+        agg.withColumn(
+            "pr_i",
+            F.expr(
+                "CASE WHEN total_orders > 0 THEN (paid_orders*2000000 +"
+                " total_orders) div (2*total_orders) ELSE 0 END"
             ),
+        )
+        .withColumn(
+            "or_i",
+            F.expr(
+                "CASE WHEN total_orders > 0 THEN (open_orders*2000000 +"
+                " total_orders) div (2*total_orders) ELSE 0 END"
+            ),
+        )
+        # `10000.0D`: double literal — a bare 10000.0 parses as DECIMAL in
+        # Spark SQL and would flip these columns to decimal (oracle: DOUBLE)
+        .withColumn("paid_rate", F.expr("pr_i / 10000.0D"))
+        .withColumn("open_rate", F.expr("or_i / 10000.0D"))
+        .withColumn(
+            "avg_days_paid",
+            F.expr(
+                "CASE WHEN paid_orders > 0 THEN"
+                " (CASE WHEN sum_days_paid < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(sum_days_paid)*20000 + paid_orders)"
+                "    div (2*paid_orders)) / 10000.0D END"
+            ),
+        )
+    )
+    # F12: clamped weighted score — 0.4·paid_rate + 0.3·(100−open_rate) +
+    # bonus, evaluated exactly as (4·pr_i + 3·(10⁶−or_i) + bonus·10⁵)/10⁵
+    # then HALF_UP-rounded to 4 dp in integer space: (num+5) div 10.
+    m = m.withColumn(
+        "bonus_i",
+        F.expr(
+            "CASE WHEN COALESCE(avg_days_paid, 0.0) <= 365 THEN 30"
+            " WHEN avg_days_paid <= 730 THEN 15 ELSE 0 END"
         ),
     )
-    m = m.withColumn("risk_score", score)
-    # F11: banded CASE ladder (order-sensitive)
-    m = m.withColumn(
+    s = m.withColumn(
+        "risk_score",
+        F.expr(
+            "GREATEST(0.0D, LEAST(100.0D,"
+            " ((4*pr_i + 3*(1000000 - or_i) + bonus_i*100000 + 5) div 10)"
+            " / 10000.0D))"
+        ),
+    )
+    # F11: banded CASE ladder — PRE-JOIN, like the reference's s CTE
+    s = s.withColumn(
         "risk_tier",
         F.when(F.col("risk_score") >= 80, "LOW")
         .when(F.col("risk_score") >= 60, "MEDIUM")
@@ -196,7 +234,7 @@ def q_gold_customer_summary(spark, sf_dir):
     )
     # J1: broadcast LEFT JOIN dim × agg
     return (
-        c.join(F.broadcast(m), c.c_custkey == m.custkey, "left")
+        c.join(F.broadcast(s), c.c_custkey == s.custkey, "left")
         .select(
             "c_custkey",
             "c_name",
@@ -229,8 +267,8 @@ WITH agg AS (
          COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
          ROUND(SUM(o_totalprice), 4) AS total_amount,
          ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS open_amount,
-         ROUND(AVG(CASE WHEN o_orderstatus = 'F'
-                   THEN DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') END), 4) AS avg_days_paid,
+         SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') END) AS sum_days_paid,
          MIN(CASE WHEN o_orderstatus = 'F'
                   THEN DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') END) AS min_days_paid,
          MAX(CASE WHEN o_orderstatus = 'F'
@@ -239,34 +277,49 @@ WITH agg AS (
          MAX(CAST(o_orderdate AS DATE)) AS last_order_date
   FROM orders GROUP BY o_custkey
 ), m AS (
+  -- exact integer HALF_UP rounding: (2*num*10^4 + den) // (2*den); `//` and
+  -- Spark `div` are both truncating and operands are non-negative
   SELECT *,
-         ROUND(CASE WHEN total_orders > 0 THEN paid_orders * 100.0 / total_orders ELSE 0.0 END, 4) AS paid_rate,
-         ROUND(CASE WHEN total_orders > 0 THEN open_orders * 100.0 / total_orders ELSE 0.0 END, 4) AS open_rate
+         CASE WHEN total_orders > 0 THEN (paid_orders*2000000 + total_orders)
+              // (2*total_orders) ELSE 0 END AS pr_i,
+         CASE WHEN total_orders > 0 THEN (open_orders*2000000 + total_orders)
+              // (2*total_orders) ELSE 0 END AS or_i,
+         CASE WHEN paid_orders > 0 THEN
+              (CASE WHEN sum_days_paid < 0 THEN -1 ELSE 1 END)
+              * ((ABS(sum_days_paid)*20000 + paid_orders) // (2*paid_orders))
+              / 10000.0 END AS avg_days_paid
   FROM agg
 ), s AS (
   SELECT *,
-         GREATEST(0.0, LEAST(100.0, ROUND(
-             0.4 * paid_rate + 0.3 * (100.0 - open_rate) +
-             CASE WHEN COALESCE(avg_days_paid, 0.0) <= 365 THEN 30.0
-                  WHEN avg_days_paid <= 730 THEN 15.0
-                  ELSE 0.0 END, 4))) AS risk_score
+         pr_i / 10000.0 AS paid_rate,
+         or_i / 10000.0 AS open_rate,
+         GREATEST(0.0, LEAST(100.0,
+             ((4*pr_i + 3*(1000000 - or_i)
+               + (CASE WHEN COALESCE(avg_days_paid, 0.0) <= 365 THEN 30
+                       WHEN avg_days_paid <= 730 THEN 15 ELSE 0 END)*100000
+               + 5) // 10) / 10000.0)) AS risk_score
   FROM m
+), st AS (
+  -- tier CASE pre-join, as in the reference's s CTE
+  SELECT *,
+         CASE WHEN risk_score >= 80 THEN 'LOW'
+              WHEN risk_score >= 60 THEN 'MEDIUM'
+              WHEN risk_score >= 40 THEN 'HIGH'
+              ELSE 'SEVERE' END AS risk_tier
+  FROM s
 )
 SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-       COALESCE(s.total_orders, 0) AS total_orders,
-       COALESCE(s.paid_orders, 0) AS paid_orders,
-       COALESCE(s.open_orders, 0) AS open_orders,
-       COALESCE(s.pending_orders, 0) AS pending_orders,
-       COALESCE(s.total_amount, 0.0) AS total_amount,
-       COALESCE(s.open_amount, 0.0) AS open_amount,
-       s.avg_days_paid, s.min_days_paid, s.max_days_paid,
-       s.first_order_date, s.last_order_date, s.paid_rate, s.open_rate,
-       COALESCE(s.risk_score, 0.0) AS risk_score,
-       COALESCE(CASE WHEN s.risk_score >= 80 THEN 'LOW'
-                     WHEN s.risk_score >= 60 THEN 'MEDIUM'
-                     WHEN s.risk_score >= 40 THEN 'HIGH'
-                     ELSE 'SEVERE' END, 'NO_DATA') AS risk_tier
-FROM customer c LEFT JOIN s ON c.c_custkey = s.custkey
+       COALESCE(st.total_orders, 0) AS total_orders,
+       COALESCE(st.paid_orders, 0) AS paid_orders,
+       COALESCE(st.open_orders, 0) AS open_orders,
+       COALESCE(st.pending_orders, 0) AS pending_orders,
+       COALESCE(st.total_amount, 0.0) AS total_amount,
+       COALESCE(st.open_amount, 0.0) AS open_amount,
+       st.avg_days_paid, st.min_days_paid, st.max_days_paid,
+       st.first_order_date, st.last_order_date, st.paid_rate, st.open_rate,
+       COALESCE(st.risk_score, 0.0) AS risk_score,
+       COALESCE(st.risk_tier, 'NO_DATA') AS risk_tier
+FROM customer c LEFT JOIN st ON c.c_custkey = st.custkey
 """
 
 
@@ -642,8 +695,9 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_no
+  -- CAST: DuckDB window SUM over INTEGER yields HUGEINT; Spark emits BIGINT
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM g
 )
 SELECT user_id, session_no,

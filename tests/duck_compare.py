@@ -63,6 +63,53 @@ def duck_rows(con, sql: str):
     )
 
 
+def _norm_strict(v):
+    """Exact-representation normalization — no rounding, no tolerance.  The
+    local stand-in for the driver's value hash, which is exact: two doubles
+    differing in the last ulp (or an int vs a string) must FAIL here."""
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(str(_norm_strict(x)) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def compare_strict(df, con, sql: str, name: str = "?") -> list[str]:
+    """Driver-gate replica at full strictness: column set, row count, and
+    EXACT per-value equality (column-sorted, row-sorted)."""
+    rel = con.sql(sql)
+    dcols = list(rel.columns)
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = sorted(
+        tuple(str(_norm_strict(r[i])) for i in order) for r in rel.fetchall()
+    )
+    scols = sorted(df.columns)
+    srows = sorted(
+        tuple(str(_norm_strict(r[c])) for c in scols) for r in df.collect()
+    )
+    problems = []
+    if scols != sorted(dcols):
+        problems.append(
+            f"{name}: column mismatch spark={scols} duck={sorted(dcols)}"
+        )
+        return problems
+    if len(srows) != len(drows):
+        problems.append(f"{name}: rowcount spark={len(srows)} duck={len(drows)}")
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        if a != b:
+            problems.append(
+                f"{name}: first exact row diff at {i}:\n  spark={a}\n  duck ={b}"
+            )
+            break
+    return problems
+
+
 def compare(df, con, sql: str, name: str = "?") -> list[str]:
     """Returns a list of problems (empty = match)."""
     scols, srows = spark_rows(df)
