@@ -15,10 +15,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from credix_data_pipeline_spark.plans.cdc_replay import CDC_QUERIES
 from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
 from credix_data_pipeline_spark.plans.reference_queries import QUERIES
 
-ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES}
+ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES, **CDC_QUERIES}
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -30,12 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, SF0001)
 
 
-def _cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end engine demo: deterministic feed → streaming replay with
-    normalization, dedup, tombstones, fencing → gold conversation summary of
-    the final lakehouse state.  Non-SQL-expressible (stateful streaming) —
-    rows-only check; full value correctness is pinned by tests/ against the
-    pure-Python LWW oracle."""
+def _cdc_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-feed engine demo: deterministic feed → streaming replay
+    with pandas-UDF text normalization, dedup, tombstones, fencing → gold
+    conversation summary of the final lakehouse state.  The feed is engine-
+    generated (not a driver table) so this entry is rows-only; the oracle-
+    checked replay is ``cdc_replay_e2e`` (plans/cdc_replay.py), and value
+    correctness here is pinned by tests/ against the pure-Python LWW
+    oracle."""
     from credix_data_pipeline_spark.functions.normalize import with_normalized_text
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.apply import read_clean
@@ -53,7 +56,7 @@ def _cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_per_chunk=1_000,
         evolution_frac=0.5,
     )
-    work = os.path.join(tempfile.gettempdir(), "cdc_replay_e2e")
+    work = os.path.join(tempfile.gettempdir(), "cdc_transcripts_e2e")
     shutil.rmtree(work, ignore_errors=True)
     feed, table = os.path.join(work, "feed"), os.path.join(work, "transcripts")
     write_feed(spark, feed, spec)
@@ -71,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in ALL_QUERIES.items()
     }
-    out["cdc_replay_e2e"] = _cdc_replay_e2e
+    out["cdc_transcripts_e2e"] = _cdc_transcripts_e2e
     return out
 
 
