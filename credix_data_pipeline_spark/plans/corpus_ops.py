@@ -47,6 +47,8 @@ MIN_SHINGLE_DOC_CAP = 10        # floor so tiny corpora never filter
 MINHASH_SEEDS = [f"s{i}|" for i in range(9)]   # 9 hashes = 3 bands x 3 rows
 MINHASH_BAND_ROWS = 3
 COSINE_NEAR_DUP = 0.4           # embedding near-dup threshold (data max ~0.48)
+NEAR_DUP_BANDS = 4              # banded sign-LSH: bands × bits (dims 1..32)
+NEAR_DUP_BAND_BITS = 8
 ANN_QUERIES = 100               # vec_id < N act as ANN query set
 ANN_K = 3
 LSH_SIGN_DIMS = 8               # sign-projection LSH bucket bits
@@ -355,26 +357,33 @@ _H16 = (
 )
 
 
-def q_dedup_simhash(spark, sf_dir):
+def _simhash_sigs(spark, sf_dir, bits: int = SIMHASH_BITS, hexpr: str = _H16) -> DataFrame:
+    """(doc_id, simhash): bit-majority SimHash over per-token hashes — one
+    explode + one hash aggregation, scales linearly in corpus size."""
     d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
     ex = d.select("doc_id", F.explode("toks").alias("tk")).withColumn(
-        "h", F.expr(_H16)
+        "h", F.expr(hexpr)
     )
+    # BIGINT, not INT: for a 32-bit hash, FLOOR(h / 2^0) exceeds int32
     bit_sums = [
         F.sum(
             F.when(
-                F.expr(f"CAST(FLOOR(h / {2 ** j}.0) AS INT) % 2") == 1, 1
+                F.expr(f"CAST(FLOOR(h / {2 ** j}.0) AS BIGINT) % 2") == 1, 1
             ).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
     sig_expr = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sig_expr = term if sig_expr is None else sig_expr + term
-    sigs = ex.groupBy("doc_id").agg(*bit_sums).select(
+    return ex.groupBy("doc_id").agg(*bit_sums).select(
         "doc_id", sig_expr.cast("long").alias("simhash")
     )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    sigs = _simhash_sigs(spark, sf_dir)
     w = Window.partitionBy("simhash")
     return sigs.select(
         "doc_id",
@@ -384,28 +393,31 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
-def _sql_simhash():
+def _sql_simhash_sigs(bits: int = SIMHASH_BITS, hexpr: str = _H16) -> str:
+    """The shared sigs CTE chain (ends with a ``sigs`` CTE)."""
     bit_sums = ",\n         ".join(
-        f"SUM(CASE WHEN CAST(FLOOR(h / {2 ** j}.0) AS INT) % 2 = 1"
+        f"SUM(CASE WHEN CAST(FLOOR(h / {2 ** j}.0) AS BIGINT) % 2 = 1"
         f" THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     sig = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
     )
-    return f"""
-WITH ex AS (
+    return f"""ex AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
 ), hx AS (
-  SELECT doc_id, {_H16} AS h FROM ex
+  SELECT doc_id, {hexpr} AS h FROM ex
 ), bits AS (
   SELECT doc_id,
          {bit_sums}
   FROM hx GROUP BY doc_id
 ), sigs AS (
   SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
-)
+)"""
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_sql_simhash_sigs()}
 SELECT doc_id, simhash,
        MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
        doc_id <> MIN(doc_id) OVER (PARTITION BY simhash) AS is_dup
@@ -413,7 +425,111 @@ FROM sigs
 """
 
 
-SQL_DEDUP_SIMHASH = _sql_simhash()
+# ---------------------------------------------------------------------------
+# dedup_simhash_hamming — TRUE SimHash near-dup: pairs within Hamming
+# distance ≤ HAMMING_K of a 32-bit signature (VERDICT r1 "Next round" #6;
+# q_dedup_simhash above only collapses *identical* 16-bit signatures).
+#
+# Scale shape (the Manku et al. WWW'07 simhash sharding scheme): the 32-bit
+# signature splits into 4 disjoint 8-bit blocks; by pigeonhole, any pair
+# with ≤3 differing bits matches EXACTLY in ≥1 block — the block equi-join
+# generates candidates with FULL recall at k=3 (no probabilistic loss), and
+# verification is one xor+popcount per candidate.  Candidate volume is
+# Σ_blocks n²/2^8-ish instead of n²/2 all-pairs, and at 10⁹ docs the join is
+# keyed on (block, value) — shuffle-prunable, no cartesian.  32 bits (not
+# the 16 of the exact-dup operator) keeps random-doc collisions rare enough
+# that Hamming ≤ 3 actually means near-duplicate.
+# ---------------------------------------------------------------------------
+HAMMING_K = 3
+HAMMING_SIG_BITS = 32
+SIMHASH_BLOCK_BITS = 8
+SIMHASH_BLOCKS = HAMMING_SIG_BITS // SIMHASH_BLOCK_BITS  # 4
+
+# 32-bit portable token hash: fold of the first 8 md5 hex digits.  BIGINT
+# casts keep every intermediate product inside int64 in both engines.
+_H32 = (
+    "("
+    + " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr(md5(tk), {i + 1}, 1))"
+        f" AS BIGINT) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+def q_dedup_simhash_hamming(spark, sf_dir):
+    sigs = _simhash_sigs(spark, sf_dir, bits=HAMMING_SIG_BITS, hexpr=_H32)
+    blocks = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.expr(
+                            f"shiftright(simhash, {i * SIMHASH_BLOCK_BITS})"
+                            f" & {2 ** SIMHASH_BLOCK_BITS - 1}"
+                        ).alias("val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.blk", "bv.val")
+    ba = blocks.alias("ba")
+    bb = blocks.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.blk") == F.col("bb.blk"))
+            & (F.col("ba.val") == F.col("bb.val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, F.col("ia") == F.col("doc_a"))
+        .join(sb, F.col("ib") == F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+        .filter(F.col("hamming") <= HAMMING_K)
+        .select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
+    )
+
+
+def _sql_simhash_hamming():
+    mask = 2 ** SIMHASH_BLOCK_BITS - 1
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS blk,"
+        f" (simhash >> {i * SIMHASH_BLOCK_BITS}) & {mask} AS val FROM sigs"
+        for i in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH {_sql_simhash_sigs(bits=HAMMING_SIG_BITS, hexpr=_H32)},
+blocks AS ({block_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, sa.simhash AS sig_a, sb.simhash AS sig_b,
+         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, sig_a, sig_b, hamming
+FROM scored WHERE hamming <= {HAMMING_K}
+"""
+
+
+SQL_DEDUP_SIMHASH_HAMMING = _sql_simhash_hamming()
 
 
 # ---------------------------------------------------------------------------
@@ -600,23 +716,75 @@ SELECT query_id, bucket, neighbor_id, cosine FROM (
 
 
 # ---------------------------------------------------------------------------
-# embedding_near_dup — cosine-threshold near-duplicate pairs
+# embedding_near_dup — cosine-threshold near-duplicate pairs via BANDED
+# sign-projection LSH (the anti-n² path, VERDICT r1 "What's wrong" #3).
+#
+# Candidate generation: each vector gets NEAR_DUP_BANDS bucket keys — the
+# sign bits of NEAR_DUP_BAND_BITS consecutive dimensions per band — and a
+# pair is a candidate iff it collides in ANY band (same pattern as the
+# MinHash banding in dedup_minhash_lsh).  Verification computes exact cosine
+# on candidates only.  At n vectors / 2^bits buckets per band the candidate
+# volume is ~bands·n²/2^bits (a 64× cut at 8 bits) and — crucially — it is a
+# co-partitioned equi-join on (band, bucket), so at 10⁹ vectors the shuffle
+# is keyed and prunable instead of a cartesian broadcast.
+#
+# Recall contract: sign-LSH collision per bit is 1−θ/π; with 4×8-bit bands
+# recall ≈ 75% at cosine 0.9 and ≈ 89% at 0.95 — tuned for true near-dups.
+# The oracle mirrors the banding exactly, so the driver gate checks the
+# LSH semantics (like dedup_minhash_lsh vs the exact dedup_ngram_jaccard).
 # ---------------------------------------------------------------------------
+def _sign_band_bucket(col, band: int, bits: int):
+    """Bucket key for one band: sign bits of dims [band·bits+1 .. +bits]."""
+    expr = None
+    for j in range(bits):
+        term = F.when(
+            F.element_at(col, band * bits + j + 1) >= 0, F.lit(2 ** j)
+        ).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return expr.cast("int")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     e = _emb(spark, sf_dir)
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _sign_band_bucket(
+                            F.col("emb"), b, NEAR_DUP_BAND_BITS
+                        ).alias("bkt"),
+                    )
+                    for b in range(NEAR_DUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bkt")
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkt") == F.col("bb.bkt"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
     a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"),
-        F.col("n2").alias("na2"),
+        F.col("vec_id").alias("ia"), F.col("emb").alias("ea"), F.col("n2").alias("na2")
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("eb"),
-        F.col("n2").alias("nb2"),
+        F.col("vec_id").alias("ib"), F.col("emb").alias("eb"), F.col("n2").alias("nb2")
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, F.col("ia") == F.col("vec_a"))
+        .join(b, F.col("ib") == F.col("vec_b"))
         .withColumn(
             "cosine",
             _cosine_pre(F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2")),
@@ -626,16 +794,44 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_NEAR_DUP = f"""
+def _sql_sign_band_bucket(col: str, band: int, bits: int) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN ({col})[{band * bits + j + 1}] >= 0"
+            f" THEN {2 ** j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        + " AS INT)"
+    )
+
+
+def _sql_embedding_near_dup():
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_sign_band_bucket('emb', b, NEAR_DUP_BAND_BITS)} AS bkt FROM e"
+        for b in range(NEAR_DUP_BANDS)
+    )
+    return f"""
 WITH e AS ({_SQL_EMB}),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
 scored AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_sql_cosine_pre("a.emb", "b.emb", "a.n2", "b.n2")} AS cosine
-  FROM e a CROSS JOIN e b
-  WHERE a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         {_sql_cosine_pre("ea.emb", "eb.emb", "ea.n2", "eb.n2")} AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COSINE_NEAR_DUP}
 """
+
+
+SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
 # ---------------------------------------------------------------------------
@@ -918,6 +1114,7 @@ CORPUS_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_hamming": (q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
