@@ -1,7 +1,11 @@
 """Batch apply core: LWW dedup → fenced idempotent CoW MERGE → lineage.
 
 Capability map (SURVEY §2):
-* W2  last-writer-wins per key      — window ``row_number`` over (lsn desc)
+* W2  last-writer-wins per key      — ONE ``max_by(payload, (lsn, _src,
+      commit_ts))`` hash aggregation: within-batch duplicates, the stored
+      row, and tombstones all compete in the same comparator (map-side
+      partial aggregation, no sort/window in the hot path); the windowed
+      ``row_number`` form survives in :func:`dedup_events` for standalone use
 * J3  MERGE upsert on composite key — copy-on-write bucket rewrite (the
       Iceberg ``MERGE INTO … WHEN MATCHED [AND op='D'] DELETE/UPDATE …``
       equivalent; reference: dbt ``incremental_strategy='merge'``,
@@ -209,8 +213,23 @@ def apply_batch(
         .otherwise(F.lit("E"))
         .alias("op"),
         F.lit(_SRC_EXISTING).alias("_src"),
+        # stored rows carry no commit_ts; 0 is fine — the third comparator
+        # field is only reached on (lsn, _src) ties, i.e. event-vs-event
+        F.lit(0).alias("_cts"),
     )
     ev_cols = set(events.columns)
+    # commit_ts tie-break (event-vs-event only): a real WAL/binlog LSN is
+    # unique, but an at-least-once feed that reuses LSNs must still pick a
+    # deterministic winner — later commit_ts wins.
+    # cast: feeds may carry TIMESTAMP or TIMESTAMP_NTZ; the session is
+    # pinned to UTC so the NTZ->TZ reinterpretation is deterministic
+    ev_cts = (
+        F.coalesce(
+            F.unix_micros(F.col("commit_ts").cast("timestamp")), F.lit(0)
+        )
+        if "commit_ts" in ev_cols
+        else F.lit(0)
+    )
     ev_side = events.select(
         *[
             (F.col(c) if c in ev_cols else F.lit(None).cast(d.dataType)).alias(c)
@@ -219,20 +238,25 @@ def apply_batch(
         F.col("lsn"),
         F.col("op"),
         F.lit(_SRC_EVENT).alias("_src"),
+        ev_cts.alias("_cts"),
     )
     combined = ex_side.unionByName(ev_side)
-    # W2 + cross-batch LWW in ONE hash aggregation: max_by over (lsn, _src)
-    # picks the newest version per key — within-batch duplicates, the stored
-    # row, and tombstones all compete in the same comparator.  A hash agg
-    # partial-aggregates map-side (duplicates collapse before the shuffle)
-    # and needs no sort — strictly cheaper than the equivalent row_number
-    # window at any scale.
+    # W2 + cross-batch LWW in ONE hash aggregation: max_by over (lsn, _src,
+    # _cts) picks the newest version per key — within-batch duplicates, the
+    # stored row, and tombstones all compete in the same comparator.  A hash
+    # agg partial-aggregates map-side (duplicates collapse before the
+    # shuffle) and needs no sort — strictly cheaper than the equivalent
+    # row_number window at any scale.
     row_struct = F.struct(
         *[F.col(c) for c in payload_cols], F.col("lsn"), F.col("op"), F.col("_src")
     )
     winners = (
         combined.groupBy(*[F.col(k) for k in key])
-        .agg(F.max_by(row_struct, F.struct(F.col("lsn"), F.col("_src"))).alias("_w"))
+        .agg(
+            F.max_by(
+                row_struct, F.struct(F.col("lsn"), F.col("_src"), F.col("_cts"))
+            ).alias("_w")
+        )
         .select("_w.*")
     )
 

@@ -78,6 +78,12 @@ class FeedSpec:
     shuffle_window: int = 64  # out-of-order jitter in LSNs across chunks
     events_per_chunk: int = 2_000  # rotation analogue
     evolution_frac: float | None = None  # chunks >= frac*n carry tool_meta
+    # Chunk file format.  "avro" matches the reference's Datastream output
+    # (Avro files rotated at 100 MB / 60 s, datastream_streams.tf:73-79) and
+    # needs the external spark-avro module on the classpath
+    # (spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>);
+    # "parquet" is the default and always available.
+    file_format: str = "parquet"
 
     @property
     def n_keys(self) -> int:
@@ -173,9 +179,38 @@ def chunk_expr(spec: FeedSpec):
     )
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the 'avro' data source resolves — the exact lookup the
+    reader/writer performs (class presence alone is not enough; the
+    external module must be registered)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
-    """Materialize the feed directory: chunk=K/*.parquet + _feed.json +
+    """Materialize the feed directory: chunk=K/*.<format> + _feed.json +
     _schema.json (schema registry; grows at the evolution point)."""
+    if spec.file_format not in ("parquet", "avro"):
+        raise ValueError(f"unsupported feed format {spec.file_format!r}")
+    if spec.file_format == "avro":
+        if not avro_available(spark):
+            raise RuntimeError(
+                "feed format 'avro' requires the external spark-avro module: "
+                "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            )
+        if spec.evolution_frac is not None:
+            # Avro schema resolution needs writer-schema defaults to pad
+            # late-added columns; the parquet path handles evolution via
+            # mergeSchema.  Keep avro feeds schema-homogeneous.
+            raise ValueError(
+                "avro feeds do not support in-flight evolution chunks; "
+                "use file_format='parquet' for evolution_frac"
+            )
     os.makedirs(path, exist_ok=True)
     df = change_events_df(spark, spec)
     base = df.withColumn("chunk", chunk_expr(spec))
@@ -199,17 +234,18 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
         "chunk", F.least(F.col("chunk") + F.lit(1), F.lit(spec.n_chunks - 1))
     )
     allev = base.unionByName(dup_chunked)
+    fmt = spec.file_format
     if has_evo:
         pre = allev.filter(F.col("chunk") < evo_chunk).drop(EVOLVED_COLUMN.name)
         post = allev.filter(F.col("chunk") >= evo_chunk)
-        pre.write.partitionBy("chunk").mode("overwrite").parquet(
+        pre.write.partitionBy("chunk").mode("overwrite").format(fmt).save(
             os.path.join(path, "pre")
         )
-        post.write.partitionBy("chunk").mode("overwrite").parquet(
+        post.write.partitionBy("chunk").mode("overwrite").format(fmt).save(
             os.path.join(path, "post")
         )
     else:
-        allev.write.partitionBy("chunk").mode("overwrite").parquet(
+        allev.write.partitionBy("chunk").mode("overwrite").format(fmt).save(
             os.path.join(path, "pre")
         )
 
@@ -237,6 +273,7 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
         "chunks": chunks,
         "n_chunks": spec.n_chunks,
         "evolution_chunk": evo_chunk,
+        "format": fmt,
         "schema": schema.jsonValue(),
     }
     with open(os.path.join(path, "_feed.json"), "w") as f:
@@ -250,12 +287,19 @@ def read_manifest(path: str) -> dict:
 
 
 def read_chunks(
-    spark: SparkSession, path: str, chunk_paths: list[str]
+    spark: SparkSession,
+    path: str,
+    chunk_paths: list[str],
+    file_format: str = "parquet",
 ) -> DataFrame:
-    """Batch-read a set of chunk dirs with per-batch schema discovery
-    (mergeSchema) — this is how in-flight column adds surface to the engine."""
+    """Batch-read a set of chunk dirs.  Parquet reads with per-batch schema
+    discovery (mergeSchema) — this is how in-flight column adds surface to
+    the engine; avro chunks are schema-homogeneous (see write_feed)."""
     paths = [os.path.join(path, c) for c in chunk_paths]
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if file_format == "parquet":
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    else:
+        df = spark.read.format(file_format).load(*paths)
     if "chunk" in df.columns:  # partition col inferred from dir names
         df = df.drop("chunk")
     return df

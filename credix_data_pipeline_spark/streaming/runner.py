@@ -40,6 +40,7 @@ from credix_data_pipeline_spark.sources import feed as feed_mod
 from credix_data_pipeline_spark.streaming.lineage import LineageLog
 
 FAILED_DIR = "_failed"
+ARCHIVE_DIR = "_archive"
 
 
 @dataclass
@@ -94,6 +95,22 @@ def quarantine_writer(table_path: str) -> Callable[[DataFrame], None]:
     return _write
 
 
+def archive_chunks(feed_path: str, chunk_paths: list[str]) -> None:
+    """S10 archive-on-success: move processed chunk dirs under
+    ``<feed>/_archive/`` (the reference moves successfully-loaded landing
+    files to an `archive/` prefix, credix_pipeline/resources/
+    gcp_resource.py:88-109, gcs_operations.py:26-33).  The underscore
+    prefix hides archived chunks from Spark's file listing, so the
+    streaming reader never re-ingests them."""
+    for rel in chunk_paths:
+        src = os.path.join(feed_path, rel)
+        if not os.path.isdir(src):
+            continue  # already archived (crash between checkpoint+archive)
+        dst = os.path.join(feed_path, ARCHIVE_DIR, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+
+
 def replay(
     spark: SparkSession,
     feed_path: str,
@@ -107,14 +124,23 @@ def replay(
     write_salt: int = 4,
     collect_stats: bool = True,
     fail_at_batch: int | None = None,
+    archive: bool = False,
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
 
     ``fail_at_batch`` injects a crash *after* the data commit but *before*
     the checkpoint advance — the worst-case window — for exactly-once tests.
+
+    ``archive=True`` moves each batch's chunk dirs to ``<feed>/_archive/``
+    AFTER the checkpoint advance (commit → checkpoint → archive): a crash
+    in the commit/checkpoint window re-reads the un-archived chunk and is
+    fenced; a crash in the checkpoint/archive window leaves a chunk behind
+    that no later run reads (pos is already past it) — at-most-once residue,
+    never data loss.  Mirrors the reference's landing → archive/ move.
     """
     manifest = feed_mod.read_manifest(feed_path)
     chunks: list[str] = manifest["chunks"]
+    feed_format: str = manifest.get("format", "parquet")
     feed_schema = T.StructType.fromJson(manifest["schema"])
     target_schema = _target_schema_base(feed_schema, manifest)
 
@@ -138,7 +164,9 @@ def replay(
         if max_batches is not None and done >= max_batches:
             break
         batch_chunks = chunks[pos : pos + chunks_per_batch]
-        batch_df = feed_mod.read_chunks(spark, feed_path, batch_chunks)
+        batch_df = feed_mod.read_chunks(
+            spark, feed_path, batch_chunks, file_format=feed_format
+        )
         res = apply_batch(
             table,
             batch_df,
@@ -155,6 +183,8 @@ def replay(
         pos += len(batch_chunks)
         batch_id += 1
         ckpt.save(pos, batch_id)
+        if archive:
+            archive_chunks(feed_path, batch_chunks)
         done += 1
     return stats
 
@@ -196,6 +226,7 @@ def stream(
     at-least-once `foreachBatch` redelivery window (SURVEY §2.8 ST3).
     """
     manifest = feed_mod.read_manifest(feed_path)
+    feed_format: str = manifest.get("format", "parquet")
     feed_schema = T.StructType.fromJson(manifest["schema"])
     target_schema = _target_schema_base(feed_schema, manifest)
 
@@ -216,7 +247,10 @@ def stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(feed_path + "/*")
+    if feed_format == "parquet":
+        src = reader.parquet(feed_path + "/*")
+    else:
+        src = reader.format(feed_format).load(feed_path + "/*")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(
