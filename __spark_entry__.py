@@ -17,9 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from credix_data_pipeline_spark.plans.cdc_replay import CDC_QUERIES
 from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
+from credix_data_pipeline_spark.plans.monitoring import MONITOR_QUERIES
 from credix_data_pipeline_spark.plans.reference_queries import QUERIES
 
-ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES, **CDC_QUERIES}
+ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES, **CDC_QUERIES}
 
 SF0001 = "/root/testdata/sf0.001"
 

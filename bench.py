@@ -29,10 +29,13 @@ def _materialize(df) -> None:
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
+    from credix_data_pipeline_spark.plans.monitoring import MONITOR_QUERIES
     from credix_data_pipeline_spark.plans.reference_queries import QUERIES
 
     timings: dict[str, float] = {}
-    for name, (fn, _sql) in {**QUERIES, **CORPUS_QUERIES}.items():
+    for name, (fn, _sql) in {
+        **QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES
+    }.items():
         t0 = time.monotonic()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)

@@ -5,7 +5,8 @@ The reference exposes per-table Dagster jobs (`cnpj_data_pipeline`,
 credix_pipeline/credix_pipeline/jobs/data_pipeline_jobs.py:4-28).  The engine
 exposes the same surface as subcommands runnable via::
 
-    spark-submit --py-files engine.zip -m credix_data_pipeline_spark.main ...
+    spark-submit --py-files engine.zip /path/to/main.py <cmd> ...
+    # (spark-submit takes a script path; this module doubles as that script)
     # or locally:
     python -m credix_data_pipeline_spark.main <cmd> ...
 
@@ -16,6 +17,10 @@ Subcommands:
                   (availableNow semantics, resumable from checkpoint)
 * ``stream``    — genuine Structured Streaming mode (foreachBatch MERGE)
 * ``metrics``   — print the lineage/throughput sidecar (monitoring_job analogue)
+* ``monitor``   — freshness / volume-anomaly / error signals as JSON
+                  (``edr monitor`` analogue, SURVEY §3.4)
+* ``report``    — write the static HTML+JSON monitoring report to a publish
+                  directory (``edr send-report`` → public bucket, S11)
 * ``gold``      — run the per-conversation gold summary over the table
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
 """
@@ -110,6 +115,31 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    from credix_data_pipeline_spark.streaming.monitoring import monitor
+
+    spark = _spark(args)
+    print(json.dumps(monitor(spark, args.table), indent=2, sort_keys=True))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from credix_data_pipeline_spark.streaming.monitoring import publish_report
+
+    spark = _spark(args)
+    report = publish_report(spark, args.table, args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "freshness": report["freshness"]["status"],
+                "anomaly_count": report["volume"]["anomaly_count"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_gold(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.apply import read_clean
@@ -169,6 +199,15 @@ def build_parser() -> argparse.ArgumentParser:
         m.add_argument("--table", required=True)
         m.add_argument("--limit", type=int, default=50)
         m.set_defaults(fn=fn)
+
+    mo = sub.add_parser("monitor", help="freshness/anomaly signals as JSON")
+    mo.add_argument("--table", required=True)
+    mo.set_defaults(fn=cmd_monitor)
+
+    rp = sub.add_parser("report", help="publish static HTML+JSON report")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--out", required=True)
+    rp.set_defaults(fn=cmd_report)
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)

@@ -33,6 +33,7 @@ LINEAGE_DIR = "_lineage"
 _ARROW_SCHEMA = pa.schema(
     [
         ("batch_id", pa.int64()),
+        ("rows_in", pa.int64()),
         ("lsn_min", pa.int64()),
         ("lsn_max", pa.int64()),
         ("snapshot_id", pa.int64()),
@@ -55,6 +56,7 @@ class LineageLog:
     def record(self, res: "ApplyResult", note: str | None = None) -> None:
         row = {
             "batch_id": res.batch_id,
+            "rows_in": res.rows_in,
             "lsn_min": res.lsn_min,
             "lsn_max": res.lsn_max,
             "snapshot_id": res.snapshot_id,
@@ -78,16 +80,20 @@ class LineageLog:
         return spark.read.parquet(self.dir)
 
     def throughput(self, spark: SparkSession) -> dict:
-        """Aggregate events/sec across recorded batches."""
+        """Aggregate events/sec across recorded batches.
+
+        ``rows_in`` is counted in the always-on profile pass, so throughput
+        is correct even under ``collect_stats=False`` (the ``--fast`` path,
+        where rows_applied/rows_deduped stay 0).
+        """
         import pyspark.sql.functions as F
 
         df = self.read(spark).filter(F.col("snapshot_id").isNotNull())
         row = df.agg(
-            F.sum("rows_applied").alias("rows"),
-            F.sum("rows_deduped").alias("deduped"),
+            F.sum("rows_in").alias("rows"),
             F.sum("wall_ms").alias("ms"),
         ).first()
-        rows = (row["rows"] or 0) + (row["deduped"] or 0)
+        rows = row["rows"] or 0
         ms = row["ms"] or 1
         return {
             "events_in": rows,

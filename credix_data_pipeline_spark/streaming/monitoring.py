@@ -1,0 +1,186 @@
+"""Freshness / volume-anomaly monitoring + static report publish
+(SURVEY §3.4, §2.1 S11).
+
+The reference runs Elementary over dbt artifacts (``edr monitor`` then
+``edr send-report``, credix_pipeline/credix_pipeline/assets/elementary_assets.py:9-75)
+and publishes the HTML report to a public GCS website bucket
+(terraform/modules/gcs/storage.tf:43-66).  The engine already records the
+underlying facts in the lineage sidecar (`streaming/lineage.py`); this module
+computes the monitoring *signals* over it and renders the publishable report:
+
+* **freshness** — wall-clock staleness of the last committed batch and the
+  LSN high-water (Elementary freshness test analogue);
+* **volume anomalies** — per-batch applied-row counts that deviate from the
+  replay mean by more than a threshold, computed in exact integer basis
+  points so the flag is engine-portable (Elementary volume anomaly analogue);
+* **error rate** — quarantined rows vs total (the dead-letter path, ST6);
+* **publish** — one self-contained HTML + JSON report written to an output
+  directory (the public-bucket-website analogue of S11).
+
+Everything here is a plain aggregation over the tiny lineage table (one row
+per batch), so it is driver-cheap at any data scale: 10^10 events at 10^6
+events/batch is a 10^4-row sidecar.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from credix_data_pipeline_spark.streaming.lineage import LineageLog
+
+# volume anomaly: batch deviates >= this many basis points from the mean
+VOLUME_DEV_BP = 2500          # 25%
+STALENESS_WARN_SEC = 3600     # freshness: warn after an hour without a commit
+
+
+def batch_volume_anomalies(
+    lineage: DataFrame, dev_bp: int = VOLUME_DEV_BP
+) -> DataFrame:
+    """Batches whose event volume deviates >= ``dev_bp`` basis points from
+    the replay mean.  Deviation is exact integer arithmetic
+    (``|batch*n - total| * 10⁴ DIV total``) — no float comparisons.
+
+    Empty fence/no-change batches (rows 0) are kept: a zero-volume batch in
+    a nonempty replay is exactly what volume monitoring must surface.
+    ``rows_in`` comes from the always-on profile pass, so the signal works
+    under ``collect_stats=False`` too.
+    """
+    rows = F.col("rows_in").alias("batch_events")
+    per_batch = lineage.filter(F.col("snapshot_id").isNotNull()).select(
+        "batch_id", rows, "rows_quarantined", "wall_ms"
+    )
+    totals = per_batch.agg(
+        F.sum("batch_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_batches"),
+    )
+    j = per_batch.crossJoin(F.broadcast(totals))
+    dev = F.expr(
+        "abs(batch_events * n_batches - total_events) * 10000 DIV total_events"
+    ).alias("dev_bp")
+    return j.select(
+        "batch_id",
+        "batch_events",
+        "rows_quarantined",
+        "wall_ms",
+        "total_events",
+        "n_batches",
+        dev,
+    ).withColumn("is_volume_anomaly", F.col("dev_bp") >= F.lit(dev_bp))
+
+
+def freshness(
+    spark: SparkSession, table_path: str, as_of_sec: float | None = None
+) -> dict:
+    """Staleness of the last commit; ``as_of_sec`` injectable for tests
+    (F5 determinism rule)."""
+    log = LineageLog(table_path)
+    row = (
+        log.read(spark)
+        .filter(F.col("snapshot_id").isNotNull())
+        .agg(
+            F.max("committed_at").alias("last_committed_at"),
+            F.max("lsn_max").alias("lsn_high_water"),
+            F.max("batch_id").alias("last_batch_id"),
+        )
+        .first()
+    )
+    now = time.time() if as_of_sec is None else as_of_sec
+    last = row["last_committed_at"]
+    staleness = None if last is None else max(0.0, now - last.timestamp())
+    return {
+        "last_batch_id": row["last_batch_id"],
+        "lsn_high_water": row["lsn_high_water"],
+        "last_committed_at": None if last is None else last.isoformat(),
+        "staleness_sec": None if staleness is None else round(staleness, 3),
+        "status": (
+            "NO_COMMITS"
+            if staleness is None
+            else ("STALE" if staleness > STALENESS_WARN_SEC else "FRESH")
+        ),
+    }
+
+
+def monitor(
+    spark: SparkSession, table_path: str, as_of_sec: float | None = None
+) -> dict:
+    """The full monitoring report as a JSON-able dict (``edr monitor``
+    analogue)."""
+    log = LineageLog(table_path)
+    lineage = log.read(spark)
+    anomalies = batch_volume_anomalies(lineage)
+    rows = anomalies.orderBy("batch_id").collect()  # one row per batch: tiny
+    total = sum(r["batch_events"] for r in rows)
+    quarantined = sum(r["rows_quarantined"] or 0 for r in rows)
+    flagged = [r for r in rows if r["is_volume_anomaly"]]
+    return {
+        "freshness": freshness(spark, table_path, as_of_sec),
+        "throughput": log.throughput(spark),
+        "volume": {
+            "n_batches": len(rows),
+            "total_events": total,
+            "anomalous_batches": [
+                {"batch_id": r["batch_id"], "batch_events": r["batch_events"],
+                 "dev_bp": r["dev_bp"]}
+                for r in flagged
+            ],
+            "anomaly_count": len(flagged),
+        },
+        "errors": {
+            "rows_quarantined": quarantined,
+            "error_bp": (quarantined * 10000 // total) if total else 0,
+        },
+    }
+
+
+def render_html(report: dict, title: str = "pipeline monitor") -> str:
+    """Self-contained static HTML report (S11 publish shape)."""
+    fresh = report["freshness"]
+    vol = report["volume"]
+    err = report["errors"]
+    rows = "".join(
+        f"<tr><td>{a['batch_id']}</td><td>{a['batch_events']}</td>"
+        f"<td>{a['dev_bp']}</td></tr>"
+        for a in vol["anomalous_batches"]
+    ) or "<tr><td colspan=3>none</td></tr>"
+    tp = report["throughput"]
+    return f"""<!doctype html><html><head><meta charset="utf-8">
+<title>{html.escape(title)}</title>
+<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 10px}}.ok{{color:#070}}.bad{{color:#b00}}
+</style></head><body>
+<h1>{html.escape(title)}</h1>
+<h2>Freshness: <span class="{'ok' if fresh['status'] == 'FRESH' else 'bad'}">
+{html.escape(str(fresh['status']))}</span></h2>
+<p>last batch {fresh['last_batch_id']} · LSN high-water {fresh['lsn_high_water']}
+· staleness {fresh['staleness_sec']} s · committed {fresh['last_committed_at']}</p>
+<h2>Throughput</h2>
+<p>{tp['events_in']} events in {tp['wall_ms']} ms
+({tp['events_per_sec']:.1f} events/s)</p>
+<h2>Volume anomalies ({vol['anomaly_count']} of {vol['n_batches']} batches)</h2>
+<table><tr><th>batch</th><th>events</th><th>deviation (bp)</th></tr>{rows}</table>
+<h2>Errors</h2>
+<p>{err['rows_quarantined']} quarantined rows ({err['error_bp']} bp)</p>
+</body></html>
+"""
+
+
+def publish_report(
+    spark: SparkSession,
+    table_path: str,
+    out_dir: str,
+    as_of_sec: float | None = None,
+) -> dict:
+    """``edr send-report`` analogue: write ``report.html`` + ``report.json``
+    to ``out_dir`` (the public-bucket stand-in) and return the report dict."""
+    report = monitor(spark, table_path, as_of_sec)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    with open(os.path.join(out_dir, "report.html"), "w") as f:
+        f.write(render_html(report, title=os.path.basename(table_path) or "table"))
+    return report

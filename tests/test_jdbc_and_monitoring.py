@@ -1,0 +1,182 @@
+"""JDBC watermark-source parity (SURVEY S1/S2) and monitoring / report
+publish (SURVEY §3.4, S11)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from credix_data_pipeline_spark.sources.jdbc import (
+    JdbcWatermarkSource,
+    greatest_watermark_query,
+    watermark_query,
+)
+
+# ---------------------------------------------------------------------------
+# JDBC source — the query/options construction this module owns (no JDBC
+# driver jar in-sandbox; .load() runs unchanged on a cluster with --jars).
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_query_matches_reference_shape():
+    # cnpj_assets.py:24-50 shape: OR of two watermark columns, desc order
+    q = watermark_query(
+        "oltp.business_case_cnpj_ws",
+        ["buyer_tax_id", "company_size", "updated_at", "created_at"],
+        "2024-01-02 03:04:05",
+        ["updated_at", "created_at"],
+    )
+    assert q == (
+        'SELECT "buyer_tax_id", "company_size", "updated_at", "created_at" '
+        'FROM "oltp"."business_case_cnpj_ws" '
+        "WHERE \"updated_at\" > '2024-01-02 03:04:05' "
+        "OR \"created_at\" > '2024-01-02 03:04:05' "
+        'ORDER BY "updated_at" DESC'
+    )
+
+
+def test_watermark_query_limit_cap():
+    # the reference's commented LIMIT 1000 safety cap (cnpj_assets.py:46)
+    q = watermark_query("t", ["a"], "2024-01-01", ["a"], limit=1000)
+    assert q.endswith("LIMIT 1000")
+
+
+def test_greatest_watermark_query_matches_reference_shape():
+    # installments_assets.py:48-51: GREATEST over COALESCEd nullable dates
+    q = greatest_watermark_query(
+        "oltp.business_case_installments",
+        ["asset_id", "invoice_issue_date", "paid_date"],
+        "2024-01-01",
+        ["invoice_issue_date", "paid_date"],
+    )
+    assert 'GREATEST(COALESCE("invoice_issue_date", \'1900-01-01\'), ' in q
+    assert q.endswith("> '2024-01-01'")
+
+
+def test_identifier_and_literal_injection_rejected():
+    with pytest.raises(ValueError):
+        watermark_query("t; DROP TABLE x", ["a"], "2024-01-01", ["a"])
+    with pytest.raises(ValueError):
+        watermark_query("t", ["a"], "2024-01-01' OR '1'='1", ["a"])
+
+
+def test_jdbc_options_partitioned_read():
+    src = JdbcWatermarkSource(
+        url="jdbc:postgresql://db:5432/oltp",
+        query="SELECT 1 AS x",
+        partition_column="event_id",
+        lower_bound="0",
+        upper_bound="1000000",
+        num_partitions=16,
+    )
+    opts = src.options()
+    assert opts["dbtable"] == "(SELECT 1 AS x) AS delta"
+    assert opts["numPartitions"] == "16"
+    assert opts["partitionColumn"] == "event_id"
+    assert opts["fetchsize"] == "20000"  # reference loader batch size
+
+
+def test_jdbc_reader_declares_format(spark):
+    # reader construction is driver-only; no connection is attempted
+    src = JdbcWatermarkSource(url="jdbc:postgresql://db/x", query="SELECT 1 AS x")
+    reader = src.reader(spark)
+    assert reader is not None
+
+
+# ---------------------------------------------------------------------------
+# Monitoring over the lineage sidecar + static report publish
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def replayed_table(spark, tmp_path_factory):
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    base = tmp_path_factory.mktemp("monitoring")
+    feed, table = str(base / "feed"), str(base / "table")
+    spec = FeedSpec(
+        n_events=3_000,
+        n_conversations=40,
+        turns_per_conversation=8,
+        delete_pct=5,
+        duplicate_pct=3,
+        events_per_chunk=500,
+    )
+    write_feed(spark, feed, spec)
+    runner.replay(spark, feed, table, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+    return table
+
+
+def test_monitor_freshness_and_volume(spark, replayed_table):
+    from credix_data_pipeline_spark.streaming.monitoring import monitor
+
+    report = monitor(spark, replayed_table)
+    assert report["freshness"]["status"] == "FRESH"
+    assert report["freshness"]["last_batch_id"] is not None
+    assert report["freshness"]["lsn_high_water"] is not None
+    vol = report["volume"]
+    # 6 chunks / 2 per batch = 3 equal-volume batches -> no anomalies
+    assert vol["n_batches"] == 3
+    assert vol["total_events"] >= 3_000  # duplicates ride along in rows_in
+    assert vol["anomaly_count"] == 0
+    assert report["errors"]["rows_quarantined"] == 0
+    assert report["throughput"]["events_per_sec"] > 0
+
+
+def test_monitor_flags_stale_and_anomalous(spark, replayed_table):
+    from credix_data_pipeline_spark.streaming.lineage import LineageLog
+    from credix_data_pipeline_spark.streaming.monitoring import (
+        batch_volume_anomalies,
+        freshness,
+    )
+
+    # freshness with an injected as_of far in the future -> STALE
+    fresh = freshness(spark, replayed_table, as_of_sec=4_102_444_800.0)  # 2100
+    assert fresh["status"] == "STALE"
+
+    # a synthetic lineage with one tiny batch -> that batch is anomalous
+    lineage = LineageLog(replayed_table).read(spark)
+    import pyspark.sql.functions as F
+
+    skewed = lineage.withColumn(
+        "rows_in",
+        F.when(F.col("batch_id") == 0, F.lit(1)).otherwise(F.col("rows_in")),
+    )
+    flags = {r["batch_id"]: r["is_volume_anomaly"]
+             for r in batch_volume_anomalies(skewed).collect()}
+    assert flags[0] is True
+
+
+def test_publish_report_writes_html_and_json(spark, replayed_table, tmp_path):
+    from credix_data_pipeline_spark.streaming.monitoring import publish_report
+
+    out = str(tmp_path / "public")
+    report = publish_report(spark, replayed_table, out)
+    html_path, json_path = (
+        os.path.join(out, "report.html"),
+        os.path.join(out, "report.json"),
+    )
+    assert os.path.exists(html_path) and os.path.exists(json_path)
+    with open(json_path) as f:
+        on_disk = json.load(f)
+    assert on_disk["volume"]["total_events"] == report["volume"]["total_events"]
+    text = open(html_path).read()
+    assert "Freshness" in text and "Volume anomalies" in text
+
+
+def test_cli_monitor_and_report(spark, replayed_table, tmp_path, capsys):
+    from credix_data_pipeline_spark import main as cli
+
+    assert cli.main(["--master", "local[2]", "monitor",
+                     "--table", replayed_table]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["freshness"]["status"] == "FRESH"
+
+    pub = str(tmp_path / "site")
+    assert cli.main(["--master", "local[2]", "report",
+                     "--table", replayed_table, "--out", pub]) == 0
+    assert os.path.exists(os.path.join(pub, "report.html"))
