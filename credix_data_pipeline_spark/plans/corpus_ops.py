@@ -36,14 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 # ---------------------------------------------------------------------------
 NGRAM_N = 3                     # shingle width (tokens)
 JACCARD_THRESHOLD = 0.8         # near-dup confirm threshold
-# Candidate-generation guard: shingles occurring in more than this fraction
-# of documents are excluded from candidate PAIRING (verification still uses
-# full shingle sets, so Jaccard values are exact).  Standard anti-blowup
-# heuristic — near-dup pairs share many shingles, so losing the ultra-common
-# ones from candidate generation almost never loses the pair, while the
-# join volume stops scaling with (docs-per-common-shingle)².
-MAX_SHINGLE_DOC_FRAC = 0.05
-MIN_SHINGLE_DOC_CAP = 10        # floor so tiny corpora never filter
+# The threshold as an exact integer fraction (4/5) so the prefix-filter
+# arithmetic is engine-portable: required overlap ceil(t*n) = (4n+4) DIV 5.
+JACCARD_NUM, JACCARD_DEN = 4, 5
 MINHASH_SEEDS = [f"s{i}|" for i in range(9)]   # 9 hashes = 3 bands x 3 rows
 MINHASH_BAND_ROWS = 3
 COSINE_NEAR_DUP = 0.4           # embedding near-dup threshold (data max ~0.48)
@@ -81,8 +76,18 @@ _SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
 def _docs_with_shingles(spark, sf_dir) -> DataFrame:
-    """documents + distinct NGRAM_N-token shingles (array<string>)."""
-    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    """documents + distinct NGRAM_N-token shingles (array<string>).
+
+    The explicit numbered repartition matters: shingling/minhashing is
+    compute-heavy per input *byte* (explode × md5), so AQE's byte-based
+    advisory sizing would coalesce these stages down to one task.  A
+    numbered repartition is exempt from AQE coalescing and keeps the
+    hash-heavy stages as wide as the cluster.
+    """
+    par = spark.sparkContext.defaultParallelism * 2
+    d = t(spark, sf_dir, "documents").repartition(par, "doc_id").withColumn(
+        "toks", _toks()
+    )
     n = NGRAM_N
     sh = F.array_distinct(
         F.transform(
@@ -131,10 +136,20 @@ FROM (SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS content_md5
 
 
 # ---------------------------------------------------------------------------
-# dedup_ngram_jaccard — n-gram shingle Jaccard near-dup pairs.
-# Candidate pairs share >=1 shingle; confirmed at JACCARD_THRESHOLD.
-# Scale path: prefer dedup_minhash_lsh (bands prune candidates first).
+# dedup_ngram_jaccard — EXACT n-gram shingle Jaccard near-dup pairs via
+# prefix filtering (AllPairs / ppjoin family): for J(A,B) >= t, A and B must
+# share at least one element among each side's smallest n - ceil(t*n) + 1
+# shingles in a global canonical order (md5 of the shingle — portable).
+# Candidate volume scales with (docs-per-prefix-shingle)^2, ~5x below the
+# naive shared-shingle join, with ZERO false negatives — no frequency-cap
+# heuristic needed.  The length filter (5*min >= 4*max) prunes further.
+# Scale path at extreme corpus sizes: dedup_minhash_lsh (probabilistic).
 # ---------------------------------------------------------------------------
+_PREFIX_LEN = (
+    f"n_sh - (({JACCARD_NUM} * n_sh + {JACCARD_NUM}) DIV {JACCARD_DEN}) + 1"
+)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     sh = _docs_with_shingles(spark, sf_dir).select(
         "doc_id", F.size("shingles").alias("n_sh"), "shingles"
@@ -147,24 +162,32 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", "n_sh", F.explode("shingles").alias("s0")
     ).select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
 
-    # Phase 1 — candidate pairs share >=1 RARE shingle (frequency cap).
-    cap = max(MIN_SHINGLE_DOC_CAP, int(MAX_SHINGLE_DOC_FRAC * sh.count()))
-    rare = (
-        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= cap)
-        .select("s")
+    # Phase 1 — prefix-filter candidates: explode only each doc's canonical
+    # prefix; integer-exact prefix length (4n+4) DIV 5 avoids IEEE ceil
+    # drift between engines.
+    pref = sh.select(
+        "doc_id",
+        "n_sh",
+        F.expr(
+            "slice(array_sort(transform(shingles, s -> md5(s))), 1, "
+            f"{_PREFIX_LEN})"
+        ).alias("ph"),
+    ).select("doc_id", "n_sh", F.explode("ph").alias("h0")).select(
+        "doc_id", "n_sh", F.xxhash64("h0").alias("h")
     )
-    exr = ex.join(rare, "s")
-    ra = exr.alias("ra")
-    rb = exr.alias("rb")
+    pa = pref.alias("pa")
+    pb = pref.alias("pb")
     cand = (
-        ra.join(
-            rb,
-            (F.col("ra.s") == F.col("rb.s"))
-            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        pa.join(
+            pb,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter: J >= 4/5 forces 5*min(n) >= 4*max(n)
+            & (F.col("pa.n_sh") * JACCARD_DEN >= F.col("pb.n_sh") * JACCARD_NUM)
+            & (F.col("pb.n_sh") * JACCARD_DEN >= F.col("pa.n_sh") * JACCARD_NUM),
         )
         .select(
-            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
         .distinct()
     )
@@ -199,15 +222,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
-rare AS (
-  SELECT s FROM ex GROUP BY s
-  HAVING COUNT(*) <= GREATEST({MIN_SHINGLE_DOC_CAP},
-                              CAST(FLOOR({MAX_SHINGLE_DOC_FRAC} * (SELECT COUNT(*) FROM sh)) AS BIGINT))
+pref AS (
+  SELECT doc_id, len(shingles) AS n_sh,
+         unnest(list_slice(list_sort(list_transform(shingles, s -> md5(s))), 1,
+             len(shingles)
+             - (({JACCARD_NUM} * len(shingles) + {JACCARD_NUM}) // {JACCARD_DEN})
+             + 1)) AS h
+  FROM sh
 ),
-exr AS (SELECT ex.* FROM ex JOIN rare USING (s)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM pref a JOIN pref b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND a.n_sh * {JACCARD_DEN} >= b.n_sh * {JACCARD_NUM}
+   AND b.n_sh * {JACCARD_DEN} >= a.n_sh * {JACCARD_NUM}
 )
 SELECT c.doc_a, c.doc_b, COUNT(*) AS shared,
        ROUND(COUNT(*) * 1.0 /
