@@ -1137,6 +1137,146 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# near_dup_components — connected components over the verified MinHash-LSH
+# near-dup pairs: each component is one duplicate *cluster* (keep the
+# canonical doc, drop the rest).  The reference dedups per-key with MERGE
+# (installments_clean.sql:1-8); corpus dedup needs transitive closure —
+# A≈B≈C must collapse to ONE canonical even when A≉C directly.
+#
+# Spark shape: iterative min-label propagation — each round is one
+# distributed join + hash-agg, the driver only checks the converged flag.
+# Dup clusters have tiny diameters, so rounds ≈ 2-4; at planetary scale the
+# same loop upgrades to the large-star/small-star contraction (Kiveris et
+# al., "Connected Components in MapReduce and Beyond") without changing the
+# operator contract.  Oracle: recursive CTE transitive closure.
+# ---------------------------------------------------------------------------
+def q_near_dup_components(spark, sf_dir, max_rounds: int = 20):
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst").persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_rounds):
+        via = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        new_labels = (
+            labels.select("node", "lbl")
+            .union(via)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("component_id"),
+            "component_size",
+            (F.col("node") != F.col("lbl")).alias("is_dup"),
+        )
+    )
+
+
+SQL_NEAR_DUP_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH}) p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.component_id,
+       COUNT(*) OVER (PARTITION BY c.component_id) AS component_size,
+       c.doc_id <> c.component_id AS is_dup
+FROM comp c
+"""
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — top-K characteristic terms per document, integer-scaled
+# TF-IDF (idf_bp = n_docs*10⁴ DIV df — exact integers, no log/float ties),
+# deterministic rank tie-break by term.  The agg → broadcast-scalar → window
+# top-k shape is the same WindowGroupLimit pattern as ann_cosine_topk.
+# ---------------------------------------------------------------------------
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("tok", F.explode(_toks()))
+    tf = d.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    ndocs = (
+        t(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("idf_bp", F.expr("n_docs * 10000 DIV term_df"))
+        .withColumn("score", F.col("tf") * F.col("idf_bp"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "rank", "term", "tf", "term_df", "idf_bp", "score")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.term_df,
+         nd.n_docs * 10000 // dfreq.term_df AS idf_bp,
+         tf.tf * (nd.n_docs * 10000 // dfreq.term_df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, rank, term, tf, term_df, idf_bp, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1151,4 +1291,6 @@ CORPUS_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }

@@ -80,6 +80,42 @@ def test_lsh_ann_neighbor_is_bucket_local_and_suboptimal_at_worst(spark):
             assert r.cosine <= brute[r.query_id] + 1e-9
 
 
+def test_near_dup_components_cover_pairs_transitively(spark):
+    """Every verified near-dup pair lands in the same component; component
+    ids are the min doc_id of the member set (canonical keeper)."""
+    pairs = CORPUS_QUERIES["dedup_minhash_lsh"][0](spark, SF_DIR).collect()
+    comp = {
+        r.doc_id: r.component_id
+        for r in CORPUS_QUERIES["near_dup_components"][0](spark, SF_DIR).collect()
+    }
+    assert pairs and comp
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b]
+    # canonical = min member; exactly one non-dup (the keeper) per component
+    members: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+        assert len(docs) >= 2  # singletons are excluded by construction
+
+
+def test_tfidf_ranks_are_dense_and_deterministic(spark):
+    rows = CORPUS_QUERIES["tfidf_top_terms"][0](spark, SF_DIR).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc) == 500
+    for doc, rs in per_doc.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # rarer terms score higher for equal tf
+        for r in rs:
+            assert r.idf_bp == 500 * 10000 // r.term_df
+
+
 def test_multimodal_features_deterministic_and_typed(spark):
     fn = CORPUS_QUERIES["multimodal_features"][0]
     a = {r.doc_id: (r.n_bytes, r.content_md5, r.width, r.height, r.n_frames)
