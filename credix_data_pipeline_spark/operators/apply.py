@@ -287,11 +287,20 @@ def apply_batch(
             .collect()
         )
 
-    # --- skew-defused write: fan a hot bucket out over `write_salt` writers.
+    # --- skew-defused write: REBALANCE on (bucket, salt) lets AQE size the
+    # write tasks by bytes — a tiny batch coalesces to a couple of tasks
+    # (fixed cost ∝ data, not ∝ buckets), a hot bucket splits across tasks
+    # (optimizeSkewsInRebalancePartitions).  The salt keeps a hot
+    # conversation spread over `write_salt` hash groups even where AQE's
+    # skew split is unavailable.  Strictly better than a fixed-width
+    # repartition at both ends of the scale.
     out = result.drop("_src")
     salt = F.pmod(F.xxhash64(*key), F.lit(max(1, write_salt)))
-    out = out.repartition(
-        max(1, len(dirty) * max(1, write_salt) // 2), bexpr, salt
+    out = (
+        out.withColumn("_wb", bexpr)
+        .withColumn("_ws", salt)
+        .hint("rebalance", "_wb", "_ws")
+        .drop("_wb", "_ws")
     )
 
     new_snap = table.replace_buckets(
