@@ -75,29 +75,42 @@ def _toks(col: str = "text"):
 _SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
-def _docs_with_shingles(spark, sf_dir) -> DataFrame:
-    """documents + distinct NGRAM_N-token shingles (array<string>).
+def _shingle_rows(spark, sf_dir) -> DataFrame:
+    """Distinct ``(doc_id, n_sh, s)`` shingle ROWS, built row-wise.
 
-    The explicit numbered repartition matters: shingling/minhashing is
-    compute-heavy per input *byte* (explode × md5), so AQE's byte-based
-    advisory sizing would coalesce these stages down to one task.  A
-    numbered repartition is exempt from AQE coalescing and keeps the
-    hash-heavy stages as wide as the cluster.
+    Deliberately NOT ``explode(array_of_shingles)``: exploding a *computed*
+    array re-evaluates the whole shingle expression per OUTPUT row inside
+    the Generate (measured ~15× slowdown at sf0.1).  The row-wise form is
+    one narrow ``posexplode`` of the token split plus ``lead`` windows per
+    doc — each token is materialized once, trigram assembly is O(1) per
+    row, and the per-doc window sort touches ~50 rows.
+
+    The explicit numbered repartition keeps the hash-heavy downstream
+    stages wide: they are compute-bound per input *byte*, so AQE's
+    byte-based advisory sizing would coalesce them to one task.
     """
     par = spark.sparkContext.defaultParallelism * 2
-    d = t(spark, sf_dir, "documents").repartition(par, "doc_id").withColumn(
-        "toks", _toks()
+    d = t(spark, sf_dir, "documents").repartition(par, "doc_id")
+    tok = d.select("doc_id", F.posexplode(_toks()).alias("pos", "tk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok.select(
+        "doc_id",
+        # F.concat propagates NULL lead()s past the end -> trailing
+        # sub-trigrams drop out in the filter (same set as the array form;
+        # docs with < NGRAM_N tokens vanish entirely)
+        F.concat(
+            F.col("tk"),
+            F.lit(" "),
+            F.lead("tk", 1).over(w),
+            F.lit(" "),
+            F.lead("tk", 2).over(w),
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    dist = tri.distinct()
+    wc = Window.partitionBy("doc_id")
+    return dist.select(
+        "doc_id", F.count(F.lit(1)).over(wc).alias("n_sh"), "s"
     )
-    n = NGRAM_N
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + off) for off in range(n)]
-            ),
-        )
-    )
-    return d.filter(F.size("toks") >= n).withColumn("shingles", sh)
 
 
 _SQL_SHINGLES = f"""
@@ -151,29 +164,23 @@ _PREFIX_LEN = (
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    sh = _docs_with_shingles(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
-    )
+    sr = _shingle_rows(spark, sf_dir)
     # Join on the 8-byte xxhash of the shingle, not the string — engine-
     # internal only (the oracle joins on the raw string; a 64-bit collision
     # changing the result has ~1e-8 probability over this corpus and would
     # surface in the parity gate).  Cuts shuffle width ~4x at 100 TB.
-    ex = sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("s0")
-    ).select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
+    ex = sr.select("doc_id", "n_sh", F.xxhash64("s").alias("s"))
 
-    # Phase 1 — prefix-filter candidates: explode only each doc's canonical
-    # prefix; integer-exact prefix length (4n+4) DIV 5 avoids IEEE ceil
-    # drift between engines.
-    pref = sh.select(
-        "doc_id",
-        "n_sh",
-        F.expr(
-            "slice(array_sort(transform(shingles, s -> md5(s))), 1, "
-            f"{_PREFIX_LEN})"
-        ).alias("ph"),
-    ).select("doc_id", "n_sh", F.explode("ph").alias("h0")).select(
-        "doc_id", "n_sh", F.xxhash64("h0").alias("h")
+    # Phase 1 — prefix-filter candidates: keep only each doc's smallest
+    # prefix-length md5s (row_number per doc in canonical md5 order);
+    # integer-exact prefix length (4n+4) DIV 5 avoids IEEE ceil drift
+    # between engines.
+    wp = Window.partitionBy("doc_id").orderBy(F.col("hmd5").asc())
+    pref = (
+        sr.withColumn("hmd5", F.md5("s"))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= F.expr(_PREFIX_LEN))
+        .select("doc_id", "n_sh", F.xxhash64("hmd5").alias("h"))
     )
     pa = pref.alias("pa")
     pb = pref.alias("pb")
@@ -258,10 +265,8 @@ HAVING ROUND(COUNT(*) * 1.0 /
 # with n².
 # ---------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark, sf_dir):
-    sh = _docs_with_shingles(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
-    )
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    sr = _shingle_rows(spark, sf_dir)
+    ex = sr.select("doc_id", "n_sh", "s")
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(seed), F.col("s")))).alias(f"mh{i}")
@@ -302,9 +307,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
     # verification join touches candidate pairs only (anti-n² at scale);
     # join on the 8-byte shingle hash (engine-internal; see ngram op note)
-    exh = sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("s0")
-    ).select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
+    exh = sr.select("doc_id", "n_sh", F.xxhash64("s").alias("s"))
     ea = exh.alias("ea")
     eb = exh.alias("eb")
     verified = (
@@ -740,6 +743,100 @@ SELECT query_id, bucket, neighbor_id, cosine FROM (
                                ORDER BY cosine DESC, neighbor_id ASC) AS rn
   FROM scored
 ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_topk — IVF (inverted-file) ANN skeleton: a coarse quantizer
+# assigns every vector to its nearest centroid cell, then each query probes
+# only its IVF_NPROBE nearest cells.  This is the third point in the ANN
+# design space alongside brute force (ann_cosine_topk) and sign-LSH
+# (ann_lsh_bucketed): the probe search is a co-partitioned equi-join on
+# cell id, so at 10⁹ vectors the work is (n/nlist)·nprobe per query and the
+# shuffle is keyed, never cartesian.  Centroids here are the first
+# IVF_NLIST vectors — a deterministic stand-in for an offline-trained
+# k-means codebook (training is a separate batch job at scale; the engine
+# operator is the assignment + probe, which is what runs per query).
+# ---------------------------------------------------------------------------
+IVF_NLIST = 16
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    assigned = e.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", _cosine_pre(F.col("emb"), F.col("ce"), F.col("n2"), F.col("cn2"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    ranked = assigned.withColumn("crank", F.row_number().over(wa)).select(
+        "vec_id", "emb", "n2", "cid", "crank"
+    )
+    corpus = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.col("n2").alias("nn2"),
+        "cid",
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < ANN_QUERIES) & (F.col("crank") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("n2").alias("qn2"),
+        "cid",
+    )
+    scored = (
+        probes.join(corpus, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH e AS ({_SQL_EMB}),
+cent AS (SELECT vec_id AS cid, emb AS ce, n2 AS cn2 FROM e
+         WHERE vec_id < {IVF_NLIST}),
+ranked AS (
+  SELECT e.vec_id, e.emb, e.n2, cent.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine_pre("e.emb", "cent.ce", "e.n2", "cent.cn2")}
+                    DESC, cent.cid ASC) AS crank
+  FROM e CROSS JOIN cent
+),
+corpus AS (SELECT vec_id AS neighbor_id, emb AS ne, n2 AS nn2, cid
+           FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, emb AS qe, n2 AS qn2, cid
+           FROM ranked WHERE vec_id < {ANN_QUERIES} AND crank <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         {_sql_cosine_pre("p.qe", "c.ne", "p.qn2", "c.nn2")} AS cosine
+  FROM probes p JOIN corpus c USING (cid)
+  WHERE p.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
 """
 
 
@@ -1285,6 +1382,7 @@ CORPUS_QUERIES = {
     "dedup_simhash_hamming": (q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

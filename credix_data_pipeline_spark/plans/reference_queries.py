@@ -34,20 +34,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (cnpj_assets.py:24-50: SELECT <cols> WHERE updated_at > wm OR created_at > wm)
 # ---------------------------------------------------------------------------
 def q_watermark_scan(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
+    # two DIFFERENT event-time columns, like the reference's
+    # updated_at/created_at pair (lineitem carries ship + commit dates)
+    li = t(spark, sf_dir, "lineitem")
     return (
-        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_shipdate", "l_commitdate",
+        )
         .filter(
-            (F.col("o_orderdate") > F.lit(WM_TS))
-            | (F.col("o_orderdate") > F.lit(WM_TS))  # OR-shape kept (2 ts cols in ref)
+            (F.col("l_shipdate") > F.lit(WM_TS))
+            | (F.col("l_commitdate") > F.lit(WM_TS))
         )
     )
 
 
 SQL_WATERMARK_SCAN = f"""
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
-FROM orders
-WHERE o_orderdate > TIMESTAMP '{WM_TS}' OR o_orderdate > TIMESTAMP '{WM_TS}'
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_commitdate
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '{WM_TS}' OR l_commitdate > TIMESTAMP '{WM_TS}'
 """
 
 

@@ -80,6 +80,26 @@ def test_lsh_ann_neighbor_is_bucket_local_and_suboptimal_at_worst(spark):
             assert r.cosine <= brute[r.query_id] + 1e-9
 
 
+def test_ivf_ann_never_beats_brute_force(spark):
+    """IVF probes a subset of cells, so its best neighbor is at most the
+    brute-force top-1; every query must still return ANN_K rows."""
+    brute = {
+        r.query_id: r.cosine
+        for r in CORPUS_QUERIES["ann_cosine_topk"][0](spark, SF_DIR)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    rows = CORPUS_QUERIES["ann_ivf_topk"][0](spark, SF_DIR).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == len(brute)
+    for q, rs in per_q.items():
+        assert len(rs) == ANN_K
+        best = max(r.cosine for r in rs)
+        assert best <= brute[q] + 1e-9
+
+
 def test_near_dup_components_cover_pairs_transitively(spark):
     """Every verified near-dup pair lands in the same component; component
     ids are the min doc_id of the member set (canonical keeper)."""
