@@ -390,8 +390,17 @@ _H16 = (
 
 def _simhash_sigs(spark, sf_dir, bits: int = SIMHASH_BITS, hexpr: str = _H16) -> DataFrame:
     """(doc_id, simhash): bit-majority SimHash over per-token hashes — one
-    explode + one hash aggregation, scales linearly in corpus size."""
-    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    explode + one hash aggregation, scales linearly in corpus size.
+
+    Numbered repartition for the same reason as ``_shingle_rows``: the
+    md5-per-token stage is compute-bound per byte, so the file-split /
+    AQE byte sizing would otherwise run it 1-2 tasks wide."""
+    par = spark.sparkContext.defaultParallelism * 2
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .withColumn("toks", _toks())
+    )
     ex = d.select("doc_id", F.explode("toks").alias("tk")).withColumn(
         "h", F.expr(hexpr)
     )
