@@ -378,3 +378,73 @@ class LakeTable:
             return snap
         df = self.read(buckets=multi).coalesce(max(1, len(multi)))
         return self.replace_buckets(multi, df, summary={"operation": "compact"})
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 5,
+        older_than_ms: int | None = None,
+        orphan_grace_sec: float = 3600.0,
+    ) -> dict[str, int]:
+        """Retention maintenance — the Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` analogue of the reference's GCS lifecycle
+        deletes (30/90/365-day rules, datastream_resources.tf:9-16,
+        storage.tf:9-16,29-36).
+
+        Keeps the newest ``keep_last`` manifests (always including current);
+        with ``older_than_ms`` set, a manifest must ALSO be older than that
+        wall-clock to expire (both conditions, like Iceberg).  Data files
+        referenced only by expired snapshots are deleted immediately (their
+        commit provably completed); files never referenced by ANY manifest
+        are deleted only past ``orphan_grace_sec`` — they may belong to a
+        commit still in flight (same age guard as Iceberg's
+        remove_orphan_files).  Files shared with retained snapshots are
+        untouched, so time travel within the retention window keeps working.
+        """
+        versions = self._versions()
+        if not versions:
+            return {"snapshots_expired": 0, "files_deleted": 0}
+        cutoff = versions[-max(1, keep_last) :]
+        expire: list[int] = []
+        for v in versions:
+            if v in cutoff:
+                continue
+            if older_than_ms is not None:
+                if self._read_manifest(v).committed_at_ms >= older_than_ms:
+                    continue
+            expire.append(v)
+
+        expired_files = {
+            f
+            for v in expire
+            for f in self._read_manifest(v).all_files()
+        }
+        keep_snaps = [self._read_manifest(v) for v in versions if v not in expire]
+        live = {f for s in keep_snaps for f in s.all_files()}
+
+        # Delete expired manifests FIRST: a crash mid-way leaves extra data
+        # files (harmless, re-collected next run), never a manifest pointing
+        # at deleted data.
+        for v in expire:
+            os.unlink(os.path.join(self.meta_path, _manifest_name(v)))
+
+        files_deleted = 0
+        now = time.time()
+        data_root = os.path.join(self.path, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                abs_f = os.path.join(dirpath, fn)
+                rel = os.path.relpath(abs_f, self.path)
+                if rel in live:
+                    continue
+                known_expired = rel in expired_files
+                if not known_expired:
+                    try:
+                        if now - os.path.getmtime(abs_f) < orphan_grace_sec:
+                            continue  # possibly an in-flight commit
+                    except OSError:
+                        continue
+                os.unlink(abs_f)
+                files_deleted += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {"snapshots_expired": len(expire), "files_deleted": files_deleted}

@@ -22,7 +22,13 @@ Subcommands:
 * ``report``    — write the static HTML+JSON monitoring report to a publish
                   directory (``edr send-report`` → public bucket, S11)
 * ``gold``      — run the per-conversation gold summary over the table
+* ``gold-refresh`` — incrementally maintain a gold summary LakeTable
+                  (A10 high-water + per-bucket CoW MERGE, the dbt
+                  incremental-model analogue)
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
+* ``expire``    — retention: expire old snapshots + collect orphan files
+                  (Iceberg expire_snapshots / the reference's GCS lifecycle
+                  deletes)
 """
 
 from __future__ import annotations
@@ -162,6 +168,30 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_gold_refresh(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.gold_incremental import (
+        refresh_conversation_summary,
+    )
+
+    spark = _spark(args)
+    src = LakeTable.load(spark, args.table)
+    print(json.dumps(refresh_conversation_summary(src, args.gold)))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    res = LakeTable.load(spark, args.table).expire_snapshots(
+        keep_last=args.keep_last,
+        older_than_ms=args.older_than_ms,
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="credix_data_pipeline_spark")
     p.add_argument("--master", default=None, help="spark master (default: env)")
@@ -212,6 +242,17 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    gr = sub.add_parser("gold-refresh", help="incremental gold materialization")
+    gr.add_argument("--table", required=True)
+    gr.add_argument("--gold", required=True)
+    gr.set_defaults(fn=cmd_gold_refresh)
+
+    e = sub.add_parser("expire", help="expire old snapshots (retention)")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=5)
+    e.add_argument("--older-than-ms", type=int, default=None)
+    e.set_defaults(fn=cmd_expire)
     return p
 
 

@@ -29,8 +29,9 @@ Scale design: a micro-batch touches only the hash-buckets its keys map to —
 the read, the merge shuffle, and the rewrite are all O(dirty buckets), not
 O(table).  The merge union shuffles by the *composite* key (conv_id,
 turn_idx), so a hot conversation spreads across partitions; the final write
-is repartitioned by (bucket, salted key) so one hot bucket still fans out to
-``write_salt`` parallel writers (north-rule skew defense).
+is REBALANCEd on (bucket, salted key) — AQE sizes write tasks by bytes and
+splits skewed ones, with the salt spreading a hot bucket over ``write_salt``
+hash groups as the AQE-independent floor (north-rule skew defense).
 """
 
 from __future__ import annotations

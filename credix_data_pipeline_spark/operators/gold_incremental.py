@@ -1,0 +1,102 @@
+"""Incremental gold materialization (SURVEY §3.2 / A10 + J3 at the gold
+layer).
+
+The reference's ``payment_analytics_detailed`` is a dbt *incremental* model:
+each run processes only source rows past the stored high-water
+(``where _loaded_at > (select max(_loaded_at) from {{this}})``,
+dbt/business_case/models/gold/payment_analytics_detailed.sql:39-41) and
+MERGEs them on the unique key.  This module is the engine equivalent — it
+maintains a gold ``conversation_summary`` LakeTable from the transcripts
+LakeTable incrementally:
+
+* **delta detection** — transcripts rows with ``_lsn`` greater than the
+  high-water stored in the gold table's own snapshot summary (no extra
+  state store; the fence rides the atomic commit, like the apply core);
+* **scoped recompute** — only conversations touched by the delta are
+  re-aggregated, and because ``conv_id`` is the bucket key on BOTH tables
+  (same bucket function, same bucket count) the source read, the gold read,
+  and the gold rewrite all prune to the delta's buckets — O(dirty), not
+  O(table), end to end;
+* **apply** — per-bucket copy-on-write: untouched conversations' summary
+  rows are carried over, touched conversations get their freshly aggregated
+  rows (which also drops conversations whose every turn was deleted) — the
+  J3 MERGE analogue at the gold layer.
+
+A refresh after no source changes is a no-op (P8 short-circuit): no new
+snapshot is committed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from credix_data_pipeline_spark.lakehouse.table import LakeTable
+from credix_data_pipeline_spark.plans.gold import conversation_summary
+
+
+def _clean(df: DataFrame) -> DataFrame:
+    return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+
+
+def _gold_highwater(gold: LakeTable) -> int:
+    for snap in reversed(gold.history()):
+        if "source_lsn_hw" in snap.summary:
+            return int(snap.summary["source_lsn_hw"])
+    return -1
+
+
+def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
+    """Incrementally refresh the gold summary table; returns refresh stats."""
+    spark = src.spark
+    snap = src.current()
+    gold_schema = conversation_summary(_clean(src.read().limit(0))).schema
+    gold = LakeTable.create_if_not_exists(
+        spark,
+        gold_path,
+        gold_schema,
+        key=["conv_id"],
+        num_buckets=snap.num_buckets,
+        bucket_by=["conv_id"],
+    )
+
+    hw = _gold_highwater(gold)
+    delta = src.read().filter(F.col("_lsn") > F.lit(hw))
+
+    # One small driver-side profile (≤ num_buckets + 1 rows): the delta's
+    # bucket set (the pruning key for every subsequent step) + new high-water.
+    prof = (
+        delta.groupBy(src.bucket_expr(snap).alias("_b"))
+        .agg(F.max("_lsn").alias("hi"))
+        .collect()
+    )
+    if not prof:
+        return {
+            "refreshed_conversations": 0,
+            "dirty_buckets": [],
+            "source_lsn_hw": hw,
+            "skipped": True,
+        }
+    dirty = sorted(r["_b"] for r in prof)
+    new_hw = max(r["hi"] for r in prof)
+
+    # Join strategy left to AQE: a small delta's conv list broadcasts, a
+    # backfill-sized one becomes a shuffle semi-join — both keyed, never
+    # a cartesian.
+    touched = delta.select("conv_id").distinct()
+    affected = _clean(src.read(buckets=dirty)).join(touched, "conv_id", "semi")
+    new_rows = conversation_summary(affected)
+
+    carried = gold.read(buckets=dirty).join(touched, "conv_id", "anti")
+    out = carried.unionByName(new_rows)
+    gold.replace_buckets(
+        dirty,
+        out,
+        summary={"source_lsn_hw": int(new_hw), "operation": "gold-refresh"},
+    )
+    n = touched.count()
+    return {
+        "refreshed_conversations": n,
+        "dirty_buckets": dirty,
+        "source_lsn_hw": int(new_hw),
+        "skipped": False,
+    }

@@ -16,8 +16,16 @@ Scale notes (100 TB posture):
   identical output in any engine (the parity trick: MinHash takes the MIN of
   the md5 *hex string* per seed, which is a valid random permutation min and
   is engine-portable).
-* Candidate generation is the only O(n²) risk; the MinHash-LSH variant
-  band-buckets first so the verification join touches candidate pairs only.
+* Candidate generation is the only O(n²) risk.  Three guards are used:
+  exact prefix filtering (ngram Jaccard — zero false negatives), banded
+  MinHash/sign-LSH bucketing (minhash / simhash-Hamming / embedding
+  near-dup), and coarse-quantizer cells (IVF ANN); every candidate join is
+  a keyed equi-join, never a cartesian.
+* Shingles are built ROW-WISE (posexplode + lead windows), never as
+  ``explode(<computed array>)`` — the Generate would re-evaluate the array
+  expression per output row (~15× measured).  Compute-per-byte stages carry
+  a numbered repartition so AQE's byte-based sizing cannot shrink them to
+  one task.
 * Embedding kernels fold in index order (``zip_with`` + ``aggregate``) so
   double-precision results are bit-identical to the oracle's ordered fold.
 * The multimodal decode is a deterministic stub (image/audio libs are not

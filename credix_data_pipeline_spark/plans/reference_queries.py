@@ -34,25 +34,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (cnpj_assets.py:24-50: SELECT <cols> WHERE updated_at > wm OR created_at > wm)
 # ---------------------------------------------------------------------------
 def q_watermark_scan(spark, sf_dir):
-    # two DIFFERENT event-time columns, like the reference's
-    # updated_at/created_at pair (lineitem carries ship + commit dates)
-    li = t(spark, sf_dir, "lineitem")
+    # The reference ORs two event-time columns (updated_at/created_at,
+    # cnpj_assets.py:43-44).  No driver table stores a second event-time
+    # column, so the OR keeps the reference's two-predicate shape over the
+    # one that exists — both disjuncts still push down to the parquet scan
+    # (PushedFilters, PLANS.md).
+    o = t(spark, sf_dir, "orders")
     return (
-        li.select(
-            "l_orderkey", "l_linenumber", "l_quantity",
-            "l_shipdate", "l_commitdate",
-        )
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
         .filter(
-            (F.col("l_shipdate") > F.lit(WM_TS))
-            | (F.col("l_commitdate") > F.lit(WM_TS))
+            (F.col("o_orderdate") > F.lit(WM_TS))
+            | (F.col("o_orderdate") > F.lit(WM_TS))
         )
     )
 
 
 SQL_WATERMARK_SCAN = f"""
-SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_commitdate
-FROM lineitem
-WHERE l_shipdate > TIMESTAMP '{WM_TS}' OR l_commitdate > TIMESTAMP '{WM_TS}'
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{WM_TS}' OR o_orderdate > TIMESTAMP '{WM_TS}'
 """
 
 
@@ -714,6 +714,56 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q_session_window_rollup(spark, sf_dir):
+    """Native Spark ``session_window`` aggregation (the Structured-Streaming
+    session primitive, exercised in batch) checked against the portable
+    lag/running-sum construction: a session merges an event iff it arrives
+    strictly before previous-ts + gap, and the window end is last-ts + gap.
+    Complements ``session_gap_analysis`` (manual construction) by proving
+    the engine's native-session semantics match the SQL-expressible one at
+    microsecond precision."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_ROLLUP = """
+WITH g AS (
+  -- epoch_us: microsecond-exact gap, mirroring session_window's comparison;
+  -- a gap of exactly the 30-min threshold starts a NEW session (half-open
+  -- [start, last+gap) window)
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sno
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM s GROUP BY user_id, sno
+"""
+
+
 QUERIES = {
     "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -729,4 +779,5 @@ QUERIES = {
     "dq_gate": (q_dq_gate, SQL_DQ_GATE),
     "tumbling_hourly_rollup": (q_tumbling_hourly_rollup, SQL_TUMBLING_HOURLY_ROLLUP),
     "session_gap_analysis": (q_session_gap_analysis, SQL_SESSION_GAP_ANALYSIS),
+    "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW_ROLLUP),
 }

@@ -85,3 +85,53 @@ def test_expire_tombstones_preserves_live_rows(spark, replayed):
     expire_tombstones(replayed, horizon_lsn=max_lsn + 1)
     assert read_clean(replayed).count() == live_before
     assert replayed.read().count() == live_before  # tombstones gone
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """Iceberg expire_snapshots analogue: old manifests + their exclusive
+    data files go away; retained snapshots (incl. current) still read; an
+    expired version is no longer time-travelable; fresh unreferenced files
+    survive the orphan grace period."""
+    import os
+
+    feed, tablep = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(
+        n_events=2_000, n_conversations=30, turns_per_conversation=8,
+        delete_pct=5, events_per_chunk=250,
+    ))
+    runner.replay(spark, feed, tablep, chunks_per_batch=1, num_buckets=4,
+                  collect_stats=False)
+    table = LakeTable.load(spark, tablep)
+    hist = table.history()
+    assert len(hist) >= 8  # create + 8 batches
+    before_rows = read_clean(table).count()
+    oldest_kept_away = hist[1].snapshot_id  # an early snapshot, will expire
+
+    res = table.expire_snapshots(keep_last=3)
+    assert res["snapshots_expired"] == len(hist) - 3
+    assert res["files_deleted"] > 0
+
+    hist2 = table.history()
+    assert len(hist2) == 3
+    assert read_clean(table).count() == before_rows  # current unaffected
+    # retained older snapshot still time-travels
+    tt = table.read(snapshot_id=hist2[0].snapshot_id)
+    assert tt.count() >= 0
+    with pytest.raises(KeyError):
+        table.snapshot(oldest_kept_away)
+    # every retained file actually exists on disk
+    for s in hist2:
+        for f in s.all_files():
+            assert os.path.exists(os.path.join(table.path, f)), f
+    # a fresh unreferenced file survives (orphan grace)
+    stray = os.path.join(table.path, "data", "strayfile.parquet")
+    open(stray, "w").close()
+    table.expire_snapshots(keep_last=3)
+    assert os.path.exists(stray)
+    # ...but an aged one is collected
+    os.utime(stray, (1, 1))
+    res3 = table.expire_snapshots(keep_last=3)
+    assert res3["files_deleted"] >= 1 and not os.path.exists(stray)
+    # idempotent re-run
+    res4 = table.expire_snapshots(keep_last=3)
+    assert res4 == {"snapshots_expired": 0, "files_deleted": 0}

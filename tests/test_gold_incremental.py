@@ -1,0 +1,66 @@
+"""Incremental gold materialization (A10 high-water + J3 MERGE at the gold
+layer, the payment_analytics_detailed incremental-model analogue)."""
+
+from __future__ import annotations
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.operators.gold_incremental import (
+    refresh_conversation_summary,
+)
+from credix_data_pipeline_spark.plans.gold import conversation_summary
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+SPEC = FeedSpec(
+    n_events=4_000,
+    n_conversations=60,
+    turns_per_conversation=8,
+    delete_pct=8,
+    duplicate_pct=3,
+    shuffle_window=32,
+    events_per_chunk=500,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_incremental_refresh_matches_full_rebuild(spark, tmp_path):
+    feed, tablep, goldp = (
+        str(tmp_path / "feed"),
+        str(tmp_path / "table"),
+        str(tmp_path / "gold"),
+    )
+    write_feed(spark, feed, SPEC)
+
+    # Phase 1: half the feed -> refresh -> must equal a full rebuild
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  max_batches=2, collect_stats=False)
+    src = LakeTable.load(spark, tablep)
+    res1 = refresh_conversation_summary(src, goldp)
+    assert not res1["skipped"] and res1["refreshed_conversations"] > 0
+    gold = LakeTable.load(spark, goldp)
+    assert _rows(gold.read()) == _rows(conversation_summary(read_clean(src)))
+
+    # Phase 2: rest of the feed (updates + deletes against existing convs)
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+    res2 = refresh_conversation_summary(src, goldp)
+    assert not res2["skipped"]
+    assert res2["source_lsn_hw"] > res1["source_lsn_hw"]
+    assert _rows(gold.read()) == _rows(conversation_summary(read_clean(src)))
+    # uniqueness contract at the gold layer
+    n = gold.read().count()
+    assert gold.read().select("conv_id").distinct().count() == n
+
+    # No-change refresh: P8 short-circuit, no new snapshot
+    v_before = gold.current().version
+    res3 = refresh_conversation_summary(src, goldp)
+    assert res3["skipped"] and gold.current().version == v_before
+
+    # Only delta buckets were rewritten in phase 2 (O(dirty) evidence):
+    # the refresh summary records the pruning set
+    assert set(res2["dirty_buckets"]) <= set(range(8))
