@@ -1391,6 +1391,110 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# text_redaction — PII / sensitive-content scrubbing, the pre-training
+# compliance pass (emails, SSN-shaped ids, plus a configurable sensitive-
+# term list so the operator demonstrably fires on this corpus).  Pure
+# sequential regexp_replace — single projection, whole-stage codegen, no
+# shuffle; patterns stay in the Java-regex ∩ RE2 common subset so the
+# oracle redacts identically.
+# ---------------------------------------------------------------------------
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+SENSITIVE_TERMS = ("customer", "key")  # entity-term redaction list
+_TERMS_RE = "\\b(" + "|".join(SENSITIVE_TERMS) + ")\\b"
+
+
+def q_text_redaction(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # patterns go through F.lit, NOT a SQL-expr string: the SQL parser
+    # would eat '\b' as a backspace escape before the regex engine sees it
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0))
+    )
+    n_ids = F.size(F.regexp_extract_all(F.col("text"), F.lit(SSN_RE), F.lit(0)))
+    n_terms = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_TERMS_RE), F.lit(0))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), SSN_RE, "<ID>"),
+            EMAIL_RE,
+            "<EMAIL>",
+        ),
+        _TERMS_RE,
+        "<ENTITY>",
+    )
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ids.alias("n_ids"),
+        n_terms.alias("n_sensitive_terms"),
+        clean.alias("clean_text"),
+    ).withColumn(
+        "changed",
+        (F.col("n_emails") + F.col("n_ids") + F.col("n_sensitive_terms")) > 0,
+    )
+
+
+SQL_TEXT_REDACTION = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}', 0)) AS n_emails,
+       len(regexp_extract_all(text, '{SSN_RE}', 0)) AS n_ids,
+       len(regexp_extract_all(text, '{_TERMS_RE}', 0)) AS n_sensitive_terms,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{SSN_RE}', '<ID>', 'g'),
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_TERMS_RE}', '<ENTITY>', 'g') AS clean_text,
+       (len(regexp_extract_all(text, '{EMAIL_RE}', 0))
+        + len(regexp_extract_all(text, '{SSN_RE}', 0))
+        + len(regexp_extract_all(text, '{_TERMS_RE}', 0))) > 0 AS changed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# train_test_split — deterministic hash-based split assignment (the
+# held-out-set primitive of every training-data pipeline): the first 4 md5
+# hex digits of the doc id place the doc on a 0..65535 line; fixed
+# thresholds carve train/valid/test at ~80/10/10.  Stable under
+# re-partitioning, re-runs, and corpus growth (a doc's split never changes)
+# — exactly why hash splits beat random splits at 100 TB.
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_MAX = 52428   # floor(0.8 * 65536)
+SPLIT_VALID_MAX = 58981   # floor(0.9 * 65536)
+_H16_DOC = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+)
+
+
+def q_train_test_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = F.expr(
+        _H16_DOC.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    ).cast("int")
+    d = d.withColumn("h16", h)
+    split = (
+        F.when(F.col("h16") < SPLIT_TRAIN_MAX, "train")
+        .when(F.col("h16") < SPLIT_VALID_MAX, "valid")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", "h16", split.alias("split"))
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id, lang, CAST({_H16_DOC} AS INT) AS h16,
+       CASE WHEN {_H16_DOC} < {SPLIT_TRAIN_MAX} THEN 'train'
+            WHEN {_H16_DOC} < {SPLIT_VALID_MAX} THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1408,4 +1512,6 @@ CORPUS_QUERIES = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "text_redaction": (q_text_redaction, SQL_TEXT_REDACTION),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
 }

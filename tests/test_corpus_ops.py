@@ -136,6 +136,37 @@ def test_tfidf_ranks_are_dense_and_deterministic(spark):
             assert r.idf_bp == 500 * 10000 // r.term_df
 
 
+def test_text_redaction_scrubs_sensitive_terms(spark):
+    from credix_data_pipeline_spark.plans.corpus_ops import SENSITIVE_TERMS
+
+    rows = CORPUS_QUERIES["text_redaction"][0](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    fired = [r for r in rows if r.changed]
+    assert fired, "expected sensitive terms to occur in the corpus"
+    for r in rows:
+        for term in SENSITIVE_TERMS:
+            # no bare sensitive token survives redaction
+            assert f" {term} " not in f" {r.clean_text} "
+        if r.n_sensitive_terms:
+            assert "<ENTITY>" in r.clean_text
+
+
+def test_train_test_split_is_deterministic_and_proportional(spark):
+    fn = CORPUS_QUERIES["train_test_split"][0]
+    a = {r.doc_id: r.split for r in fn(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.split for r in fn(spark, SF_DIR).collect()}
+    assert a == b and len(a) == 500  # stable across runs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / 500 < 0.9
+    assert c["valid"] > 0 and c["test"] > 0
+    # growth stability: the split of a doc never depends on other docs
+    sub = {r.doc_id: r.split
+           for r in fn(spark, SF_DIR).filter(F.col("doc_id") < 100).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
 def test_multimodal_features_deterministic_and_typed(spark):
     fn = CORPUS_QUERIES["multimodal_features"][0]
     a = {r.doc_id: (r.n_bytes, r.content_md5, r.width, r.height, r.n_frames)
