@@ -79,6 +79,7 @@ def cmd_replay(args) -> int:
         num_buckets=args.buckets,
         transform=with_normalized_text if not args.no_normalize else None,
         collect_stats=not args.fast,
+        auto_compact_threshold=args.auto_compact,
     )
     print(
         json.dumps(
@@ -219,6 +220,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="skip per-batch stats collection")
         if name == "replay":
             r.add_argument("--chunks-per-batch", type=int, default=4)
+            r.add_argument("--auto-compact", type=int, default=None,
+                           help="compact buckets exceeding N files per batch")
         else:
             r.add_argument("--continuous", action="store_true")
             r.add_argument("--trigger", default="10 seconds")

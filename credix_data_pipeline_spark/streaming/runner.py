@@ -125,6 +125,7 @@ def replay(
     collect_stats: bool = True,
     fail_at_batch: int | None = None,
     archive: bool = False,
+    auto_compact_threshold: int | None = None,
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
 
@@ -137,6 +138,12 @@ def replay(
     fenced; a crash in the checkpoint/archive window leaves a chunk behind
     that no later run reads (pos is already past it) — at-most-once residue,
     never data loss.  Mirrors the reference's landing → archive/ move.
+
+    ``auto_compact_threshold=N`` compacts, after each checkpoint advance,
+    any bucket holding more than N data files — the small-file defense a
+    60 s-rotation feed needs (datastream_streams.tf:75-76) run as part of
+    ingestion instead of a separate maintenance job.  Compaction commits
+    are snapshots like any other: crash-safe, fenced replays unaffected.
     """
     manifest = feed_mod.read_manifest(feed_path)
     chunks: list[str] = manifest["chunks"]
@@ -185,6 +192,15 @@ def replay(
         ckpt.save(pos, batch_id)
         if archive:
             archive_chunks(feed_path, batch_chunks)
+        if auto_compact_threshold:
+            snap = table.current()
+            fat = [
+                int(b)
+                for b, fl in snap.files.items()
+                if len(fl) > auto_compact_threshold
+            ]
+            if fat:
+                table.compact(target_buckets=fat)
         done += 1
     return stats
 
@@ -240,6 +256,20 @@ def stream(
     )
     lineage = LineageLog(table_path)
     dead = quarantine_writer(table_path)
+
+    # ST7: Spark-measured per-batch throughput lands next to the engine's
+    # own lineage rows (idempotent: addListener tolerates duplicates only
+    # if we track it, so keep one per table path on this session)
+    from credix_data_pipeline_spark.streaming.listener import (
+        LineageProgressListener,
+    )
+
+    attached = getattr(spark, "_graft_listeners", {})
+    if table_path not in attached:
+        listener = LineageProgressListener(table_path)
+        spark.streams.addListener(listener)
+        attached[table_path] = listener
+        spark._graft_listeners = attached
 
     reader = (
         spark.readStream.schema(feed_schema)

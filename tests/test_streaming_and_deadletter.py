@@ -135,3 +135,104 @@ def test_quarantine_dir_written_by_replay(spark, tmp_feed, tmp_table, tmp_path):
     apply_batch(t, _events_df(spark, rows), 0, dead_letter=dead)
     failed = os.path.join(tmp_table, runner.FAILED_DIR)
     assert spark.read.parquet(failed).count() == 1
+
+
+def test_auto_compaction_bounds_files_per_bucket(spark, tmp_path):
+    """Replay's auto_compact_threshold collapses buckets fattened by
+    append-mode loads (the S8 small-file accumulation path — CoW merge
+    batches replace their buckets' file sets, so merge alone never
+    accumulates) without changing table contents."""
+    from pyspark.sql import functions as F
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        last_applied_batch_id,
+        read_clean,
+    )
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    spec = FeedSpec(n_events=1_600, n_conversations=30,
+                    turns_per_conversation=8, delete_pct=5,
+                    events_per_chunk=400)
+    feed = str(tmp_path / "feed")
+    write_feed(spark, feed, spec)
+    tablep = str(tmp_path / "table")
+
+    # first half of the feed, no compaction; CoW merge batches replace
+    # their buckets' file sets, so only buckets the feed never touches can
+    # accumulate files
+    runner.replay(spark, feed, tablep, chunks_per_batch=1, num_buckets=64,
+                  max_batches=2, collect_stats=False)
+    table = LakeTable.load(spark, tablep)
+
+    # find a conv_id hashing to a bucket the feed never dirties
+    used = {int(b) for b in table.current().files}
+    cands = spark.range(200).select(
+        F.concat(F.lit("appended-"), F.col("id")).alias("conv_id"),
+        F.pmod(
+            F.xxhash64(F.concat(F.lit("appended-"), F.col("id"))), F.lit(64)
+        ).cast("int").alias("b"),
+    ).collect()
+    free = next(r for r in cands if r["b"] not in used)
+
+    # a parallel append loader drops 1-row files into that bucket
+    base = read_clean(table).limit(1).drop("_lsn")
+    for i in range(4):
+        extra = base.select(
+            F.lit(free["conv_id"]).alias("conv_id"),
+            *[F.col(c) for c in base.columns if c != "conv_id"],
+        ).withColumn("turn_idx", F.lit(1000 + i)).withColumn(
+            "_lsn", F.lit(10_000_000 + i)
+        ).withColumn("_deleted", F.lit(False))
+        table.append(extra.select(*[f.name for f in table.current().schema.fields]))
+    fat_bucket = str(free["b"])
+    assert len(table.current().files[fat_bucket]) == 4
+
+    # rest of the feed with the threshold on -> the fat bucket compacts
+    runner.replay(spark, feed, tablep, chunks_per_batch=1, num_buckets=64,
+                  collect_stats=False, auto_compact_threshold=2)
+    assert len(table.current().files[fat_bucket]) == 1
+    ops = [s.summary.get("operation") for s in table.history()]
+    assert "compact" in ops
+    assert last_applied_batch_id(table) == 3  # 4 batches, fence intact
+    # appended rows survive compaction
+    appended = {
+        (r["conv_id"], r["turn_idx"])
+        for r in read_clean(table)
+        .filter(F.col("conv_id") == free["conv_id"])
+        .collect()
+    }
+    assert appended == {(free["conv_id"], 1000 + i) for i in range(4)}
+
+
+def test_stream_mode_writes_listener_progress(spark, tmp_path):
+    """The Structured Streaming mode attaches a StreamingQueryListener that
+    logs per-batch progress JSON next to the lineage sidecar (ST7)."""
+    import json
+    import os
+    import time
+
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+    from credix_data_pipeline_spark.streaming.listener import PROGRESS_FILE
+
+    feed, table = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(n_events=1_000, n_conversations=20,
+                                     turns_per_conversation=8,
+                                     events_per_chunk=500))
+    q = runner.stream(spark, feed, table, num_buckets=4,
+                      available_now=True, collect_stats=False)
+    q.awaitTermination()
+    progress = os.path.join(table, "_lineage", PROGRESS_FILE)
+    # listener events are delivered asynchronously
+    for _ in range(40):
+        if os.path.exists(progress) and any(
+            json.loads(l)["event"] == "progress"
+            for l in open(progress) if l.strip()
+        ):
+            break
+        time.sleep(0.25)
+    lines = [json.loads(l) for l in open(progress) if l.strip()]
+    prog = [l for l in lines if l["event"] == "progress"]
+    assert prog and sum(p["numInputRows"] for p in prog) >= 1_000
