@@ -70,13 +70,16 @@ ENVELOPE_COLS = ["op", "lsn", "commit_ts"]
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
+        T.StructField("rows_in", T.LongType(), True),
         T.StructField("lsn_min", T.LongType(), True),
         T.StructField("lsn_max", T.LongType(), True),
         T.StructField("snapshot_id", T.LongType(), True),
         T.StructField("rows_applied", T.LongType(), True),
         T.StructField("rows_deduped", T.LongType(), True),
+        T.StructField("rows_quarantined", T.LongType(), True),
         T.StructField("partition_stats", T.StringType(), True),
         T.StructField("wall_ms", T.LongType(), True),
+        T.StructField("note", T.StringType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
     ]
 )
