@@ -235,6 +235,40 @@ class LakeTable:
         # Explicit schema => old files missing late-added columns yield NULL.
         return self.spark.read.schema(snap.schema).parquet(*paths)
 
+    def read_keys(self, bucket_values: list) -> DataFrame:
+        """Key-targeted read: prune the scan to the buckets the given
+        ``bucket_by`` values hash to, then filter to exactly those values.
+
+        The point-/multi-key query path (the reference's BigQuery key
+        lookups): at 10^10 rows a conv_id lookup touches 1 of N bucket file
+        sets instead of the table.  ``bucket_values`` are values of the
+        table's ``bucket_by`` column (single-column bucketing; the common
+        case and this engine's default ``conv_id``).
+        """
+        snap = self.current()
+        if len(snap.bucket_by) != 1:
+            raise ValueError("read_keys supports single-column bucketing")
+        col = snap.bucket_by[0]
+        # bucket ids for the requested values: one tiny spark job over a
+        # literal DF (xxhash64 is a JVM function; never reimplement it
+        # driver-side — drift would silently unprune the wrong bucket)
+        vals_df = self.spark.createDataFrame(
+            [(v,) for v in bucket_values], T.StructType([snap.schema[col]])
+        )
+        buckets = [
+            r["_b"]
+            for r in vals_df.select(
+                F.pmod(F.xxhash64(F.col(col)), F.lit(snap.num_buckets))
+                .cast("int")
+                .alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return self.read(buckets=buckets).filter(
+            F.col(col).isin(list(bucket_values))
+        )
+
     # ---------------------------------------------------------------- write
     def _write_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[str]]:
         """Write df (already carrying BUCKET_COL) under a fresh commit dir.

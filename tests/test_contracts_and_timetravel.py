@@ -135,3 +135,40 @@ def test_expire_snapshots_retention(spark, tmp_path):
     # idempotent re-run
     res4 = table.expire_snapshots(keep_last=3)
     assert res4 == {"snapshots_expired": 0, "files_deleted": 0}
+
+
+def test_read_keys_prunes_to_key_buckets(spark, replayed):
+    """Point-lookup path: read_keys returns exactly the full-scan filter
+    result while scanning only the keys' buckets."""
+    from credix_data_pipeline_spark.operators.apply import read_clean
+
+    some = [r["conv_id"] for r in read_clean(replayed).select("conv_id")
+            .distinct().orderBy("conv_id").limit(3).collect()]
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in replayed.read_keys(some)
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in read_clean(replayed)
+        .filter(F.col("conv_id").isin(some))
+        .collect()
+    )
+    assert got == want and got
+    # pruning evidence: the lookup's input files are a strict subset
+    snap = replayed.current()
+    total_files = sum(len(fl) for fl in snap.files.values())
+    vals = spark.createDataFrame([(c,) for c in some], "conv_id string")
+    buckets = {
+        r["b"]
+        for r in vals.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(snap.num_buckets))
+            .cast("int").alias("b")
+        ).collect()
+    }
+    pruned_files = sum(
+        len(snap.files.get(str(b), [])) for b in buckets
+    )
+    assert pruned_files < total_files
