@@ -1495,6 +1495,67 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_curation — the end-to-end keep/reject decision: exact dedup +
+# quality gate + language filter + split assignment composed into one
+# ordered reject-reason ladder (the reference's P7 DQ ladder,
+# cnpj_ws_clean.sql:14-43, generalized to corpus curation).  All four
+# inputs key on doc_id, so the composition is a co-partitioned 4-way
+# equi-join — one shuffle key end to end.
+# ---------------------------------------------------------------------------
+def q_corpus_curation(spark, sf_dir):
+    dup = q_dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
+    qual = q_text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score", "quality_band"
+    )
+    lang = q_lang_id_ngram(spark, sf_dir).select(
+        "doc_id", "predicted_lang", "is_match"
+    )
+    spl = q_train_test_split(spark, sf_dir).select("doc_id", "split")
+    j = dup.join(qual, "doc_id").join(lang, "doc_id").join(spl, "doc_id")
+    # order-sensitive ladder (F11 contract): first failing rule wins
+    reason = (
+        F.when(F.col("is_dup"), "DUPLICATE")
+        .when(F.col("quality_band") == "REJECT", "LOW_QUALITY")
+        .when(~F.col("is_match"), "LANG_MISMATCH")
+        .otherwise("VALID")
+    )
+    return (
+        j.withColumn("reject_reason", reason)
+        .withColumn("keep", F.col("reject_reason") == "VALID")
+        .select(
+            "doc_id", "quality_score", "predicted_lang", "split",
+            "reject_reason", "keep",
+        )
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH dup AS (SELECT doc_id, is_dup FROM ({SQL_DEDUP_EXACT}) x),
+qual AS (SELECT doc_id, quality_score, quality_band
+         FROM ({SQL_TEXT_QUALITY}) x),
+lang AS (SELECT doc_id, predicted_lang, is_match
+         FROM ({SQL_LANG_ID_NGRAM}) x),
+spl AS (SELECT doc_id, split FROM ({SQL_TRAIN_TEST_SPLIT}) x),
+j AS (
+  SELECT dup.doc_id, dup.is_dup, qual.quality_score, qual.quality_band,
+         lang.predicted_lang, lang.is_match, spl.split
+  FROM dup JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+           JOIN spl USING (doc_id)
+)
+SELECT doc_id, quality_score, predicted_lang, split,
+       CASE WHEN is_dup THEN 'DUPLICATE'
+            WHEN quality_band = 'REJECT' THEN 'LOW_QUALITY'
+            WHEN NOT is_match THEN 'LANG_MISMATCH'
+            ELSE 'VALID' END AS reject_reason,
+       (CASE WHEN is_dup THEN 'DUPLICATE'
+             WHEN quality_band = 'REJECT' THEN 'LOW_QUALITY'
+             WHEN NOT is_match THEN 'LANG_MISMATCH'
+             ELSE 'VALID' END) = 'VALID' AS keep
+FROM j
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1514,4 +1575,5 @@ CORPUS_QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "text_redaction": (q_text_redaction, SQL_TEXT_REDACTION),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
 }

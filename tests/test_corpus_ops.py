@@ -167,6 +167,29 @@ def test_train_test_split_is_deterministic_and_proportional(spark):
     assert all(a[k] == v for k, v in sub.items())
 
 
+def test_corpus_curation_ladder_is_consistent(spark):
+    """The keep/reject decision composes the underlying operators with the
+    P7 first-failing-rule order."""
+    cur = {r.doc_id: r for r in
+           CORPUS_QUERIES["corpus_curation"][0](spark, SF_DIR).collect()}
+    dup = {r.doc_id: r.is_dup for r in
+           CORPUS_QUERIES["dedup_exact"][0](spark, SF_DIR).collect()}
+    lang = {r.doc_id: r.is_match for r in
+            CORPUS_QUERIES["lang_id_ngram"][0](spark, SF_DIR).collect()}
+    band = {r.doc_id: r.quality_band for r in
+            CORPUS_QUERIES["text_quality"][0](spark, SF_DIR).collect()}
+    assert len(cur) == 500
+    for doc, r in cur.items():
+        if dup[doc]:
+            assert r.reject_reason == "DUPLICATE"
+        elif band[doc] == "REJECT":
+            assert r.reject_reason == "LOW_QUALITY"
+        elif not lang[doc]:
+            assert r.reject_reason == "LANG_MISMATCH"
+        else:
+            assert r.reject_reason == "VALID" and r.keep
+
+
 def test_multimodal_features_deterministic_and_typed(spark):
     fn = CORPUS_QUERIES["multimodal_features"][0]
     a = {r.doc_id: (r.n_bytes, r.content_md5, r.width, r.height, r.n_frames)
