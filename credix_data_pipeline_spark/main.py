@@ -169,6 +169,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    df = table.read_keys(args.conv)
+    import pyspark.sql.functions as F
+
+    df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).orderBy(
+        "conv_id", "turn_idx"
+    ).show(n=args.limit, truncate=False)
+    return 0
+
+
 def cmd_gold_refresh(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.gold_incremental import (
@@ -245,6 +259,13 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    lk = sub.add_parser("lookup", help="bucket-pruned key lookup")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--conv", nargs="+", required=True,
+                    help="conversation id(s) to fetch")
+    lk.add_argument("--limit", type=int, default=100)
+    lk.set_defaults(fn=cmd_lookup)
 
     gr = sub.add_parser("gold-refresh", help="incremental gold materialization")
     gr.add_argument("--table", required=True)

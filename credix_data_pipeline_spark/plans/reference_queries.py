@@ -764,6 +764,39 @@ FROM s GROUP BY user_id, sno
 """
 
 
+def q_rollup_daily_by_type(spark, sf_dir):
+    """ROLLUP aggregation (engine extra — the reference has no grouping
+    sets; SURVEY §2.4 'not present' row closed engine-side): per
+    (event_type, day) counts plus per-type subtotals plus the grand total
+    in ONE pass — Spark expands the grouping sets before the partial
+    aggregate, so subtotals ride the same shuffle instead of a second
+    scan at 100 TB."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.col("ts").cast("date"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "day", "gid", "n_events", "n_users", "total_value")
+    )
+
+
+SQL_ROLLUP_DAILY_BY_TYPE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+
 QUERIES = {
     "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -780,4 +813,5 @@ QUERIES = {
     "tumbling_hourly_rollup": (q_tumbling_hourly_rollup, SQL_TUMBLING_HOURLY_ROLLUP),
     "session_gap_analysis": (q_session_gap_analysis, SQL_SESSION_GAP_ANALYSIS),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW_ROLLUP),
+    "rollup_daily_by_type": (q_rollup_daily_by_type, SQL_ROLLUP_DAILY_BY_TYPE),
 }
