@@ -797,6 +797,80 @@ GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
 """
 
 
+KMV_K = 64
+_KMV_SCALE = 16 ** 12  # 2^48: 12 md5 hex digits -> [0, 2^48) integer line
+
+
+def q_approx_distinct_kmv(spark, sf_dir):
+    """Approximate COUNT DISTINCT via a K-minimum-values sketch (engine
+    extra — SURVEY §2.4 lists approx aggs as absent in the reference).
+
+    Native HLL sketches (approx_count_distinct) are engine-specific and can
+    never hash-match an oracle; KMV over md5 is fully deterministic AND
+    portable: both engines hash identically, so the sketch — and therefore
+    the estimate — is bit-identical.  The estimator (K−1)/h₍K₎ runs in
+    exact integer arithmetic ((K−1)·2⁴⁸ DIV kth).  Scale shape: the K-th
+    smallest hash is TakeOrderedAndProject — per-partition top-K then a
+    K-row merge, never a global sort."""
+    e = t(spark, sf_dir, "events")
+    hv = (
+        e.select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+    )
+    # sketch state: the K smallest hashes; below K distinct values the
+    # sketch holds every hash and the count is exact (standard KMV rule)
+    sk = hv.orderBy("h").limit(KMV_K).agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_in_sketch")
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = F.expr(
+        f"CASE WHEN n_in_sketch < {KMV_K} THEN n_in_sketch "
+        f"ELSE ({KMV_K - 1} * CAST({_KMV_SCALE} AS BIGINT)) DIV kth END"
+    )
+    return (
+        sk.crossJoin(exact)
+        .withColumn("k", F.lit(KMV_K).cast("bigint"))
+        .withColumn("est_distinct", est)
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 10000 DIV exact_distinct"
+            ),
+        )
+        .select("k", "kth", "est_distinct", "exact_distinct", "err_bp")
+    )
+
+
+SQL_APPROX_DISTINCT_KMV = f"""
+WITH hv AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h0
+  FROM events
+),
+sk AS (SELECT MAX(h) AS kth, COUNT(*) AS n_in_sketch
+       FROM (SELECT h0 AS h FROM hv ORDER BY h0 LIMIT {KMV_K})),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+est AS (
+  SELECT sk.kth, ex.exact_distinct,
+         CASE WHEN sk.n_in_sketch < {KMV_K} THEN sk.n_in_sketch
+              ELSE ({KMV_K - 1} * CAST({_KMV_SCALE} AS BIGINT)) // sk.kth
+         END AS est_distinct
+  FROM sk CROSS JOIN ex
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k, kth, est_distinct, exact_distinct,
+       ABS(est_distinct - exact_distinct) * 10000 // exact_distinct AS err_bp
+FROM est
+"""
+
+
 QUERIES = {
     "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -814,4 +888,5 @@ QUERIES = {
     "session_gap_analysis": (q_session_gap_analysis, SQL_SESSION_GAP_ANALYSIS),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW_ROLLUP),
     "rollup_daily_by_type": (q_rollup_daily_by_type, SQL_ROLLUP_DAILY_BY_TYPE),
+    "approx_distinct_kmv": (q_approx_distinct_kmv, SQL_APPROX_DISTINCT_KMV),
 }
