@@ -54,6 +54,10 @@ class Snapshot:
     files: dict[str, list[str]]
     summary: dict[str, Any]
     committed_at_ms: int
+    # "cow": MERGE rewrites dirty buckets (read = latest only).  "mor":
+    # MERGE appends delta rows and LWW happens at read/compaction — the
+    # Iceberg copy-on-write vs merge-on-read axis.
+    merge_mode: str = "cow"
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
@@ -81,7 +85,10 @@ class LakeTable:
         key: list[str],
         num_buckets: int = 16,
         bucket_by: list[str] | None = None,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         t = cls(spark, path)
         os.makedirs(t.meta_path, exist_ok=True)
         os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
@@ -95,6 +102,7 @@ class LakeTable:
             num_buckets=num_buckets,
             files={},
             summary={"operation": "create"},
+            merge_mode=merge_mode,
         )
         return t
 
@@ -114,11 +122,14 @@ class LakeTable:
         key: list[str],
         num_buckets: int = 16,
         bucket_by: list[str] | None = None,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
         t = cls(spark, path)
         if t.exists():
             return t
-        return cls.create(spark, path, schema, key, num_buckets, bucket_by)
+        return cls.create(
+            spark, path, schema, key, num_buckets, bucket_by, merge_mode
+        )
 
     def exists(self) -> bool:
         return os.path.isdir(self.meta_path) and bool(self._versions())
@@ -150,6 +161,7 @@ class LakeTable:
             files=m["files"],
             summary=m.get("summary", {}),
             committed_at_ms=m["committed_at_ms"],
+            merge_mode=m.get("merge_mode", "cow"),
         )
 
     def current(self) -> Snapshot:
@@ -176,6 +188,7 @@ class LakeTable:
         num_buckets: int,
         files: dict[str, list[str]],
         summary: dict[str, Any],
+        merge_mode: str | None = None,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
@@ -190,6 +203,8 @@ class LakeTable:
             "files": files,
             "summary": summary,
             "committed_at_ms": int(time.time() * 1000),
+            "merge_mode": merge_mode
+            or (parent.merge_mode if parent else "cow"),
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.meta_path, _manifest_name(version))
@@ -397,20 +412,40 @@ class LakeTable:
             },
         )
 
+    def _lww_collapse(self, df: DataFrame) -> DataFrame:
+        """Collapse multi-version merge-on-read rows to the max-``_lsn``
+        winner per key (same hash-agg shape as the apply core's LWW)."""
+        snap = self.current()
+        cols = [f.name for f in snap.schema.fields]
+        row = F.struct(*[F.col(c) for c in cols])
+        return (
+            df.groupBy(*[F.col(k) for k in snap.key])
+            .agg(F.max_by(row, F.col("_lsn")).alias("_w"))
+            .select("_w.*")
+        )
+
     def compact(self, target_buckets: list[int] | None = None) -> Snapshot:
         """Rewrite each bucket's many small files into one file set
         (Iceberg ``rewrite_data_files`` analogue; small-file defense for the
-        60 s-rotation change feed, datastream_streams.tf:75-76)."""
+        60 s-rotation change feed, datastream_streams.tf:75-76).  On a
+        merge-on-read table compaction ALSO collapses delta versions to the
+        LWW winner per key — the MoR maintenance contract."""
         snap = self.current()
         buckets = (
             [int(b) for b in snap.files]
             if target_buckets is None
             else target_buckets
         )
-        multi = [b for b in buckets if len(snap.files.get(str(b), [])) > 1]
+        if snap.merge_mode == "mor":
+            multi = [b for b in buckets if snap.files.get(str(b))]
+        else:
+            multi = [b for b in buckets if len(snap.files.get(str(b), [])) > 1]
         if not multi:
             return snap
-        df = self.read(buckets=multi).coalesce(max(1, len(multi)))
+        df = self.read(buckets=multi)
+        if snap.merge_mode == "mor":
+            df = self._lww_collapse(df)
+        df = df.coalesce(max(1, len(multi)))
         return self.replace_buckets(multi, df, summary={"operation": "compact"})
 
     def expire_snapshots(

@@ -80,6 +80,7 @@ def cmd_replay(args) -> int:
         transform=with_normalized_text if not args.no_normalize else None,
         collect_stats=not args.fast,
         auto_compact_threshold=args.auto_compact,
+        merge_mode=args.merge_mode,
     )
     print(
         json.dumps(
@@ -108,6 +109,7 @@ def cmd_stream(args) -> int:
         available_now=not args.continuous,
         processing_time=args.trigger,
         collect_stats=not args.fast,
+        merge_mode=args.merge_mode,
     )
     q.awaitTermination()
     return 0
@@ -232,6 +234,9 @@ def build_parser() -> argparse.ArgumentParser:
         r.add_argument("--no-normalize", action="store_true")
         r.add_argument("--fast", action="store_true",
                        help="skip per-batch stats collection")
+        r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                       help="copy-on-write (read-optimized) or "
+                            "merge-on-read (write-optimized) table")
         if name == "replay":
             r.add_argument("--chunks-per-batch", type=int, default=4)
             r.add_argument("--auto-compact", type=int, default=None,

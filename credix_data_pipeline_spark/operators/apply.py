@@ -148,7 +148,9 @@ def apply_batch(
             lineage.record(res, note="fenced-duplicate")
         return res
 
-    key = table.current().key
+    snap0 = table.current()
+    key = snap0.key
+    merge_mode = snap0.merge_mode
     bexpr = table.bucket_expr()
     bad = malformed_condition(key)
 
@@ -202,22 +204,33 @@ def apply_batch(
     if transform is not None:
         events = transform(events)
 
-    existing = table.read(buckets=dirty)
+    # Merge-on-read: the batch's deduped winners APPEND as delta rows —
+    # no read of existing data, no bucket rewrite; LWW against stored rows
+    # happens at read (`read_current`) / compaction.  Ingest cost is
+    # O(batch) even when updates scatter across every bucket — the Iceberg
+    # MoR trade (faster writes, read-side merge) selected per table at
+    # create time.
+    if merge_mode == "mor":
+        ex_side = None
+    else:
+        existing = table.read(buckets=dirty)
 
-    # Align both sides to (payload..., lsn, op, _src) and take the max-lsn
-    # winner per key: cross-batch LWW against the stored `_lsn`, tombstones
-    # included so late lower-LSN updates cannot resurrect deleted turns.
-    ex_side = existing.select(
-        *[F.col(c) for c in payload_cols],
-        F.col("_lsn").alias("lsn"),
-        F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D"))
-        .otherwise(F.lit("E"))
-        .alias("op"),
-        F.lit(_SRC_EXISTING).alias("_src"),
-        # stored rows carry no commit_ts; 0 is fine — the third comparator
-        # field is only reached on (lsn, _src) ties, i.e. event-vs-event
-        F.lit(0).alias("_cts"),
-    )
+        # Align both sides to (payload..., lsn, op, _src) and take the
+        # max-lsn winner per key: cross-batch LWW against the stored
+        # `_lsn`, tombstones included so late lower-LSN updates cannot
+        # resurrect deleted turns.
+        ex_side = existing.select(
+            *[F.col(c) for c in payload_cols],
+            F.col("_lsn").alias("lsn"),
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D"))
+            .otherwise(F.lit("E"))
+            .alias("op"),
+            F.lit(_SRC_EXISTING).alias("_src"),
+            # stored rows carry no commit_ts; 0 is fine — the third
+            # comparator field is only reached on (lsn, _src) ties, i.e.
+            # event-vs-event
+            F.lit(0).alias("_cts"),
+        )
     ev_cols = set(events.columns)
     # commit_ts tie-break (event-vs-event only): a real WAL/binlog LSN is
     # unique, but an at-least-once feed that reuses LSNs must still pick a
@@ -241,7 +254,7 @@ def apply_batch(
         F.lit(_SRC_EVENT).alias("_src"),
         ev_cts.alias("_cts"),
     )
-    combined = ex_side.unionByName(ev_side)
+    combined = ev_side if ex_side is None else ex_side.unionByName(ev_side)
     # W2 + cross-batch LWW in ONE hash aggregation: max_by over (lsn, _src,
     # _cts) picks the newest version per key — within-batch duplicates, the
     # stored row, and tombstones all compete in the same comparator.  A hash
@@ -304,16 +317,18 @@ def apply_batch(
         .drop("_wb", "_ws")
     )
 
-    new_snap = table.replace_buckets(
-        dirty,
-        out,
-        summary={
-            "batch_id": batch_id,
-            "lsn_min": res.lsn_min,
-            "lsn_max": res.lsn_max,
-            "rows_applied": res.rows_applied,
-        },
-    )
+    batch_summary = {
+        "batch_id": batch_id,
+        "lsn_min": res.lsn_min,
+        "lsn_max": res.lsn_max,
+        "rows_applied": res.rows_applied,
+    }
+    if merge_mode == "mor":
+        # delta append: existing files stay; the fence rides this commit's
+        # summary exactly like a CoW merge commit
+        new_snap = table.append(out, summary=batch_summary)
+    else:
+        new_snap = table.replace_buckets(dirty, out, summary=batch_summary)
     res.snapshot_id = new_snap.snapshot_id
 
     if collect_stats:
@@ -328,9 +343,33 @@ def apply_batch(
     return res
 
 
+def read_current(
+    table: LakeTable,
+    snapshot_id: int | None = None,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Current row versions (tombstones still present).
+
+    CoW tables store exactly one version per key, so this is the plain
+    read.  Merge-on-read tables store the base row plus appended deltas;
+    here the LWW collapse (max ``_lsn`` per key — the same hash-agg shape
+    as the write-side merge) happens at read, which is the MoR contract.
+    Same-LSN verbatim duplicates collapse to an identical row either way;
+    within-batch conflicts were already resolved by commit_ts before the
+    delta was written.
+    """
+    df = table.read(snapshot_id=snapshot_id, buckets=buckets)
+    snap = (
+        table.snapshot(snapshot_id) if snapshot_id else table.current()
+    )
+    if snap.merge_mode == "mor":
+        df = table._lww_collapse(df)
+    return df
+
+
 def read_clean(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
     """Public view of the target: tombstones and bookkeeping filtered out."""
-    df = table.read(snapshot_id=snapshot_id)
+    df = read_current(table, snapshot_id=snapshot_id)
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from credix_data_pipeline_spark.lakehouse.table import LakeTable
+from credix_data_pipeline_spark.operators.apply import read_current
 from credix_data_pipeline_spark.plans.gold import conversation_summary
 
 
@@ -83,7 +84,11 @@ def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
     # backfill-sized one becomes a shuffle semi-join — both keyed, never
     # a cartesian.
     touched = delta.select("conv_id").distinct()
-    affected = _clean(src.read(buckets=dirty)).join(touched, "conv_id", "semi")
+    # read_current: on a merge-on-read source, collapse delta versions to
+    # the LWW winner before aggregating (a CoW source reads through as-is)
+    affected = _clean(read_current(src, buckets=dirty)).join(
+        touched, "conv_id", "semi"
+    )
     new_rows = conversation_summary(affected)
 
     carried = gold.read(buckets=dirty).join(touched, "conv_id", "anti")

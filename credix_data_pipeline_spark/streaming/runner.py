@@ -126,6 +126,7 @@ def replay(
     fail_at_batch: int | None = None,
     archive: bool = False,
     auto_compact_threshold: int | None = None,
+    merge_mode: str = "cow",
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
 
@@ -158,6 +159,7 @@ def replay(
         key=["conv_id", "turn_idx"],
         num_buckets=num_buckets,
         bucket_by=["conv_id"],
+        merge_mode=merge_mode,
     )
     lineage = LineageLog(table_path)
     dead = quarantine_writer(table_path)
@@ -234,6 +236,7 @@ def stream(
     processing_time: str = "10 seconds",
     write_salt: int = 4,
     collect_stats: bool = True,
+    merge_mode: str = "cow",
 ):
     """Structured Streaming mode: readStream file source → foreachBatch MERGE.
 
@@ -253,6 +256,7 @@ def stream(
         key=["conv_id", "turn_idx"],
         num_buckets=num_buckets,
         bucket_by=["conv_id"],
+        merge_mode=merge_mode,
     )
     lineage = LineageLog(table_path)
     dead = quarantine_writer(table_path)
