@@ -375,8 +375,17 @@ def read_clean(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
 
 def expire_tombstones(table: LakeTable, horizon_lsn: int) -> None:
     """Drop tombstones whose delete LSN is older than the reorder horizon
-    (safe once no in-flight event can carry a lower LSN), then compact."""
+    (safe once no in-flight event can carry a lower LSN), then compact.
+
+    On a merge-on-read table the delta versions must collapse FIRST:
+    dropping a tombstone while a lower-LSN pre-delete version still sits in
+    an older delta file would resurrect the deleted row at read time.
+    ``compact()`` is exactly that collapse.
+    """
     snap = table.current()
+    if snap.merge_mode == "mor":
+        table.compact()
+        snap = table.current()
     buckets = [int(b) for b in snap.files]
     if not buckets:
         return

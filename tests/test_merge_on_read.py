@@ -104,3 +104,32 @@ def test_mor_compact_collapses_versions(spark, tmp_path):
     assert dup_keys == 0
     # incremental ingest continues after compaction (fence intact)
     assert last_applied_batch_id(table) is not None
+
+
+def test_mor_expire_tombstones_cannot_resurrect(spark, tmp_path):
+    """Tombstone expiry on MoR collapses delta versions first — dropping a
+    tombstone must never expose the lower-LSN pre-delete version."""
+    from datetime import datetime, timezone
+
+    from credix_data_pipeline_spark.operators.apply import expire_tombstones
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+        merge_mode="mor",
+    )
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    # batch 0: insert (lsn 1); batch 1: delete (lsn 2)
+    ins = spark.createDataFrame(
+        [("I", 1, base, "c0", 0, "user", "hello", None, base)], CHANGE_SCHEMA)
+    dele = spark.createDataFrame(
+        [("D", 2, base, "c0", 0, None, None, None, None)], CHANGE_SCHEMA)
+    apply_batch(table, ins, 0, collect_stats=False)
+    apply_batch(table, dele, 1, collect_stats=False)
+    assert read_clean(table).count() == 0
+
+    expire_tombstones(table, horizon_lsn=10)
+    # the pre-delete version must NOT come back, and the tombstone is gone
+    assert read_clean(table).count() == 0
+    assert table.read().count() == 0
