@@ -280,9 +280,12 @@ class LakeTable:
             .distinct()
             .collect()
         ]
-        return self.read(buckets=buckets).filter(
+        out = self.read(buckets=buckets).filter(
             F.col(col).isin(list(bucket_values))
         )
+        if snap.merge_mode == "mor":
+            out = self._lww_collapse(out)  # current version per key
+        return out
 
     # ---------------------------------------------------------------- write
     def _write_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[str]]:

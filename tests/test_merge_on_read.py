@@ -133,3 +133,28 @@ def test_mor_expire_tombstones_cannot_resurrect(spark, tmp_path):
     # the pre-delete version must NOT come back, and the tombstone is gone
     assert read_clean(table).count() == 0
     assert table.read().count() == 0
+
+
+def test_mor_read_keys_returns_current_versions(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    write_feed(spark, feed, FeedSpec(n_events=2_000, n_conversations=20,
+                                     turns_per_conversation=8,
+                                     duplicate_pct=5, events_per_chunk=500))
+    mor = str(tmp_path / "mor")
+    runner.replay(spark, feed, mor, chunks_per_batch=1, num_buckets=4,
+                  collect_stats=False, merge_mode="mor")
+    table = LakeTable.load(spark, mor)
+    conv = read_clean(table).select("conv_id").first()["conv_id"]
+    got = table.read_keys([conv])
+    # exactly one version per key, matching the collapsed clean read
+    per_key = got.groupBy("conv_id", "turn_idx").count().filter("count > 1")
+    assert per_key.count() == 0
+    want = sorted(
+        (r["turn_idx"], r["text"]) for r in read_clean(table)
+        .filter(F.col("conv_id") == conv).collect()
+    )
+    have = sorted(
+        (r["turn_idx"], r["text"]) for r in got
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False))).collect()
+    )
+    assert have == want
