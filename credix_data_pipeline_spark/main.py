@@ -25,6 +25,8 @@ Subcommands:
 * ``gold-refresh`` — incrementally maintain a gold summary LakeTable
                   (A10 high-water + per-bucket CoW MERGE, the dbt
                   incremental-model analogue)
+* ``validate``  — run the data contracts (unique key, not-null, accepted
+                  values) and exit non-zero on violations (dbt-test analogue)
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
 * ``expire``    — retention: expire old snapshots + collect orphan files
                   (Iceberg expire_snapshots / the reference's GCS lifecycle
@@ -197,6 +199,17 @@ def cmd_gold_refresh(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.contracts import validate
+
+    spark = _spark(args)
+    report = validate(LakeTable.load(spark, args.table))
+    print(json.dumps(report, sort_keys=True))
+    # non-zero exit on violations, like `dbt build` failing a schema test
+    return 0 if report["passed"] else 1
+
+
 def cmd_expire(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -276,6 +289,10 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--table", required=True)
     gr.add_argument("--gold", required=True)
     gr.set_defaults(fn=cmd_gold_refresh)
+
+    v = sub.add_parser("validate", help="run data contracts (dbt-test analogue)")
+    v.add_argument("--table", required=True)
+    v.set_defaults(fn=cmd_validate)
 
     e = sub.add_parser("expire", help="expire old snapshots (retention)")
     e.add_argument("--table", required=True)

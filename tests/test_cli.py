@@ -42,3 +42,39 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     snap = json.loads(out)
     assert snap["version"] > 1
     assert read_clean(LakeTable.load(spark, table)).count() == n_before
+
+
+def test_cli_validate_contracts(spark, tmp_path, capsys):
+    """`validate` passes on a clean replay and fails (exit 1) once a
+    contract is violated."""
+    import json
+
+    from credix_data_pipeline_spark import main as cli
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    feed, table = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(n_events=1_000, n_conversations=20,
+                                     turns_per_conversation=8,
+                                     events_per_chunk=500))
+    runner.replay(spark, feed, table, chunks_per_batch=1, num_buckets=4,
+                  collect_stats=False)
+    assert cli.main(["--master", "local[2]", "validate", "--table", table]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["passed"] and all(v == 0 for v in rep["violations"].values())
+
+    # inject a bad row (invalid role, duplicate key) via raw append
+    t = LakeTable.load(spark, table)
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    import pyspark.sql.functions as F
+
+    bad = (read_clean(t).limit(1)
+           .withColumn("role", F.lit("robot"))
+           .withColumn("_lsn", F.col("_lsn") + 1)
+           .withColumn("_deleted", F.lit(False)))
+    t.append(bad.select(*[f.name for f in t.current().schema.fields]))
+    assert cli.main(["--master", "local[2]", "validate", "--table", table]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["violations"]["accepted_role"] == 1
+    assert rep["violations"]["unique_key"] == 1
