@@ -285,6 +285,8 @@ class LakeTable:
         )
         if snap.merge_mode == "mor":
             out = self._lww_collapse(out)  # current version per key
+            if "_seq" in out.columns:  # MoR-internal tie-break column
+                out = out.drop("_seq")
         return out
 
     # ---------------------------------------------------------------- write
@@ -416,16 +418,42 @@ class LakeTable:
         )
 
     def _lww_collapse(self, df: DataFrame) -> DataFrame:
-        """Collapse multi-version merge-on-read rows to the max-``_lsn``
-        winner per key (same hash-agg shape as the apply core's LWW)."""
+        """Collapse multi-version merge-on-read rows to the LWW winner per
+        key (same hash-agg shape as the apply core's LWW).
+
+        Tie-break mirrors the CoW write path: on an ``_lsn`` tie (an
+        at-least-once feed reusing an LSN across batches with differing
+        payloads) the row from the LATER batch wins — MoR delta rows persist
+        the batch ordinal as ``_seq`` for exactly this comparator, so CoW and
+        MoR replays of the same feed stay byte-equal (ADVICE r2)."""
         snap = self.current()
         cols = [f.name for f in snap.schema.fields]
         row = F.struct(*[F.col(c) for c in cols])
+        order = (
+            F.struct(F.col("_lsn"), F.coalesce(F.col("_seq"), F.lit(-1)))
+            if "_seq" in cols
+            else F.col("_lsn")
+        )
         return (
             df.groupBy(*[F.col(k) for k in snap.key])
-            .agg(F.max_by(row, F.col("_lsn")).alias("_w"))
+            .agg(F.max_by(row, order).alias("_w"))
             .select("_w.*")
         )
+
+    def carry_fence(self) -> dict[str, Any]:
+        """Fence / high-water summary keys from the newest commits that set
+        them.  Maintenance commits (compact, expire-tombstones) merge this
+        into their own summary so retention can never bury the exactly-once
+        fence or an incremental model's high-water (ADVICE r2)."""
+        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw")
+        out: dict[str, Any] = {}
+        for snap in reversed(self.history()):
+            for k in want:
+                if k in snap.summary and k not in out:
+                    out[k] = snap.summary[k]
+            if "batch_id" in out and "source_lsn_hw" in out:
+                break
+        return out
 
     def compact(self, target_buckets: list[int] | None = None) -> Snapshot:
         """Rewrite each bucket's many small files into one file set
@@ -449,7 +477,9 @@ class LakeTable:
         if snap.merge_mode == "mor":
             df = self._lww_collapse(df)
         df = df.coalesce(max(1, len(multi)))
-        return self.replace_buckets(multi, df, summary={"operation": "compact"})
+        return self.replace_buckets(
+            multi, df, summary={**self.carry_fence(), "operation": "compact"}
+        )
 
     def expire_snapshots(
         self,
@@ -475,7 +505,18 @@ class LakeTable:
         versions = self._versions()
         if not versions:
             return {"snapshots_expired": 0, "files_deleted": 0}
-        cutoff = versions[-max(1, keep_last) :]
+        cutoff = set(versions[-max(1, keep_last) :])
+        # Never expire the newest manifest carrying the exactly-once fence
+        # (batch_id) or an incremental high-water (source_lsn_hw): if
+        # >= keep_last maintenance commits follow the last merge, dropping it
+        # would silently reset ``last_applied_batch_id`` (ADVICE r2).
+        # Maintenance commits carry the fence forward (``carry_fence``), so
+        # in the steady state this protects a manifest already in ``cutoff``.
+        for key in ("batch_id", "source_lsn_hw"):
+            for v in reversed(versions):
+                if key in self._read_manifest(v).summary:
+                    cutoff.add(v)
+                    break
         expire: list[int] = []
         for v in versions:
             if v in cutoff:

@@ -197,6 +197,13 @@ def apply_batch(
 
     # --- in-flight evolution before any column alignment.
     _evolve_if_needed(table, events)
+    if merge_mode == "mor" and "_seq" not in {
+        f.name for f in table.current().schema.fields
+    }:
+        # MoR delta rows persist the batch ordinal: the `_lsn`-tie LWW
+        # comparator at read/compaction (mirrors the CoW `_src` tie-break —
+        # a later batch's row beats an earlier one on equal LSN).
+        table.add_columns([T.StructField("_seq", T.LongType(), True)])
     snap = table.current()
     out_cols = [f.name for f in snap.schema.fields]
     payload_cols = [c for c in out_cols if c not in ENGINE_COLS]
@@ -309,6 +316,8 @@ def apply_batch(
     # skew split is unavailable.  Strictly better than a fixed-width
     # repartition at both ends of the scale.
     out = result.drop("_src")
+    if merge_mode == "mor":
+        out = out.withColumn("_seq", F.lit(batch_id).cast("long"))
     salt = F.pmod(F.xxhash64(*key), F.lit(max(1, write_salt)))
     out = (
         out.withColumn("_wb", bexpr)
@@ -364,6 +373,8 @@ def read_current(
     )
     if snap.merge_mode == "mor":
         df = table._lww_collapse(df)
+        if "_seq" in df.columns:  # MoR-internal tie-break, not a user column
+            df = df.drop("_seq")
     return df
 
 
@@ -395,7 +406,11 @@ def expire_tombstones(table: LakeTable, horizon_lsn: int) -> None:
             & (F.col("_lsn") < F.lit(horizon_lsn))
         )
     )
-    table.replace_buckets(buckets, df, summary={"operation": "expire-tombstones"})
+    table.replace_buckets(
+        buckets,
+        df,
+        summary={**table.carry_fence(), "operation": "expire-tombstones"},
+    )
 
 
 def partition_stats_json(stats: dict[str, int]) -> str:

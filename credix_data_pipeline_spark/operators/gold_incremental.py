@@ -60,6 +60,22 @@ def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
         bucket_by=["conv_id"],
     )
 
+    gsnap = gold.current()
+    if (
+        gsnap.num_buckets != snap.num_buckets
+        or gsnap.bucket_by != snap.bucket_by
+        or snap.bucket_by != ["conv_id"]
+    ):
+        # A pre-existing gold table with a different bucket layout would make
+        # the per-bucket CoW swap (keyed by the SOURCE bucket function) drop
+        # or duplicate summary rows — fail loudly instead (ADVICE r2).
+        raise ValueError(
+            "gold table bucket layout mismatch: source has "
+            f"{snap.num_buckets} buckets by {snap.bucket_by}, gold has "
+            f"{gsnap.num_buckets} by {gsnap.bucket_by}; recreate the gold "
+            "table with the source's bucket spec"
+        )
+
     hw = _gold_highwater(gold)
     delta = src.read().filter(F.col("_lsn") > F.lit(hw))
 

@@ -90,7 +90,9 @@ def payload_fields(change_schema: T.StructType) -> list[T.StructField]:
     return [f for f in change_schema.fields if f.name not in ENVELOPE_COLS]
 
 
-ENGINE_COLS = ["_lsn", "_deleted"]
+# `_seq` exists only on merge-on-read tables: the batch ordinal persisted
+# with each delta row, the LWW tie-break on `_lsn` ties (ADVICE r2).
+ENGINE_COLS = ["_lsn", "_deleted", "_seq"]
 
 
 def target_schema_for(change_schema: T.StructType) -> T.StructType:

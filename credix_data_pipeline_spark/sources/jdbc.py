@@ -70,6 +70,8 @@ def watermark_query(
     ``limit`` mirrors the reference's (commented) safety cap
     (cnpj_assets.py:46).
     """
+    if not watermark_cols:
+        raise ValueError("watermark_cols must name at least one column")
     cols = ", ".join(_q(c) for c in columns)
     wm = _lit_ts(watermark)
     pred = " OR ".join(f"{_q(c)} > {wm}" for c in watermark_cols)
@@ -91,6 +93,8 @@ def greatest_watermark_query(
     """The installments-shaped delta query:
     ``GREATEST(COALESCE(c1, epoch), COALESCE(c2, epoch), ...) > wm`` (S2/P3).
     """
+    if not nullable_date_cols:
+        raise ValueError("nullable_date_cols must name at least one column")
     cols = ", ".join(_q(c) for c in columns)
     coalesced = ", ".join(
         f"COALESCE({_q(c)}, {_lit_ts(epoch)})" for c in nullable_date_cols
@@ -130,6 +134,12 @@ class JdbcWatermarkSource:
             "fetchsize": str(self.fetchsize),
         }
         if self.partition_column is not None:
+            if self.lower_bound is None or self.upper_bound is None:
+                # fail here, not at an opaque JDBC load-time parse of 'None'
+                raise ValueError(
+                    "partition_column requires both lower_bound and "
+                    "upper_bound (Spark JDBC partitioned-read contract)"
+                )
             opts.update(
                 {
                     "partitionColumn": self.partition_column,

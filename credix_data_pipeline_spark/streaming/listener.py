@@ -17,7 +17,10 @@ import os
 
 from pyspark.sql.streaming import StreamingQueryListener
 
-PROGRESS_FILE = "stream_progress.jsonl"
+# Underscore prefix: Spark's file listing hides `_`-prefixed entries, so the
+# progress log can live inside `_lineage/` without poisoning
+# ``LineageLog.read``'s ``spark.read.parquet`` over that directory.
+PROGRESS_FILE = "_stream_progress.jsonl"
 
 
 class LineageProgressListener(StreamingQueryListener):

@@ -236,3 +236,11 @@ def test_stream_mode_writes_listener_progress(spark, tmp_path):
     lines = [json.loads(l) for l in open(progress) if l.strip()]
     prog = [l for l in lines if l["event"] == "progress"]
     assert prog and sum(p["numInputRows"] for p in prog) >= 1_000
+
+    # regression (ADVICE r2): the progress log lives inside _lineage/ but is
+    # `_`-prefixed, so every parquet read of the lineage sidecar still works
+    from credix_data_pipeline_spark.streaming.lineage import LineageLog
+
+    lin = LineageLog(table)
+    assert lin.read(spark).count() >= 1
+    assert lin.throughput(spark)["events_in"] >= 1_000
