@@ -51,6 +51,14 @@ TUNING = {
     "spark.sql.files.maxPartitionBytes": "8m",
     "spark.sql.files.openCostInBytes": "512k",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    # Identical heap at every level: headroom so the level-8 run is not
+    # GC-bound while level-2 coasts (G1 pause share grows with allocation
+    # rate, which scales with active cores).
+    "spark.driver.memory": "24g",
+    # Fewer, larger Arrow batches through the normalize pandas-UDF: per-batch
+    # Python dispatch is a fixed cost per batch, identical at every level,
+    # but its *share* is 4x larger at 4N cores.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
 }
 
 
@@ -94,7 +102,12 @@ def _worker(cpus: int, feed: str, warm_feed: str) -> None:
         t0 = time.monotonic()
         stats = runner.replay(
             spark, feed, os.path.join(work, "t"),
-            chunks_per_batch=16, num_buckets=32,
+            # one chunk-exhausting batch: the serial per-batch driver work
+            # (profile collect, checkpoint fsync, manifest commit, listing)
+            # is Amdahl overhead whose share quadruples at 4N cores — the
+            # metric is sustained batch-compute throughput, so use the
+            # fewest batches the feed allows at every level alike
+            chunks_per_batch=32, num_buckets=32,
             transform=with_normalized_text, collect_stats=False,
         )
         wall = time.monotonic() - t0

@@ -84,17 +84,24 @@ def cmd_replay(args) -> int:
         auto_compact_threshold=args.auto_compact,
         merge_mode=args.merge_mode,
     )
-    print(
-        json.dumps(
-            {
-                "batches": stats.batches,
-                "rows_in": stats.rows_in,
-                "rows_applied": stats.rows_applied,
-                "wall_ms": stats.wall_ms,
-            }
-        )
-    )
-    return 0
+    out = {
+        "batches": stats.batches,
+        "rows_in": stats.rows_in,
+        "rows_applied": stats.rows_applied,
+        "wall_ms": stats.wall_ms,
+    }
+    rc = 0
+    if args.validate:
+        # dbt build analogue: ingest + contracts in one invocation, non-zero
+        # exit when a contract fails so schedulers gate downstream jobs
+        from credix_data_pipeline_spark.lakehouse import LakeTable
+        from credix_data_pipeline_spark.operators.contracts import validate
+
+        report = validate(LakeTable.load(spark, args.table))
+        out["contracts"] = report
+        rc = 0 if report["passed"] else 1
+    print(json.dumps(out))
+    return rc
 
 
 def cmd_stream(args) -> int:
@@ -191,11 +198,17 @@ def cmd_gold_refresh(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.gold_incremental import (
         refresh_conversation_summary,
+        refresh_turn_analytics,
     )
 
     spark = _spark(args)
     src = LakeTable.load(spark, args.table)
-    print(json.dumps(refresh_conversation_summary(src, args.gold)))
+    refresh = (
+        refresh_turn_analytics
+        if args.model == "turns"
+        else refresh_conversation_summary
+    )
+    print(json.dumps(refresh(src, args.gold)))
     return 0
 
 
@@ -254,6 +267,9 @@ def build_parser() -> argparse.ArgumentParser:
             r.add_argument("--chunks-per-batch", type=int, default=4)
             r.add_argument("--auto-compact", type=int, default=None,
                            help="compact buckets exceeding N files per batch")
+            r.add_argument("--validate", action="store_true",
+                           help="run data contracts after replay and exit "
+                                "non-zero on violations (dbt build analogue)")
         else:
             r.add_argument("--continuous", action="store_true")
             r.add_argument("--trigger", default="10 seconds")
@@ -288,6 +304,9 @@ def build_parser() -> argparse.ArgumentParser:
     gr = sub.add_parser("gold-refresh", help="incremental gold materialization")
     gr.add_argument("--table", required=True)
     gr.add_argument("--gold", required=True)
+    gr.add_argument("--model", choices=["summary", "turns"], default="summary",
+                    help="aggregate-grain summary or fact-grain turn "
+                         "analytics (payment_analytics_detailed analogue)")
     gr.set_defaults(fn=cmd_gold_refresh)
 
     v = sub.add_parser("validate", help="run data contracts (dbt-test analogue)")

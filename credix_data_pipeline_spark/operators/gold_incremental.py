@@ -1,26 +1,32 @@
 """Incremental gold materialization (SURVEY §3.2 / A10 + J3 at the gold
 layer).
 
-The reference's ``payment_analytics_detailed`` is a dbt *incremental* model:
-each run processes only source rows past the stored high-water
-(``where _loaded_at > (select max(_loaded_at) from {{this}})``,
-dbt/business_case/models/gold/payment_analytics_detailed.sql:39-41) and
-MERGEs them on the unique key.  This module is the engine equivalent — it
-maintains a gold ``conversation_summary`` LakeTable from the transcripts
-LakeTable incrementally:
+The reference has TWO incremental gold models: the aggregate-grain
+``company_payment_summary`` and the fact-grain ``payment_analytics_detailed``
+(each run processes only source rows past the stored high-water,
+``where _loaded_at > (select max(_loaded_at) from {{this}})``,
+dbt/business_case/models/gold/payment_analytics_detailed.sql:39-41, and
+MERGEs them on the model's unique key).  This module maintains the engine
+equivalents of both from the transcripts LakeTable:
+
+* ``refresh_conversation_summary`` — per-conversation aggregate (the
+  company_payment_summary analogue);
+* ``refresh_turn_analytics`` — per-turn detail keyed on the fact's
+  composite key (the payment_analytics_detailed analogue; a deleted turn's
+  gold row disappears, the MERGE-DELETE arm).
+
+Shared mechanics (``_refresh``):
 
 * **delta detection** — transcripts rows with ``_lsn`` greater than the
   high-water stored in the gold table's own snapshot summary (no extra
   state store; the fence rides the atomic commit, like the apply core);
-* **scoped recompute** — only conversations touched by the delta are
-  re-aggregated, and because ``conv_id`` is the bucket key on BOTH tables
-  (same bucket function, same bucket count) the source read, the gold read,
-  and the gold rewrite all prune to the delta's buckets — O(dirty), not
-  O(table), end to end;
-* **apply** — per-bucket copy-on-write: untouched conversations' summary
-  rows are carried over, touched conversations get their freshly aggregated
-  rows (which also drops conversations whose every turn was deleted) — the
-  J3 MERGE analogue at the gold layer.
+* **scoped recompute** — only scope keys touched by the delta are
+  re-derived, and because ``conv_id`` is the bucket key on BOTH tables
+  (same bucket function, same bucket count — enforced) the source read,
+  the gold read, and the gold rewrite all prune to the delta's buckets —
+  O(dirty), not O(table), end to end;
+* **apply** — per-bucket copy-on-write: untouched keys' gold rows are
+  carried over, touched keys get freshly derived rows.
 
 A refresh after no source changes is a no-op (P8 short-circuit): no new
 snapshot is committed.
@@ -28,11 +34,16 @@ snapshot is committed.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, functions as F
 
 from credix_data_pipeline_spark.lakehouse.table import LakeTable
 from credix_data_pipeline_spark.operators.apply import read_current
-from credix_data_pipeline_spark.plans.gold import conversation_summary
+from credix_data_pipeline_spark.plans.gold import (
+    conversation_summary,
+    turn_analytics,
+)
 
 
 def _clean(df: DataFrame) -> DataFrame:
@@ -46,20 +57,25 @@ def _gold_highwater(gold: LakeTable) -> int:
     return -1
 
 
-def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
-    """Incrementally refresh the gold summary table; returns refresh stats."""
+def _refresh(
+    src: LakeTable,
+    gold_path: str,
+    plan: Callable[[DataFrame], DataFrame],
+    scope_cols: list[str],
+    gold_key: list[str],
+    count_key: str,
+) -> dict:
     spark = src.spark
     snap = src.current()
-    gold_schema = conversation_summary(_clean(src.read().limit(0))).schema
+    gold_schema = plan(_clean(src.read().limit(0))).schema
     gold = LakeTable.create_if_not_exists(
         spark,
         gold_path,
         gold_schema,
-        key=["conv_id"],
+        key=gold_key,
         num_buckets=snap.num_buckets,
         bucket_by=["conv_id"],
     )
-
     gsnap = gold.current()
     if (
         gsnap.num_buckets != snap.num_buckets
@@ -68,7 +84,7 @@ def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
     ):
         # A pre-existing gold table with a different bucket layout would make
         # the per-bucket CoW swap (keyed by the SOURCE bucket function) drop
-        # or duplicate summary rows — fail loudly instead (ADVICE r2).
+        # or duplicate gold rows — fail loudly instead (ADVICE r2).
         raise ValueError(
             "gold table bucket layout mismatch: source has "
             f"{snap.num_buckets} buckets by {snap.bucket_by}, gold has "
@@ -88,7 +104,7 @@ def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
     )
     if not prof:
         return {
-            "refreshed_conversations": 0,
+            count_key: 0,
             "dirty_buckets": [],
             "source_lsn_hw": hw,
             "skipped": True,
@@ -96,18 +112,19 @@ def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
     dirty = sorted(r["_b"] for r in prof)
     new_hw = max(r["hi"] for r in prof)
 
-    # Join strategy left to AQE: a small delta's conv list broadcasts, a
+    # Join strategy left to AQE: a small delta's key list broadcasts, a
     # backfill-sized one becomes a shuffle semi-join — both keyed, never
-    # a cartesian.
-    touched = delta.select("conv_id").distinct()
+    # a cartesian.  ``touched`` includes tombstoned keys, so a delete drops
+    # the key's gold row (it is absent from the clean recompute).
+    touched = delta.select(*scope_cols).distinct()
     # read_current: on a merge-on-read source, collapse delta versions to
-    # the LWW winner before aggregating (a CoW source reads through as-is)
+    # the LWW winner before deriving (a CoW source reads through as-is)
     affected = _clean(read_current(src, buckets=dirty)).join(
-        touched, "conv_id", "semi"
+        touched, scope_cols, "semi"
     )
-    new_rows = conversation_summary(affected)
+    new_rows = plan(affected)
 
-    carried = gold.read(buckets=dirty).join(touched, "conv_id", "anti")
+    carried = gold.read(buckets=dirty).join(touched, scope_cols, "anti")
     out = carried.unionByName(new_rows)
     gold.replace_buckets(
         dirty,
@@ -116,8 +133,33 @@ def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
     )
     n = touched.count()
     return {
-        "refreshed_conversations": n,
+        count_key: n,
         "dirty_buckets": dirty,
         "source_lsn_hw": int(new_hw),
         "skipped": False,
     }
+
+
+def refresh_conversation_summary(src: LakeTable, gold_path: str) -> dict:
+    """Incrementally refresh the per-conversation gold summary table."""
+    return _refresh(
+        src,
+        gold_path,
+        conversation_summary,
+        scope_cols=["conv_id"],
+        gold_key=["conv_id"],
+        count_key="refreshed_conversations",
+    )
+
+
+def refresh_turn_analytics(src: LakeTable, gold_path: str) -> dict:
+    """Incrementally refresh the per-turn gold analytics table (fact grain,
+    MERGE on the composite key — payment_analytics_detailed analogue)."""
+    return _refresh(
+        src,
+        gold_path,
+        turn_analytics,
+        scope_cols=["conv_id", "turn_idx"],
+        gold_key=["conv_id", "turn_idx"],
+        count_key="refreshed_turns",
+    )

@@ -138,6 +138,216 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# cdc_transcripts_e2e — the transcript-feed engine demo, now with a FULL
+# DuckDB oracle (VERDICT r2 "Next round" #1).  The synthetic feed is pure
+# multiply/mod arithmetic (sources/feed.py:103-162), so the final lakehouse
+# state — LWW winner per (conv_id, turn_idx) by LSN, tombstones dropped,
+# text normalized — and the gold conversation summary over it are exactly
+# expressible in ANSI SQL over ``range(0, n_events)``:
+#
+# * winner per key  = MAX(e) (lsn = e+1 is monotone in e; verbatim
+#   duplicates share lsn AND payload, so they never change the winner)
+# * chunk jitter / batching / in-flight ``tool_meta`` evolution don't appear
+#   in the summary, so the oracle is independent of the replay's batch plan
+# * text normalization (NFC + whitespace-collapse + strip) distributes over
+#   the single-space word join: the oracle embeds each word's PRE-normalized
+#   form (computed by the same ``normalize_text_py`` the pandas UDF is
+#   pinned to) and joins with single spaces
+# ---------------------------------------------------------------------------
+TRANSCRIPTS_SPEC_KW = dict(
+    n_events=4_000,
+    n_conversations=50,
+    turns_per_conversation=8,
+    delete_pct=5,
+    duplicate_pct=3,
+    shuffle_window=32,
+    events_per_chunk=1_000,
+    evolution_frac=0.5,
+)
+
+
+# One replay serves BOTH transcript e2e entries (summary + turn analytics):
+# the table is built once per process, later callers reuse it — replaying
+# the same deterministic feed twice would only re-measure the engine.
+_TRANSCRIPTS_TABLE: dict[str, str] = {}
+
+
+def _replayed_transcripts(spark: SparkSession) -> str:
+    from credix_data_pipeline_spark.functions.normalize import (
+        with_normalized_text,
+    )
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    if "table" in _TRANSCRIPTS_TABLE:
+        return _TRANSCRIPTS_TABLE["table"]
+    spec = FeedSpec(**TRANSCRIPTS_SPEC_KW)
+    work = os.path.join(tempfile.gettempdir(), "cdc_transcripts_e2e")
+    shutil.rmtree(work, ignore_errors=True)
+    feed, table = os.path.join(work, "feed"), os.path.join(work, "transcripts")
+    write_feed(spark, feed, spec)
+    runner.replay(
+        spark,
+        feed,
+        table,
+        chunks_per_batch=2,
+        num_buckets=8,
+        transform=with_normalized_text,
+        collect_stats=False,
+    )
+    _TRANSCRIPTS_TABLE["table"] = table
+    return table
+
+
+def q_cdc_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript feed → streaming replay with pandas-UDF text
+    normalization, dedup, tombstones, fencing → gold conversation summary of
+    the final lakehouse state."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    from credix_data_pipeline_spark.plans.gold import conversation_summary
+
+    table = _replayed_transcripts(spark)
+    return conversation_summary(read_clean(LakeTable.load(spark, table))).orderBy(
+        "conv_id"
+    )
+
+
+def q_cdc_turn_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-grain gold model over the same replayed transcripts table
+    (payment_analytics_detailed analogue — banded ladders, date-part
+    extracts, COALESCE-derived columns at turn grain)."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    from credix_data_pipeline_spark.plans.gold import turn_analytics
+
+    table = _replayed_transcripts(spark)
+    return turn_analytics(read_clean(LakeTable.load(spark, table))).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def _sql_transcripts_base() -> str:
+    """Shared oracle CTEs: the feed arithmetic (base), the LWW winner per
+    key (win), and the surviving clean rows with normalized text (rows_)."""
+    from credix_data_pipeline_spark.functions.normalize import normalize_text_py
+    from credix_data_pipeline_spark.sources.feed import (
+        BASE_EPOCH_S,
+        MOD,
+        MULT,
+        ROLES,
+        TOOLS,
+        WORDS,
+    )
+
+    kw = TRANSCRIPTS_SPEC_KW
+    n_events = kw["n_events"]
+    n_keys = kw["n_conversations"] * kw["turns_per_conversation"]
+    tpc = kw["turns_per_conversation"]
+    del_pct = kw["delete_pct"]
+    # words as the engine's normalizer will leave them (NFC, ws-collapsed,
+    # stripped) — normalization distributes over the single-space join
+    words_sql = "[" + ", ".join(
+        "'" + normalize_text_py(w).replace("'", "''") + "'" for w in WORDS
+    ) + "]"
+    roles_sql = "[" + ", ".join(f"'{r}'" for r in ROLES) + "]"
+    tools_sql = "[" + ", ".join(f"'{t}'" for t in TOOLS) + "]"
+
+    def h(c: int) -> str:  # the portable hash ((e+c)*MULT) % MOD, e = range
+        return f"((range+{c})*{MULT}) % {MOD}"
+
+    return f"""
+WITH base AS (
+  SELECT range AS e, range + 1 AS lsn,
+         {h(1)} % {n_keys} AS key_id,
+         ({h(3)} % 100) < {del_pct} AS is_del,
+         3 + ({h(13)} % 8) AS n_words,
+         {roles_sql}[CAST({h(17)} % 4 AS INT) + 1] AS role,
+         {tools_sql}[CAST({h(19)} % 4 AS INT) + 1] AS tool_pick
+  FROM range(0, {n_events})
+),
+win AS (SELECT key_id, MAX(e) AS e FROM base GROUP BY key_id),
+rows_ AS (
+  SELECT b.key_id // {tpc} AS conv, b.key_id % {tpc} AS turn_idx,
+         b.role, b.lsn,
+         CASE WHEN b.role = 'tool' THEN b.tool_pick END AS tool,
+         array_to_string(list_transform(
+           generate_series(0, CAST(b.n_words AS INT) - 1),
+           j -> {words_sql}[
+             CAST(((b.e + 7 + j)*{MULT}) % {MOD} % {len(WORDS)} AS INT) + 1]),
+           ' ') AS text,
+         make_timestamp(({BASE_EPOCH_S} + b.lsn) * 1000000) AS ts
+  FROM base b JOIN win w ON b.key_id = w.key_id AND b.e = w.e
+  WHERE NOT b.is_del
+)"""
+
+
+def _sql_cdc_transcripts() -> str:
+    return _sql_transcripts_base() + """,
+agg AS (
+  SELECT printf('conv%08d', CAST(conv AS INT)) AS conv_id,
+         COUNT(*) AS turns,
+         COUNT(CASE WHEN role = 'user' THEN 1 END) AS user_turns,
+         COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS assistant_turns,
+         COUNT(CASE WHEN role = 'tool' THEN 1 END) AS tool_turns,
+         COUNT(CASE WHEN role = 'system' THEN 1 END) AS system_turns,
+         SUM(length(text)) AS sum_len, COUNT(text) AS cnt_len,
+         MAX(ts) AS last_activity, MIN(ts) AS first_activity,
+         MAX(lsn) AS max_lsn
+  FROM rows_ GROUP BY 1
+),
+sc AS (
+  SELECT *, CASE WHEN turns > 0
+                 THEN (tool_turns*2000000 + turns) // (2*turns)
+                 ELSE 0 END AS tr_i
+  FROM agg
+)
+SELECT conv_id, turns, user_turns, assistant_turns, tool_turns, system_turns,
+       CASE WHEN cnt_len > 0 THEN
+         CAST((sum_len*20000 + cnt_len) // (2*cnt_len) AS BIGINT) / 10000.0
+       END AS avg_text_len,
+       last_activity, first_activity, max_lsn,
+       tr_i / 10000.0 AS tool_rate,
+       GREATEST(0.0, LEAST(100.0, ((4*tr_i + 30000*(
+           (CASE WHEN assistant_turns > 0 THEN 100 ELSE 0 END)
+           + LEAST(10*turns, 100)) + 5) // 10) / 10000.0)) AS engagement_score,
+       CASE WHEN turns >= 8 THEN 'HEAVY' WHEN turns >= 4 THEN 'ACTIVE'
+            WHEN turns >= 2 THEN 'LIGHT' ELSE 'MINIMAL' END AS activity_tier
+FROM sc
+"""
+
+
+SQL_CDC_TRANSCRIPTS_E2E = _sql_cdc_transcripts()
+
+
+def _sql_cdc_turn_analytics() -> str:
+    return _sql_transcripts_base() + """
+SELECT printf('conv%08d', CAST(conv AS INT)) AS conv_id,
+       turn_idx, role,
+       COALESCE(tool, 'none') AS tool_used,
+       length(text) AS text_len,
+       CASE WHEN text IS NULL THEN 'EMPTY'
+            WHEN length(text) >= 40 THEN 'LONG'
+            WHEN length(text) >= 20 THEN 'MEDIUM'
+            ELSE 'SHORT' END AS len_band,
+       role = 'tool' AS is_tool_turn,
+       EXTRACT(YEAR FROM ts) AS ts_year,
+       EXTRACT(MONTH FROM ts) AS ts_month,
+       EXTRACT(HOUR FROM ts) AS ts_hour,
+       lsn AS src_lsn
+FROM rows_
+"""
+
+
+SQL_CDC_TURN_ANALYTICS_E2E = _sql_cdc_turn_analytics()
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    "cdc_transcripts_e2e": (q_cdc_transcripts_e2e, SQL_CDC_TRANSCRIPTS_E2E),
+    "cdc_turn_analytics_e2e": (
+        q_cdc_turn_analytics_e2e,
+        SQL_CDC_TURN_ANALYTICS_E2E,
+    ),
 }

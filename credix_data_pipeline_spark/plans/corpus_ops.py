@@ -764,6 +764,85 @@ SELECT query_id, bucket, neighbor_id, cosine FROM (
 
 
 # ---------------------------------------------------------------------------
+# ann_lsh_multiprobe — multi-probe sign-LSH (VERDICT r2 #7): single-probe
+# sign-LSH has a recall cliff for vectors near a bucket boundary (one sign
+# bit flips ⇒ the true neighbor lands one Hamming step away).  Multi-probe
+# fixes it the standard way (Lv et al., "Multi-Probe LSH"): each query
+# probes its own bucket PLUS the LSH_SIGN_DIMS Hamming-1 neighbor buckets —
+# 1+8 keys per query, exploded then equi-joined on bucket, so the shuffle
+# stays keyed and the candidate volume is ≤ 9× the single-probe one
+# (vs 2^8× for brute force over all buckets).  A (query, neighbor) pair can
+# match in at most one probe (the neighbor has ONE bucket), so no dedup
+# stage is needed.
+# ---------------------------------------------------------------------------
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("emb")))
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ {1 << j}") for j in range(LSH_SIGN_DIMS)],
+    )
+    a = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("n2").alias("qn2"),
+        F.explode(probe_keys).alias("pbucket"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.col("n2").alias("nn2"),
+        F.col("bucket").alias("nbucket"),
+    )
+    scored = (
+        a.join(b, F.col("pbucket") == F.col("nbucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("qe"), F.col("ne"), F.col("qn2"), F.col("nn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _sql_ann_lsh_multiprobe() -> str:
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(LSH_SIGN_DIMS)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, emb, {_sql_dot("emb", "emb")} AS n2,
+         {_sql_bucket("emb")} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+),
+p AS (
+  SELECT vec_id AS query_id, emb AS qe, n2 AS qn2,
+         unnest([{probes}]) AS pbucket
+  FROM e
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {_sql_cosine_pre("p.qe", "b.emb", "p.qn2", "b.n2")} AS cosine
+  FROM p JOIN e b ON p.pbucket = b.bucket AND p.query_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+SQL_ANN_LSH_MULTIPROBE = _sql_ann_lsh_multiprobe()
+
+
+# ---------------------------------------------------------------------------
 # ann_ivf_topk — IVF (inverted-file) ANN skeleton: a coarse quantizer
 # assigns every vector to its nearest centroid cell, then each query probes
 # only its IVF_NPROBE nearest cells.  This is the third point in the ANN
@@ -1258,57 +1337,93 @@ FROM documents
 # (installments_clean.sql:1-8); corpus dedup needs transitive closure —
 # A≈B≈C must collapse to ONE canonical even when A≉C directly.
 #
-# Spark shape: iterative min-label propagation — each round is one
-# distributed join + hash-agg, the driver only checks the converged flag.
-# Dup clusters have tiny diameters, so rounds ≈ 2-4; at planetary scale the
-# same loop upgrades to the large-star/small-star contraction (Kiveris et
-# al., "Connected Components in MapReduce and Beyond") without changing the
-# operator contract.  Oracle: recursive CTE transitive closure.
+# Spark shape: ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris et
+# al., "Connected Components in MapReduce and Beyond") — O(log n) rounds in
+# the worst case (min-label propagation is O(diameter)), each round two
+# keyed join+hash-agg passes, the driver only compares an edge-set
+# fingerprint.  ``components_from_pairs`` is the reusable operator: callers
+# with a precomputed/persisted pair set (any near-dup family) feed it
+# directly instead of re-running candidate generation (VERDICT r2 #4).
+# Oracle: recursive CTE transitive closure.
 # ---------------------------------------------------------------------------
+def components_from_pairs(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components of an undirected pair list (doc_a, doc_b) →
+    (doc_id, component_id=component min, component_size, is_dup)."""
+    import logging
+
+    e0 = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    edges = (
+        e0.union(e0.selectExpr("dst AS src", "src AS dst")).distinct().persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+
+    def _fingerprint(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-insensitive, no ANSI long-sum overflow
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    def _large_star(e_dir: DataFrame) -> DataFrame:
+        # symmetrize, then hang every larger neighbor off min(N(u) ∪ {u})
+        e_sym = e_dir.union(e_dir.selectExpr("dst AS src", "src AS dst"))
+        mins = e_sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = F.least(F.col("src"), F.col("mn"))
+        return (
+            e_sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def _small_star(e_dir: DataFrame) -> DataFrame:
+        # input edges satisfy dst < src; re-hang all smaller neighbors (and
+        # u itself) off the minimum
+        mins = e_dir.groupBy("src").agg(F.min("dst").alias("mn"))
+        moved = (
+            e_dir.join(mins, "src")
+            .where(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        )
+        return moved.union(mins.select("src", F.col("mn").alias("dst"))).distinct()
+
+    cur = edges
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).persist()
+        fp = _fingerprint(nxt)  # materializes nxt; one driver action/round
+        rounds += 1
+        if cur is not edges:
+            cur.unpersist()
+        cur = nxt
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    logging.getLogger(__name__).info(
+        "components_from_pairs converged in %d star rounds", rounds
+    )
+
+    labels = (
+        nodes.join(
+            cur.selectExpr("src AS node", "dst AS lbl"), "node", "left"
+        ).withColumn("lbl", F.coalesce(F.col("lbl"), F.col("node")))
+    )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("component_id"),
+        "component_size",
+        (F.col("node") != F.col("lbl")).alias("is_dup"),
+    )
+
+
 def q_near_dup_components(spark, sf_dir, max_rounds: int = 20):
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    und = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("src", "dst").persist()
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .persist()
-    )
-    for _ in range(max_rounds):
-        via = und.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "lbl")
-        new_labels = (
-            labels.select("node", "lbl")
-            .union(via)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    und.unpersist()
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("component_size"))
-    return (
-        labels.join(sizes, "lbl")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("lbl").alias("component_id"),
-            "component_size",
-            (F.col("node") != F.col("lbl")).alias("is_dup"),
-        )
-    )
+    return components_from_pairs(pairs, max_rounds=max_rounds)
 
 
 SQL_NEAR_DUP_COMPONENTS = f"""
@@ -1564,6 +1679,7 @@ CORPUS_QUERIES = {
     "dedup_simhash_hamming": (q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+    "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_LSH_MULTIPROBE),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "lang_id_ngram": (q_lang_id_ngram, SQL_LANG_ID_NGRAM),

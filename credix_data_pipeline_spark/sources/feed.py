@@ -197,20 +197,11 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
     _schema.json (schema registry; grows at the evolution point)."""
     if spec.file_format not in ("parquet", "avro"):
         raise ValueError(f"unsupported feed format {spec.file_format!r}")
-    if spec.file_format == "avro":
-        if not avro_available(spark):
-            raise RuntimeError(
-                "feed format 'avro' requires the external spark-avro module: "
-                "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>"
-            )
-        if spec.evolution_frac is not None:
-            # Avro schema resolution needs writer-schema defaults to pad
-            # late-added columns; the parquet path handles evolution via
-            # mergeSchema.  Keep avro feeds schema-homogeneous.
-            raise ValueError(
-                "avro feeds do not support in-flight evolution chunks; "
-                "use file_format='parquet' for evolution_frac"
-            )
+    if spec.file_format == "avro" and not avro_available(spark):
+        raise RuntimeError(
+            "feed format 'avro' requires the external spark-avro module: "
+            "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
     os.makedirs(path, exist_ok=True)
     df = change_events_df(spark, spec)
     base = df.withColumn("chunk", chunk_expr(spec))
@@ -263,11 +254,15 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
     # NB: StructType.add() mutates in place — build a fresh StructType.
     from pyspark.sql import types as T
 
-    schema = (
-        CHANGE_SCHEMA
-        if not has_evo
-        else T.StructType([*CHANGE_SCHEMA.fields, EVOLVED_COLUMN])
-    )
+    evolved = T.StructType([*CHANGE_SCHEMA.fields, EVOLVED_COLUMN])
+    schema = CHANGE_SCHEMA if not has_evo else evolved
+    # Per-subdir reader schemas — the schema-registry analogue of
+    # Datastream's discovery output: a chunk group is read with the schema
+    # its writer used, and groups align via unionByName (works identically
+    # for parquet and avro; avro cannot pad late-added columns on its own).
+    schemas = {"pre": CHANGE_SCHEMA.jsonValue()}
+    if has_evo:
+        schemas["post"] = evolved.jsonValue()
     manifest = {
         "spec": asdict(spec),
         "chunks": chunks,
@@ -275,6 +270,7 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
         "evolution_chunk": evo_chunk,
         "format": fmt,
         "schema": schema.jsonValue(),
+        "schemas": schemas,
     }
     with open(os.path.join(path, "_feed.json"), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -291,15 +287,49 @@ def read_chunks(
     path: str,
     chunk_paths: list[str],
     file_format: str = "parquet",
+    schemas: dict[str, dict] | None = None,
 ) -> DataFrame:
-    """Batch-read a set of chunk dirs.  Parquet reads with per-batch schema
-    discovery (mergeSchema) — this is how in-flight column adds surface to
-    the engine; avro chunks are schema-homogeneous (see write_feed)."""
-    paths = [os.path.join(path, c) for c in chunk_paths]
-    if file_format == "parquet":
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    else:
-        df = spark.read.format(file_format).load(*paths)
-    if "chunk" in df.columns:  # partition col inferred from dir names
-        df = df.drop("chunk")
-    return df
+    """Batch-read a set of chunk dirs.
+
+    With ``schemas`` (the manifest's per-subdir schema registry), each chunk
+    group is read with its WRITER schema and the groups align via
+    ``unionByName(allowMissingColumns=True)`` — this is how in-flight column
+    adds surface to the engine, and it is format-agnostic: avro cannot pad a
+    late-added column itself (no reader-schema defaults), and the explicit
+    schema also spares parquet the per-file footer merge.  Without
+    ``schemas`` (a pre-registry manifest), parquet falls back to
+    ``mergeSchema`` discovery and other formats to engine inference.
+    """
+    from pyspark.sql import types as T
+
+    def _read(paths: list[str], schema: T.StructType | None) -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif file_format == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        # NB: load() positionals are (path, format, ...) — pass ONE list
+        df = reader.format(file_format).load(paths)
+        if "chunk" in df.columns:  # partition col inferred from dir names
+            df = df.drop("chunk")
+        return df
+
+    if not schemas:
+        return _read([os.path.join(path, c) for c in chunk_paths], None)
+
+    groups: dict[str, list[str]] = {}
+    for c in chunk_paths:
+        sub = c.split(os.sep, 1)[0] if os.sep in c else c.split("/", 1)[0]
+        groups.setdefault(sub, []).append(os.path.join(path, c))
+    out: DataFrame | None = None
+    for sub in sorted(groups):  # deterministic group order
+        schema = (
+            T.StructType.fromJson(schemas[sub]) if sub in schemas else None
+        )
+        part = _read(groups[sub], schema)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    return out

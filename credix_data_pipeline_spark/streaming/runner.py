@@ -174,7 +174,11 @@ def replay(
             break
         batch_chunks = chunks[pos : pos + chunks_per_batch]
         batch_df = feed_mod.read_chunks(
-            spark, feed_path, batch_chunks, file_format=feed_format
+            spark,
+            feed_path,
+            batch_chunks,
+            file_format=feed_format,
+            schemas=manifest.get("schemas"),
         )
         res = apply_batch(
             table,

@@ -91,10 +91,55 @@ def test_avro_feed_round_trip_or_gated(spark, tmp_path):
     assert len(_rows(spark, table)) > 0
 
 
-def test_avro_rejects_inflight_evolution(spark, tmp_path):
+def test_avro_evolution_round_trip_or_gated(spark, tmp_path):
+    """S4 full parity: an avro feed WITH in-flight evolution replays like
+    the parquet one (per-chunk reader schemas from the manifest registry +
+    unionByName alignment).  Without spark-avro only the gate is testable."""
     spec = FeedSpec(file_format="avro", evolution_frac=0.5, **SPEC)
-    with pytest.raises((RuntimeError, ValueError)):
-        write_feed(spark, str(tmp_path / "ae"), spec)
+    if not avro_available(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_feed(spark, str(tmp_path / "ae"), spec)
+        return
+    feed, table = str(tmp_path / "ae"), str(tmp_path / "aet")
+    write_feed(spark, feed, spec)
+    runner.replay(spark, feed, table, chunks_per_batch=2, num_buckets=4,
+                  collect_stats=False)
+    pfeed, ptable = str(tmp_path / "pe"), str(tmp_path / "pet")
+    write_feed(spark, pfeed, FeedSpec(evolution_frac=0.5, **SPEC))
+    runner.replay(spark, pfeed, ptable, chunks_per_batch=2, num_buckets=4,
+                  collect_stats=False)
+    assert _rows(spark, table) == _rows(spark, ptable)
+
+
+def test_registry_schema_read_matches_merge_schema(spark, tmp_path):
+    """The per-chunk schema-registry read path (what avro evolution needs,
+    and what spares parquet the footer merge) is byte-equal to parquet
+    mergeSchema discovery across the evolution switch-point."""
+    from pyspark.sql import functions as F
+
+    from credix_data_pipeline_spark.sources.feed import (
+        read_chunks,
+        read_manifest,
+    )
+
+    feed = str(tmp_path / "feed")
+    write_feed(spark, feed, FeedSpec(evolution_frac=0.5, **SPEC))
+    man = read_manifest(feed)
+    assert set(man["schemas"]) == {"pre", "post"}
+    # a batch spanning the evolution boundary
+    boundary = man["chunks"][1:3]
+    via_registry = read_chunks(
+        spark, feed, boundary, schemas=man["schemas"]
+    )
+    via_merge = read_chunks(spark, feed, boundary, schemas=None)
+    assert sorted(via_registry.columns) == sorted(via_merge.columns)
+    key = lambda df: sorted(  # noqa: E731
+        tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
+    )
+    assert key(via_registry) == key(via_merge)
+    # pre-boundary events read NULL for the late-added column either way
+    pre_lsns = via_registry.filter(F.col("tool_meta").isNull()).count()
+    assert pre_lsns > 0
 
 
 def test_unknown_format_rejected(spark, tmp_path):

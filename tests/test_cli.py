@@ -78,3 +78,50 @@ def test_cli_validate_contracts(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["violations"]["accepted_role"] == 1
     assert rep["violations"]["unique_key"] == 1
+
+
+def test_cli_replay_validate_and_gold_contracts(spark, tmp_path, capsys):
+    """`replay --validate` gates ingestion like `dbt build`; `validate` on a
+    GOLD table runs the gold rule set and exits non-zero on an injected
+    violation."""
+    import pyspark.sql.functions as F
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+
+    feed, table = str(tmp_path / "feed"), str(tmp_path / "table")
+    gold = str(tmp_path / "gold")
+    write_feed(spark, feed, FeedSpec(n_events=1_000, n_conversations=20,
+                                     turns_per_conversation=8,
+                                     events_per_chunk=500))
+    # ingest + in-line contract gate in one invocation
+    assert cli.main(["replay", "--feed", feed, "--table", table,
+                     "--buckets", "4", "--fast", "--validate"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["contracts"]["passed"]
+
+    # gold table: clean refresh passes the GOLD rule set
+    assert cli.main(["gold-refresh", "--table", table, "--gold", gold]) == 0
+    capsys.readouterr()
+    assert cli.main(["validate", "--table", gold]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["passed"] and "accepted_activity_tier" in rep["violations"]
+
+    # inject a violation (bad tier + score out of range) via raw append
+    g = LakeTable.load(spark, gold)
+    bad = (g.read().limit(1)
+           .withColumn("activity_tier", F.lit("TURBO"))
+           .withColumn("engagement_score", F.lit(250.0)))
+    g.append(bad.select(*[f.name for f in g.current().schema.fields]))
+    assert cli.main(["validate", "--table", gold]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["violations"]["accepted_activity_tier"] == 1
+    assert rep["violations"]["engagement_score_range"] == 1
+    assert rep["violations"]["unique_key"] == 1
+
+    # fact-grain gold model via the CLI
+    gold2 = str(tmp_path / "gold_turns")
+    assert cli.main(["gold-refresh", "--table", table, "--gold", gold2,
+                     "--model", "turns"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["refreshed_turns"] > 0

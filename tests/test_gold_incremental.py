@@ -7,8 +7,12 @@ from credix_data_pipeline_spark.lakehouse import LakeTable
 from credix_data_pipeline_spark.operators.apply import read_clean
 from credix_data_pipeline_spark.operators.gold_incremental import (
     refresh_conversation_summary,
+    refresh_turn_analytics,
 )
-from credix_data_pipeline_spark.plans.gold import conversation_summary
+from credix_data_pipeline_spark.plans.gold import (
+    conversation_summary,
+    turn_analytics,
+)
 from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
 from credix_data_pipeline_spark.streaming import runner
 
@@ -64,3 +68,41 @@ def test_incremental_refresh_matches_full_rebuild(spark, tmp_path):
     # Only delta buckets were rewritten in phase 2 (O(dirty) evidence):
     # the refresh summary records the pruning set
     assert set(res2["dirty_buckets"]) <= set(range(8))
+
+
+def test_turn_analytics_incremental_matches_full_rebuild(spark, tmp_path):
+    """Second gold model (payment_analytics_detailed analogue): fact-grain
+    incremental MERGE on the composite key, deletes drop gold rows."""
+    feed, tablep, goldp = (
+        str(tmp_path / "feed"),
+        str(tmp_path / "table"),
+        str(tmp_path / "gold_turns"),
+    )
+    write_feed(spark, feed, SPEC)
+
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  max_batches=2, collect_stats=False)
+    src = LakeTable.load(spark, tablep)
+    res1 = refresh_turn_analytics(src, goldp)
+    assert not res1["skipped"] and res1["refreshed_turns"] > 0
+    gold = LakeTable.load(spark, goldp)
+    assert _rows(gold.read()) == _rows(turn_analytics(read_clean(src)))
+
+    # rest of the feed: updates + deletes against existing turns
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+    res2 = refresh_turn_analytics(src, goldp)
+    assert not res2["skipped"]
+    assert res2["source_lsn_hw"] > res1["source_lsn_hw"]
+    assert _rows(gold.read()) == _rows(turn_analytics(read_clean(src)))
+    # fact-key uniqueness at the gold layer
+    n = gold.read().count()
+    assert gold.read().select("conv_id", "turn_idx").distinct().count() == n
+    # a tombstoned turn has no gold row (MERGE-DELETE arm): clean row count
+    # equals gold row count
+    assert n == read_clean(src).count()
+
+    # no-change refresh short-circuits
+    v_before = gold.current().version
+    assert refresh_turn_analytics(src, goldp)["skipped"]
+    assert gold.current().version == v_before
