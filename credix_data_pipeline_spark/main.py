@@ -27,6 +27,8 @@ Subcommands:
                   incremental-model analogue)
 * ``validate``  — run the data contracts (unique key, not-null, accepted
                   values) and exit non-zero on violations (dbt-test analogue)
+* ``changes``   — changelog scan between two snapshots (Iceberg changelog /
+                  Delta CDF analogue) for downstream incremental consumers
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
 * ``expire``    — retention: expire old snapshots + collect orphan files
                   (Iceberg expire_snapshots / the reference's GCS lifecycle
@@ -223,6 +225,21 @@ def cmd_validate(args) -> int:
     return 0 if report["passed"] else 1
 
 
+def cmd_changes(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.changelog import read_changes
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    df = read_changes(table, args.from_snapshot, args.to_snapshot)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": df.count(), "out": args.out}))
+    else:
+        df.orderBy(*table.current().key).show(n=args.limit, truncate=False)
+    return 0
+
+
 def cmd_expire(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -312,6 +329,16 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="run data contracts (dbt-test analogue)")
     v.add_argument("--table", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    ch = sub.add_parser(
+        "changes", help="changelog scan between two snapshots (CDF envelope)"
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--to-snapshot", type=int, default=None)
+    ch.add_argument("--out", default=None, help="write parquet instead of show")
+    ch.add_argument("--limit", type=int, default=50)
+    ch.set_defaults(fn=cmd_changes)
 
     e = sub.add_parser("expire", help="expire old snapshots (retention)")
     e.add_argument("--table", required=True)

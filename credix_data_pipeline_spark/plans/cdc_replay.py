@@ -76,13 +76,23 @@ def _change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the derived feed through the real engine; return the clean
-    final state (tombstones filtered) for the driver's oracle compare."""
+# One replay serves BOTH events-derived entries (final state + changelog):
+# sf_dir -> (table_path, snapshot_id after the last pre-evolution batch).
+_EVENTS_REPLAY: dict[str, tuple[str, int]] = {}
+
+
+def _replayed_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Replay the derived feed through the real engine once per sf_dir;
+    return the table path and the mid-stream snapshot id (state after the
+    pre-evolution batches, the changelog scan's FROM endpoint)."""
     from credix_data_pipeline_spark.lakehouse.table import LakeTable
-    from credix_data_pipeline_spark.operators.apply import apply_batch, read_clean
+    from credix_data_pipeline_spark.operators.apply import apply_batch
     from credix_data_pipeline_spark.streaming.lineage import LineageLog
     from credix_data_pipeline_spark.streaming.runner import quarantine_writer
+
+    cache_key = os.path.abspath(sf_dir)
+    if cache_key in _EVENTS_REPLAY:
+        return _EVENTS_REPLAY[cache_key]
 
     work = os.path.join(
         tempfile.gettempdir(),
@@ -101,11 +111,12 @@ def q_cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead = quarantine_writer(work)
 
     ch = _change_feed(spark, sf_dir)
+    mid_snapshot = -1
     for b in range(N_BATCHES):
         batch = ch.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b)
         if b < EVOLVE_FROM_BATCH:
             batch = batch.drop("props")  # pre-evolution feed shape
-        apply_batch(
+        res = apply_batch(
             table,
             batch,
             b,
@@ -113,10 +124,52 @@ def q_cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             dead_letter=dead,
             collect_stats=False,
         )
+        if b == EVOLVE_FROM_BATCH - 1:
+            mid_snapshot = res.snapshot_id
 
-    return read_clean(table).select(
+    _EVENTS_REPLAY[cache_key] = (work, mid_snapshot)
+    return _EVENTS_REPLAY[cache_key]
+
+
+def q_cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the derived feed through the real engine; return the clean
+    final state (tombstones filtered) for the driver's oracle compare."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+
+    work, _ = _replayed_events(spark, sf_dir)
+    return read_clean(LakeTable.load(spark, work)).select(
         "user_id", "event_type", "event_id", "ts", "value", "props"
     )
+
+
+def q_cdc_changelog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan over the same replayed table: net row-image changes
+    (CDF envelope) from the mid-stream snapshot — the state after the
+    pre-evolution batches — to the final state.  Exercises the snapshot
+    diff ACROSS the in-flight ``props`` evolution: before-images align to
+    the final schema with ``props`` NULL.
+
+    Oracle: both endpoint states are LWW ROW_NUMBER filters over the same
+    derived feed (batches < 2 vs all 4); inserts/deletes are one-sided
+    outer-join arms, updates are winner changes (the LSN is injective in
+    ``event_id``, so a changed winner is exactly ``event_id`` distinct).
+    """
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.changelog import read_changes
+
+    work, mid_snapshot = _replayed_events(spark, sf_dir)
+    table = LakeTable.load(spark, work)
+    ch = read_changes(table, mid_snapshot, None)
+    return ch.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        "props",
+        F.col("_change_type").alias("change_type"),
+    ).orderBy("user_id", "event_type", "change_type")
 
 
 SQL_CDC_REPLAY_EVENTS = f"""
@@ -135,6 +188,59 @@ WITH ch AS (
 )
 SELECT user_id, event_type, event_id, ts, value, props
 FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# Changelog oracle: both endpoint states as LWW filters (pre-evolution
+# batches vs all), classified by one-sided outer joins (insert/delete) and
+# winner changes (update pairs).  ``props`` inside s1 is always NULL —
+# batches < EVOLVE_FROM_BATCH predate the column — which is exactly the
+# engine's before-image alignment rule.
+SQL_CDC_CHANGELOG_E2E = f"""
+WITH ch AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         event_id % {N_BATCHES} AS batch,
+         CASE WHEN event_id % {N_BATCHES} >= {EVOLVE_FROM_BATCH}
+              THEN props END AS props,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {LSN_TS_BASE} + event_id AS lsn,
+         CASE WHEN event_id % {DELETE_EVERY} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), s1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY lsn DESC) AS rn
+    FROM ch WHERE batch < {EVOLVE_FROM_BATCH}) t
+  WHERE rn = 1 AND op <> 'D'
+), s2 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY lsn DESC) AS rn
+    FROM ch) t
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT b.user_id, b.event_type, b.event_id, b.ts, b.value, b.props,
+       'insert' AS change_type
+FROM s2 b LEFT JOIN s1 a
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.event_id IS NULL
+UNION ALL
+SELECT a.user_id, a.event_type, a.event_id, a.ts, a.value, a.props,
+       'delete' AS change_type
+FROM s1 a LEFT JOIN s2 b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE b.event_id IS NULL
+UNION ALL
+SELECT a.user_id, a.event_type, a.event_id, a.ts, a.value, a.props,
+       'update_before' AS change_type
+FROM s1 a JOIN s2 b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.event_id <> b.event_id
+UNION ALL
+SELECT b.user_id, b.event_type, b.event_id, b.ts, b.value, b.props,
+       'update_after' AS change_type
+FROM s1 a JOIN s2 b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.event_id <> b.event_id
 """
 
 
@@ -345,6 +451,7 @@ SQL_CDC_TURN_ANALYTICS_E2E = _sql_cdc_turn_analytics()
 
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    "cdc_changelog_e2e": (q_cdc_changelog_e2e, SQL_CDC_CHANGELOG_E2E),
     "cdc_transcripts_e2e": (q_cdc_transcripts_e2e, SQL_CDC_TRANSCRIPTS_E2E),
     "cdc_turn_analytics_e2e": (
         q_cdc_turn_analytics_e2e,

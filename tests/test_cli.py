@@ -125,3 +125,30 @@ def test_cli_replay_validate_and_gold_contracts(spark, tmp_path, capsys):
                      "--model", "turns"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["refreshed_turns"] > 0
+
+
+def test_cli_changes(spark, tmp_path, capsys):
+    """`changes` prints / writes the CDF envelope between two snapshots."""
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    feed, table = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(n_events=1_000, n_conversations=20,
+                                     turns_per_conversation=8,
+                                     events_per_chunk=250))
+    runner.replay(spark, feed, table, chunks_per_batch=1, num_buckets=4,
+                  collect_stats=False)
+    t = LakeTable.load(spark, table)
+    merges = [s for s in t.history() if s.summary.get("operation") == "merge"]
+    assert len(merges) >= 2
+    out_dir = str(tmp_path / "cdf")
+    out = _run(capsys, "changes", "--table", table,
+               "--from-snapshot", str(merges[0].snapshot_id),
+               "--out", out_dir)
+    rep = json.loads(out)
+    assert rep["rows"] > 0
+    cdf = spark.read.parquet(out_dir)
+    assert "_change_type" in cdf.columns
+    kinds = {r["_change_type"] for r in cdf.select("_change_type").distinct().collect()}
+    assert kinds <= {"insert", "delete", "update_before", "update_after"}
+    assert "insert" in kinds or "update_after" in kinds
