@@ -114,7 +114,9 @@ def _worker(cpus: int, feed: str, warm_feed: str) -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
-                      "batches": stats.batches}))
+                      "batches": stats.batches,
+                      "profile_sec": round(stats.profile_ms / 1000, 3),
+                      "merge_sec": round(stats.merge_ms / 1000, 3)}))
 
 
 def main() -> None:
@@ -153,6 +155,7 @@ def main() -> None:
                     capture_output=True, text=True, check=True,
                 )
                 r = json.loads(out.stdout.strip().splitlines()[-1])
+                print(json.dumps({"trial": r}), flush=True)
                 best[cpus] = min(best.get(cpus, 1e18), r["wall_sec"])
     finally:
         shutil.rmtree(gen_dir, ignore_errors=True)
@@ -175,8 +178,11 @@ def main() -> None:
         "headline_efficiency": headline,
         "passes_north_rule": bool(headline and headline >= 0.8),
     }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_OUT", os.path.join(REPO, "BENCH", "scaling.json")
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
 

@@ -67,6 +67,10 @@ class ApplyResult:
     dirty_buckets: list[int] = field(default_factory=list)
     partition_stats: dict[str, int] = field(default_factory=dict)
     wall_ms: int = 0
+    # phase telemetry (ST7): profile job / merge+write+commit job / the
+    # serial driver remainder (fence read, planning, evolution check)
+    profile_ms: int = 0
+    merge_ms: int = 0
 
 
 def last_applied_batch_id(table: LakeTable) -> int | None:
@@ -159,6 +163,7 @@ def apply_batch(
     # event-LSN range for lineage.  Malformed rows profile under bucket -1 so
     # a null key can never poison the bucket hash.  This replaces what used
     # to be three separate jobs (isEmpty / malformed.count / dirty-distinct).
+    t_prof = time.monotonic()
     prof = (
         batch_df.groupBy(
             F.when(bad, F.lit(-1)).otherwise(bexpr).alias("_b")
@@ -170,6 +175,7 @@ def apply_batch(
         )
         .collect()
     )
+    res.profile_ms = int((time.monotonic() - t_prof) * 1000)
 
     # --- P8 empty-batch short-circuit.
     if not prof:
@@ -332,12 +338,14 @@ def apply_batch(
         "lsn_max": res.lsn_max,
         "rows_applied": res.rows_applied,
     }
+    t_merge = time.monotonic()
     if merge_mode == "mor":
         # delta append: existing files stay; the fence rides this commit's
         # summary exactly like a CoW merge commit
         new_snap = table.append(out, summary=batch_summary)
     else:
         new_snap = table.replace_buckets(dirty, out, summary=batch_summary)
+    res.merge_ms = int((time.monotonic() - t_merge) * 1000)
     res.snapshot_id = new_snap.snapshot_id
 
     if collect_stats:

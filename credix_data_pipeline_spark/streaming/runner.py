@@ -50,6 +50,8 @@ class ReplayStats:
     rows_applied: int = 0
     rows_deduped: int = 0
     wall_ms: int = 0
+    profile_ms: int = 0
+    merge_ms: int = 0
 
     def add(self, r: ApplyResult) -> None:
         if r.skipped:
@@ -59,6 +61,8 @@ class ReplayStats:
         self.rows_applied += r.rows_applied
         self.rows_deduped += r.rows_deduped
         self.wall_ms += r.wall_ms
+        self.profile_ms += r.profile_ms
+        self.merge_ms += r.merge_ms
 
 
 class Checkpoint:
