@@ -481,6 +481,57 @@ class LakeTable:
             multi, df, summary={**self.carry_fence(), "operation": "compact"}
         )
 
+    def rebucket(
+        self,
+        num_buckets: int,
+        bucket_by: list[str] | None = None,
+    ) -> Snapshot:
+        """Partition-spec evolution: rewrite the table into a new bucket
+        layout (count and/or bucket columns) in one atomic commit — the
+        Iceberg ``ALTER TABLE … partition spec`` + ``rewrite_data_files``
+        pair for a table that outgrew its layout (the reference re-creates
+        its BigQuery tables to re-partition, terraform state apply; this
+        engine keeps history and the fence instead).
+
+        Iceberg applies a new spec lazily (old files keep the old layout);
+        this engine's bucket pruning (dirty-bucket MERGE, ``read_keys``,
+        gold refresh scoping) requires ONE consistent layout, so the rewrite
+        is eager: every live row is re-hashed into the new layout and all
+        file sets swap atomically.  O(table) by design — a scheduled
+        maintenance operation like compaction, never part of ingest.  On a
+        merge-on-read table delta versions collapse to their LWW winner
+        first (same contract as ``compact``).  The exactly-once fence and
+        gold high-water ride the commit summary (``carry_fence``), so
+        replay resumability and incremental gold are unaffected.
+        """
+        snap = self.current()
+        new_by = list(bucket_by) if bucket_by else snap.bucket_by
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        unknown = [c for c in new_by if c not in {f.name for f in snap.schema.fields}]
+        if unknown:
+            raise ValueError(f"bucket_by columns not in schema: {unknown}")
+        if num_buckets == snap.num_buckets and new_by == snap.bucket_by:
+            return snap
+        df = self.read()
+        if snap.merge_mode == "mor":
+            df = self._lww_collapse(df)  # one base version per key
+        bexpr = F.pmod(F.xxhash64(*new_by), F.lit(num_buckets)).cast("int")
+        # rebalance on the new bucket id: write tasks are byte-sized by AQE
+        # and each bucket's rows co-locate, so the new layout starts with
+        # one compact file set per bucket
+        bucketed = df.withColumn(BUCKET_COL, bexpr).hint("rebalance", BUCKET_COL)
+        new_files = self._write_files(bucketed, snap)
+        return self._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=new_by,
+            num_buckets=num_buckets,
+            files=new_files,
+            summary={**self.carry_fence(), "operation": "rebucket"},
+        )
+
     def expire_snapshots(
         self,
         keep_last: int = 5,

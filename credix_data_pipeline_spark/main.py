@@ -182,6 +182,26 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    snap = LakeTable.load(spark, args.table).rebucket(
+        args.num_buckets, bucket_by=args.bucket_by
+    )
+    print(
+        json.dumps(
+            {
+                "snapshot_id": snap.snapshot_id,
+                "version": snap.version,
+                "num_buckets": snap.num_buckets,
+                "bucket_by": snap.bucket_by,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_lookup(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -310,6 +330,14 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser(
+        "rebucket", help="rewrite into a new bucket layout (spec evolution)"
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--num-buckets", type=int, required=True)
+    rb.add_argument("--bucket-by", nargs="+", default=None)
+    rb.set_defaults(fn=cmd_rebucket)
 
     lk = sub.add_parser("lookup", help="bucket-pruned key lookup")
     lk.add_argument("--table", required=True)

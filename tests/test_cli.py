@@ -43,6 +43,11 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert snap["version"] > 1
     assert read_clean(LakeTable.load(spark, table)).count() == n_before
 
+    out = _run(capsys, "rebucket", "--table", table, "--num-buckets", "16")
+    snap = json.loads(out)
+    assert snap["num_buckets"] == 16
+    assert read_clean(LakeTable.load(spark, table)).count() == n_before
+
 
 def test_cli_validate_contracts(spark, tmp_path, capsys):
     """`validate` passes on a clean replay and fails (exit 1) once a
