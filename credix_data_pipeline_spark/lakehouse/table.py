@@ -290,19 +290,32 @@ class LakeTable:
         return out
 
     # ---------------------------------------------------------------- write
-    def _write_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[str]]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        sort_keys: list[str] | None = None,
+    ) -> dict[str, list[str]]:
         """Write df (already carrying BUCKET_COL) under a fresh commit dir.
 
         Returns bucket -> relative file paths.  partitionBy(_bucket) keeps the
         bucket column out of the data files; each bucket's rows are colocated
         so per-bucket replacement stays surgical.
+
+        ``sort_keys``: lay rows down sorted by (bucket, keys...) within each
+        task.  Sorting on the materialized BUCKET_COL attribute (not the
+        bucket expression) matters: the dynamic-partition writer requires
+        ordering by the partition column and would otherwise insert its own
+        bucket-only sort, destroying the secondary key order.
         """
         commit_dir = uuid.uuid4().hex
         out_abs = os.path.join(self.path, DATA_DIR, commit_dir)
         cols = [f.name for f in snap.schema.fields]
+        out = df.select(BUCKET_COL, *cols)
+        if sort_keys:
+            out = out.sortWithinPartitions(BUCKET_COL, *sort_keys)
         (
-            df.select(BUCKET_COL, *cols)
-            .write.partitionBy(BUCKET_COL)
+            out.write.partitionBy(BUCKET_COL)
             .mode("append")
             .parquet(out_abs)
         )
@@ -348,6 +361,7 @@ class LakeTable:
         new_df: DataFrame,
         summary: dict[str, Any] | None = None,
         schema: T.StructType | None = None,
+        sort_keys: list[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: swap the file sets of ``dirty_buckets`` for
         the files of ``new_df`` (which must contain exactly those buckets'
@@ -373,7 +387,7 @@ class LakeTable:
             committed_at_ms=snap.committed_at_ms,
         )
         bucketed = new_df.withColumn(BUCKET_COL, self.bucket_expr(snap))
-        new_files = self._write_files(bucketed, write_snap)
+        new_files = self._write_files(bucketed, write_snap, sort_keys=sort_keys)
         dirty = {str(b) for b in dirty_buckets}
         merged = {b: list(fl) for b, fl in snap.files.items() if b not in dirty}
         for b, fl in new_files.items():
@@ -455,12 +469,25 @@ class LakeTable:
                 break
         return out
 
-    def compact(self, target_buckets: list[int] | None = None) -> Snapshot:
+    def compact(
+        self,
+        target_buckets: list[int] | None = None,
+        sort: bool = True,
+    ) -> Snapshot:
         """Rewrite each bucket's many small files into one file set
         (Iceberg ``rewrite_data_files`` analogue; small-file defense for the
         60 s-rotation change feed, datastream_streams.tf:75-76).  On a
         merge-on-read table compaction ALSO collapses delta versions to the
-        LWW winner per key — the MoR maintenance contract."""
+        LWW winner per key — the MoR maintenance contract.
+
+        ``sort=True`` (the Iceberg table *sort order*, applied at rewrite
+        like ``rewrite_data_files(sort_order)``): rows are laid down sorted
+        by the table key within each written file, so parquet row-group
+        min/max stats carry disjoint key ranges and a key-targeted read
+        (``read_keys``, the dirty-bucket MERGE scan) skips row groups
+        instead of scanning the bucket.  Ingest never sorts (hot path cost);
+        maintenance rewrites do.
+        """
         snap = self.current()
         buckets = (
             [int(b) for b in snap.files]
@@ -478,7 +505,10 @@ class LakeTable:
             df = self._lww_collapse(df)
         df = df.coalesce(max(1, len(multi)))
         return self.replace_buckets(
-            multi, df, summary={**self.carry_fence(), "operation": "compact"}
+            multi,
+            df,
+            summary={**self.carry_fence(), "operation": "compact"},
+            sort_keys=snap.key if sort else None,
         )
 
     def rebucket(
@@ -521,7 +551,9 @@ class LakeTable:
         # and each bucket's rows co-locate, so the new layout starts with
         # one compact file set per bucket
         bucketed = df.withColumn(BUCKET_COL, bexpr).hint("rebalance", BUCKET_COL)
-        new_files = self._write_files(bucketed, snap)
+        # table sort order at rewrite (see compact): the new layout starts
+        # read-optimized with disjoint key ranges per row group
+        new_files = self._write_files(bucketed, snap, sort_keys=snap.key)
         return self._commit(
             parent=snap,
             schema=snap.schema,

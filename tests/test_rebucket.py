@@ -128,6 +128,50 @@ def test_rebucket_keeps_fence_and_next_merge(spark, tmp_path):
     assert ("c3", 1, "new text") in got
 
 
+def test_maintenance_rewrites_sort_by_key(spark, tmp_path):
+    """compact()/rebucket() lay rows down sorted by the table key within
+    each file (Iceberg sort-order-at-rewrite), so parquet row-group min/max
+    stats carry disjoint key ranges for key-targeted reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    # MoR: delta files accumulate per bucket, so compact really rewrites
+    table = _mk(spark, str(tmp_path / "t"), num_buckets=2, merge_mode="mor")
+    for b in range(3):
+        rows = [
+            ("I", b * 1000 + c * 10 + t, BASE, f"c{c}", t, "user",
+             f"b{b} {c}/{t}", None, BASE)
+            for c in range(12)
+            for t in range(2)
+        ]
+        apply_batch(table, _batch(spark, rows), b, collect_stats=False)
+    before = _sorted_rows(read_clean(table))
+    assert any(len(f) > 1 for f in table.current().files.values())
+
+    table.compact()
+    snap = table.current()
+    assert _sorted_rows(read_clean(table)) == before
+    for b, files in snap.files.items():
+        for rel in files:
+            t = pq.read_table(
+                os.path.join(table.path, rel), columns=["conv_id", "turn_idx"]
+            )
+            keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+            assert keys == sorted(keys), f"bucket {b} file {rel} not key-sorted"
+
+    table.rebucket(4)
+    snap = table.current()
+    assert _sorted_rows(read_clean(table)) == before
+    for b, files in snap.files.items():
+        for rel in files:
+            t = pq.read_table(
+                os.path.join(table.path, rel), columns=["conv_id", "turn_idx"]
+            )
+            keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+            assert keys == sorted(keys), f"bucket {b} file {rel} not key-sorted"
+
+
 def test_rebucket_validates_and_noops(spark, tmp_path):
     table = _mk(spark, str(tmp_path / "t"))
     _seed(spark, table, n_convs=4, turns=1)
