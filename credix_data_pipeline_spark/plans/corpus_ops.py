@@ -1394,11 +1394,14 @@ def components_from_pairs(
     prev_fp = None
     rounds = 0
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).persist()
-        fp = _fingerprint(nxt)  # materializes nxt; one driver action/round
+        # localCheckpoint (NOT persist): each round references `cur` twice
+        # (the star joins), so carrying lineage doubles the logical plan per
+        # round — exponential planning time by round ~8.  Checkpointing cuts
+        # the plan to a leaf; rounds stay O(data), and the handful of
+        # O(log n) checkpointed edge sets is bounded block residue.
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _fingerprint(nxt)
         rounds += 1
-        if cur is not edges:
-            cur.unpersist()
         cur = nxt
         if fp == prev_fp:
             break
