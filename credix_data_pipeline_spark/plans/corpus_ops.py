@@ -1354,8 +1354,15 @@ def components_from_pairs(
     import logging
 
     e0 = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    # eager checkpoint (not lazy persist): round 1 references the edge set
+    # twice before any action has populated a cache, so a lazy persist lets
+    # the two scans race and the (expensive) upstream candidate-generation
+    # pipeline compute twice; materializing once up front also cuts the
+    # round-1 plan to a leaf.
     edges = (
-        e0.union(e0.selectExpr("dst AS src", "src AS dst")).distinct().persist()
+        e0.union(e0.selectExpr("dst AS src", "src AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
 
