@@ -67,6 +67,12 @@ def _manifest_name(version: int) -> str:
     return f"v{version:011d}.json"
 
 
+def _staged_name(version: int) -> str:
+    # staged (write-audit-publish) manifests are invisible to `_versions`;
+    # publishing links the SAME bytes to the versioned name
+    return f"staged-{_manifest_name(version)}"
+
+
 class LakeTable:
     """Handle to one snapshot-committed table."""
 
@@ -148,7 +154,12 @@ class LakeTable:
         return sorted(out)
 
     def _read_manifest(self, version: int) -> Snapshot:
-        with open(os.path.join(self.meta_path, _manifest_name(version))) as f:
+        return self._read_manifest_file(
+            os.path.join(self.meta_path, _manifest_name(version))
+        )
+
+    def _read_manifest_file(self, path: str) -> Snapshot:
+        with open(path) as f:
             m = json.load(f)
         return Snapshot(
             version=m["version"],
@@ -179,6 +190,110 @@ class LakeTable:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not found")
 
+    # ------------------------------------------------- write-audit-publish
+    def _staged_versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_path):
+            return []
+        out = []
+        for name in os.listdir(self.meta_path):
+            if name.startswith("staged-v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("staged-v"):-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def staged_snapshot(self) -> Snapshot | None:
+        """The pending staged (write-audit-publish) snapshot, if any."""
+        versions = self._staged_versions()
+        if not versions:
+            return None
+        return self._read_manifest_file(
+            os.path.join(self.meta_path, _staged_name(versions[-1]))
+        )
+
+    def publish_staged(self, version: int) -> Snapshot:
+        """Atomically promote a staged snapshot to the table's current
+        snapshot (the Iceberg WAP publish / fast-forward step).
+
+        The staged manifest's bytes are hard-linked to the versioned name —
+        the exact file the audit read is the file readers see, and the same
+        EEXIST race rule as ``_commit`` applies: if another writer committed
+        ``version`` meanwhile, publish fails with ``CommitConflict`` and the
+        staged snapshot stays pending (data files untouched).
+        """
+        src = os.path.join(self.meta_path, _staged_name(version))
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"no staged snapshot v{version}")
+        dst = os.path.join(self.meta_path, _manifest_name(version))
+        try:
+            os.link(src, dst)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed at {self.path}; "
+                "staged snapshot left pending"
+            ) from e
+        os.unlink(src)
+        return self._read_manifest(version)
+
+    def discard_staged(self, version: int) -> None:
+        """Drop a staged snapshot that failed its audit.  Its data files
+        become unreferenced and are collected by ``expire_snapshots``'s
+        orphan pass after the grace period; the published table never saw
+        them."""
+        src = os.path.join(self.meta_path, _staged_name(version))
+        if os.path.exists(src):
+            os.unlink(src)
+
+    # -------------------------------------------------------------- rollback
+    def _fence_as_of(self, version: int) -> dict[str, Any]:
+        """Fence / high-water summary keys visible at ``version`` — what
+        ``carry_fence`` would have returned right after that commit."""
+        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw")
+        out: dict[str, Any] = {}
+        for v in reversed([x for x in self._versions() if x <= version]):
+            snap = self._read_manifest(v)
+            for k in want:
+                if k in snap.summary and k not in out:
+                    out[k] = snap.summary[k]
+            if "batch_id" in out and "source_lsn_hw" in out:
+                break
+        return out
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to a past snapshot (Iceberg
+        ``rollback_to_snapshot``): a NEW commit whose file set, schema and
+        partition spec are the target's — history is preserved (the bad
+        commits stay inspectable/time-travelable until retention) and data
+        files are shared, so rollback is O(1) metadata.
+
+        The exactly-once fence rolls back WITH the data: the commit summary
+        carries the fence **as of the target snapshot** (explicitly
+        ``batch_id: None`` when the target predates the first merge), so
+        ``last_applied_batch_id`` answers as of the target and a re-run
+        replay re-applies exactly the batches after it — reconverging to the
+        original state by LWW determinism.
+        """
+        target = self.snapshot(snapshot_id)
+        cur = self.current()
+        fence = self._fence_as_of(target.version)
+        fence.setdefault("batch_id", None)  # explicit fence reset marker
+        fence.setdefault("source_lsn_hw", None)
+        return self._commit(
+            parent=cur,
+            schema=target.schema,
+            key=target.key,
+            bucket_by=target.bucket_by,
+            num_buckets=target.num_buckets,
+            files=target.files,
+            summary={
+                **fence,
+                "operation": "rollback",
+                "rolled_back_to": snapshot_id,
+            },
+            merge_mode=target.merge_mode,
+        )
+
     def _commit(
         self,
         parent: Snapshot | None,
@@ -189,6 +304,7 @@ class LakeTable:
         files: dict[str, list[str]],
         summary: dict[str, Any],
         merge_mode: str | None = None,
+        staged: bool = False,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
@@ -207,7 +323,8 @@ class LakeTable:
             or (parent.merge_mode if parent else "cow"),
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(self.meta_path, _manifest_name(version))
+        name = _staged_name(version) if staged else _manifest_name(version)
+        final = os.path.join(self.meta_path, name)
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
@@ -216,10 +333,13 @@ class LakeTable:
             os.link(tmp, final)  # atomic; EEXIST => lost the race
         except FileExistsError as e:
             raise CommitConflict(
-                f"version {version} already committed at {self.path}"
+                f"version {version} already {'staged' if staged else 'committed'}"
+                f" at {self.path}"
             ) from e
         finally:
             os.unlink(tmp)
+        if staged:
+            return self._read_manifest_file(final)
         return self._read_manifest(version)
 
     # ----------------------------------------------------------------- read
@@ -240,6 +360,14 @@ class LakeTable:
         used by MERGE (only dirty buckets are read).
         """
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current()
+        return self.read_snap(snap, buckets=buckets)
+
+    def read_snap(
+        self, snap: Snapshot, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Read an explicit Snapshot object — also works for a staged
+        (not-yet-published) snapshot, which is how the WAP audit inspects
+        the post-image before anyone else can see it."""
         file_map = snap.files
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -336,7 +464,12 @@ class LakeTable:
                 files[b] = rel
         return files
 
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        staged: bool = False,
+    ) -> Snapshot:
         """Append rows (no key reconciliation — the reference's WRITE_APPEND,
         credix_pipeline/resources/gcp_resource.py:32-67)."""
         snap = self.current()
@@ -353,6 +486,7 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=merged,
             summary={"operation": "append", **(summary or {})},
+            staged=staged,
         )
 
     def replace_buckets(
@@ -362,6 +496,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         schema: T.StructType | None = None,
         sort_keys: list[str] | None = None,
+        staged: bool = False,
     ) -> Snapshot:
         """Copy-on-write commit: swap the file sets of ``dirty_buckets`` for
         the files of ``new_df`` (which must contain exactly those buckets'
@@ -400,6 +535,7 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=merged,
             summary={"operation": "merge", **(summary or {})},
+            staged=staged,
         )
 
     def add_columns(self, fields: list[T.StructField]) -> Snapshot:
@@ -616,6 +752,10 @@ class LakeTable:
         }
         keep_snaps = [self._read_manifest(v) for v in versions if v not in expire]
         live = {f for s in keep_snaps for f in s.all_files()}
+        # a pending staged (WAP) snapshot's files are referenced, not orphans
+        staged = self.staged_snapshot()
+        if staged is not None:
+            live |= set(staged.all_files())
 
         # Delete expired manifests FIRST: a crash mid-way leaves extra data
         # files (harmless, re-collected next run), never a manifest pointing

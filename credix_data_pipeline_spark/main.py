@@ -30,9 +30,14 @@ Subcommands:
 * ``changes``   — changelog scan between two snapshots (Iceberg changelog /
                   Delta CDF analogue) for downstream incremental consumers
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
+* ``rollback``  — roll back to a past snapshot; the exactly-once fence rolls
+                  back with the data (Iceberg rollback_to_snapshot)
 * ``expire``    — retention: expire old snapshots + collect orphan files
                   (Iceberg expire_snapshots / the reference's GCS lifecycle
                   deletes)
+
+``replay --wap`` stages each batch and publishes only after the contracts
+pass on the staged post-image (Iceberg write-audit-publish).
 """
 
 from __future__ import annotations
@@ -72,20 +77,29 @@ def cmd_generate(args) -> int:
 
 def cmd_replay(args) -> int:
     from credix_data_pipeline_spark.functions.normalize import with_normalized_text
+    from credix_data_pipeline_spark.operators.apply import ContractViolation
     from credix_data_pipeline_spark.streaming import runner
 
     spark = _spark(args)
-    stats = runner.replay(
-        spark,
-        args.feed,
-        args.table,
-        chunks_per_batch=args.chunks_per_batch,
-        num_buckets=args.buckets,
-        transform=with_normalized_text if not args.no_normalize else None,
-        collect_stats=not args.fast,
-        auto_compact_threshold=args.auto_compact,
-        merge_mode=args.merge_mode,
-    )
+    try:
+        stats = runner.replay(
+            spark,
+            args.feed,
+            args.table,
+            chunks_per_batch=args.chunks_per_batch,
+            num_buckets=args.buckets,
+            transform=with_normalized_text if not args.no_normalize else None,
+            collect_stats=not args.fast,
+            auto_compact_threshold=args.auto_compact,
+            merge_mode=args.merge_mode,
+            wap=args.wap,
+        )
+    except ContractViolation as e:
+        # staged snapshot discarded; published table unchanged; checkpoint
+        # still points at the offending chunk for a fixed re-run
+        print(json.dumps({"error": "contract_violation", "batch_id": e.batch_id,
+                          "report": e.report}))
+        return 1
     out = {
         "batches": stats.batches,
         "rows_in": stats.rows_in,
@@ -260,6 +274,24 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    snap = LakeTable.load(spark, args.table).rollback_to(args.snapshot)
+    print(
+        json.dumps(
+            {
+                "snapshot_id": snap.snapshot_id,
+                "version": snap.version,
+                "rolled_back_to": args.snapshot,
+                "batch_id": snap.summary.get("batch_id"),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_expire(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -307,6 +339,10 @@ def build_parser() -> argparse.ArgumentParser:
             r.add_argument("--validate", action="store_true",
                            help="run data contracts after replay and exit "
                                 "non-zero on violations (dbt build analogue)")
+            r.add_argument("--wap", action="store_true",
+                           help="write-audit-publish: stage each batch, run "
+                                "contracts on the staged post-image, publish "
+                                "only on a clean audit")
         else:
             r.add_argument("--continuous", action="store_true")
             r.add_argument("--trigger", default="10 seconds")
@@ -367,6 +403,14 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--out", default=None, help="write parquet instead of show")
     ch.add_argument("--limit", type=int, default=50)
     ch.set_defaults(fn=cmd_changes)
+
+    ro = sub.add_parser(
+        "rollback", help="roll back to a past snapshot (fence rolls back too)"
+    )
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--snapshot", type=int, required=True,
+                    help="target snapshot_id (see history/changes)")
+    ro.set_defaults(fn=cmd_rollback)
 
     e = sub.add_parser("expire", help="expire old snapshots (retention)")
     e.add_argument("--table", required=True)

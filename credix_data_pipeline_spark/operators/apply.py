@@ -71,14 +71,33 @@ class ApplyResult:
     # serial driver remainder (fence read, planning, evolution check)
     profile_ms: int = 0
     merge_ms: int = 0
+    # write-audit-publish: the contract report run against the staged
+    # snapshot before publish (None when wap was off)
+    audit: dict | None = None
+
+
+class ContractViolation(RuntimeError):
+    """A WAP audit failed: the staged snapshot was discarded and the
+    published table is unchanged."""
+
+    def __init__(self, batch_id: int, report: dict):
+        self.batch_id = batch_id
+        self.report = report
+        bad = {k: v for k, v in report["violations"].items() if v}
+        super().__init__(f"batch {batch_id} failed contract audit: {bad}")
 
 
 def last_applied_batch_id(table: LakeTable) -> int | None:
     """Newest merge-commit's batch_id (the fence).  Authoritative because it
-    was written in the same atomic commit as the data."""
+    was written in the same atomic commit as the data.  A rollback commit
+    carries the fence AS OF its target — explicitly ``None`` when the target
+    predates the first merge — so the scan must stop at the first commit
+    that *declares* a fence, even a null one (otherwise a rollback past
+    batch 0 would resurrect the pre-rollback fence and refuse re-apply)."""
     for snap in reversed(table.history()):
         if "batch_id" in snap.summary:
-            return int(snap.summary["batch_id"])
+            v = snap.summary["batch_id"]
+            return None if v is None else int(v)
     return None
 
 
@@ -126,6 +145,26 @@ def _evolve_if_needed(table: LakeTable, events: DataFrame) -> None:
         table.add_columns([T.StructField(f.name, f.dataType, True) for f in new])
 
 
+def _audit_and_publish(table, staged, dirty: list[int], res: ApplyResult):
+    """WAP audit: run the data contracts on the staged snapshot's dirty-
+    bucket post-image; publish on pass, discard + raise on violation."""
+    from credix_data_pipeline_spark.operators.contracts import validate_df
+
+    df = table.read_snap(staged, buckets=dirty)
+    if staged.merge_mode == "mor":
+        df = table._lww_collapse(df)
+        if "_seq" in df.columns:
+            df = df.drop("_seq")
+    if "_deleted" in df.columns:
+        df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    report = validate_df(df, staged.key)
+    res.audit = report
+    if not report["passed"]:
+        table.discard_staged(staged.version)
+        raise ContractViolation(res.batch_id, report)
+    return table.publish_staged(staged.version)
+
+
 def apply_batch(
     table: LakeTable,
     batch_df: DataFrame,
@@ -136,8 +175,20 @@ def apply_batch(
     dead_letter: Callable[[DataFrame], None] | None = None,
     write_salt: int = 4,
     collect_stats: bool = True,
+    wap: bool = False,
 ) -> ApplyResult:
-    """Apply one micro-batch of change events to the target table."""
+    """Apply one micro-batch of change events to the target table.
+
+    ``wap=True`` turns the merge commit into a write-audit-publish gate
+    (the Iceberg WAP pattern, dbt-build's test-before-promote): the batch
+    commits as a STAGED snapshot invisible to readers, the data contracts
+    run against the staged dirty-bucket post-image (O(changed data) — per-
+    key rules are bucket-local because the table is hash-bucketed by key),
+    and only a clean audit publishes.  A violation discards the staged
+    snapshot — the published table never saw the batch — and raises
+    ``ContractViolation`` so the runner halts with the feed position still
+    pointing at the bad chunk.
+    """
     t0 = time.monotonic()
     spark = batch_df.sparkSession
     res = ApplyResult(batch_id=batch_id)
@@ -342,9 +393,13 @@ def apply_batch(
     if merge_mode == "mor":
         # delta append: existing files stay; the fence rides this commit's
         # summary exactly like a CoW merge commit
-        new_snap = table.append(out, summary=batch_summary)
+        new_snap = table.append(out, summary=batch_summary, staged=wap)
     else:
-        new_snap = table.replace_buckets(dirty, out, summary=batch_summary)
+        new_snap = table.replace_buckets(
+            dirty, out, summary=batch_summary, staged=wap
+        )
+    if wap:
+        new_snap = _audit_and_publish(table, new_snap, dirty, res)
     res.merge_ms = int((time.monotonic() - t_merge) * 1000)
     res.snapshot_id = new_snap.snapshot_id
 

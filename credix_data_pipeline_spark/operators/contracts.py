@@ -75,11 +75,22 @@ def validate(table: LakeTable) -> dict:
     cols = [f.name for f in snap.schema.fields]
     # gold tables carry no tombstone column; silver reads filter tombstones
     df = read_clean(table) if "_deleted" in cols else table.read()
+    return validate_df(df, snap.key)
+
+
+def validate_df(df, key: list[str]) -> dict:
+    """The contract pass over an explicit DataFrame — the same single-scan
+    aggregation, reusable against a *staged* (write-audit-publish)
+    snapshot's dirty-bucket post-image before publish.  Because the table is
+    hash-bucketed by key, every per-key rule (uniqueness, not-null key,
+    accepted values) is decidable on the dirty buckets alone — the audit is
+    O(changed data), never O(table)."""
+    cols = df.columns
 
     # composite-key uniqueness (dbt unique_combination_of_columns analogue):
     # one hash-agg, count of keys seen more than once
     dup_keys = (
-        df.groupBy(*snap.key)
+        df.groupBy(*key)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .count()

@@ -53,7 +53,9 @@ def _clean(df: DataFrame) -> DataFrame:
 def _gold_highwater(gold: LakeTable) -> int:
     for snap in reversed(gold.history()):
         if "source_lsn_hw" in snap.summary:
-            return int(snap.summary["source_lsn_hw"])
+            v = snap.summary["source_lsn_hw"]
+            # a rollback commit declares a null high-water (fence reset)
+            return -1 if v is None else int(v)
     return -1
 
 

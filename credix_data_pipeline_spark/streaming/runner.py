@@ -131,8 +131,15 @@ def replay(
     archive: bool = False,
     auto_compact_threshold: int | None = None,
     merge_mode: str = "cow",
+    wap: bool = False,
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
+
+    ``wap=True`` commits every batch through the write-audit-publish gate
+    (apply_batch wap): contracts run on the staged dirty-bucket post-image
+    and a violation halts the replay with the published table unchanged and
+    the checkpoint still pointing at the offending chunk — the dbt-build
+    promotion gate at micro-batch granularity.
 
     ``fail_at_batch`` injects a crash *after* the data commit but *before*
     the checkpoint advance — the worst-case window — for exactly-once tests.
@@ -193,6 +200,7 @@ def replay(
             dead_letter=dead,
             write_salt=write_salt,
             collect_stats=collect_stats,
+            wap=wap,
         )
         stats.add(res)
         if fail_at_batch is not None and batch_id == fail_at_batch:

@@ -157,3 +157,31 @@ def test_cli_changes(spark, tmp_path, capsys):
     kinds = {r["_change_type"] for r in cdf.select("_change_type").distinct().collect()}
     assert kinds <= {"insert", "delete", "update_before", "update_after"}
     assert "insert" in kinds or "update_after" in kinds
+
+
+def test_cli_wap_and_rollback(spark, tmp_path, capsys):
+    """`replay --wap` gates each batch pre-publish; `rollback` restores a
+    past snapshot and its fence through the CLI."""
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+
+    feed, table = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(n_events=1_000, n_conversations=20,
+                                     turns_per_conversation=8,
+                                     events_per_chunk=250))
+    out = _run(capsys, "replay", "--feed", feed, "--table", table,
+               "--buckets", "4", "--fast", "--wap")
+    assert json.loads(out)["batches"] >= 1
+    t = LakeTable.load(spark, table)
+    assert t.staged_snapshot() is None
+    n_full = read_clean(t).count()
+
+    merges = [s for s in t.history() if s.summary.get("operation") == "merge"]
+    target = merges[0]
+    out = _run(capsys, "rollback", "--table", table,
+               "--snapshot", str(target.snapshot_id))
+    rep = json.loads(out)
+    assert rep["rolled_back_to"] == target.snapshot_id
+    assert rep["batch_id"] == target.summary["batch_id"]
+    n_rolled = read_clean(t).count()
+    assert 0 < n_rolled <= n_full
+    assert n_rolled == read_clean(t, snapshot_id=target.snapshot_id).count()
