@@ -30,6 +30,9 @@ Subcommands:
 * ``changes``   — changelog scan between two snapshots (Iceberg changelog /
                   Delta CDF analogue) for downstream incremental consumers
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
+* ``history``   — snapshot lineage / per-file footer stats (Iceberg
+                  ``history`` + ``files`` metadata tables; ``--files`` runs
+                  a distributed footer-only metadata scan)
 * ``rollback``  — roll back to a past snapshot; the exactly-once fence rolls
                   back with the data (Iceberg rollback_to_snapshot)
 * ``expire``    — retention: expire old snapshots + collect orphan files
@@ -274,6 +277,26 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.lakehouse.metadata import (
+        files_df,
+        history_df,
+    )
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    if args.files:
+        files_df(table).orderBy("bucket", "file_path").show(
+            n=args.limit, truncate=False
+        )
+    else:
+        history_df(table).orderBy("version").drop("summary").show(
+            n=args.limit, truncate=False
+        )
+    return 0
+
+
 def cmd_rollback(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -403,6 +426,16 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--out", default=None, help="write parquet instead of show")
     ch.add_argument("--limit", type=int, default=50)
     ch.set_defaults(fn=cmd_changes)
+
+    hi = sub.add_parser(
+        "history", help="snapshot lineage / file-level metadata tables"
+    )
+    hi.add_argument("--table", required=True)
+    hi.add_argument("--files", action="store_true",
+                    help="per-file footer stats (distributed metadata scan) "
+                         "instead of the snapshot lineage")
+    hi.add_argument("--limit", type=int, default=50)
+    hi.set_defaults(fn=cmd_history)
 
     ro = sub.add_parser(
         "rollback", help="roll back to a past snapshot (fence rolls back too)"
