@@ -442,11 +442,21 @@ class LakeTable:
         out = df.select(BUCKET_COL, *cols)
         if sort_keys:
             out = out.sortWithinPartitions(BUCKET_COL, *sort_keys)
-        (
-            out.write.partitionBy(BUCKET_COL)
-            .mode("append")
-            .parquet(out_abs)
-        )
+        writer = out.write.partitionBy(BUCKET_COL).mode("append")
+        # Parquet bloom filter on the bucket column (Iceberg write.
+        # parquet.bloom-filter-enabled analogue): point lookups
+        # (``read_keys``) skip row groups whose bloom rejects the key even
+        # in UNSORTED ingest files, where min/max ranges are too wide to
+        # prune.  parquet-mr sizes the filter adaptively and omits it
+        # entirely when a chunk stays fully dictionary-encoded (the
+        # dictionary already gives exact row-group skipping), so small
+        # batch files pay nothing — only high-cardinality chunks carry the
+        # ~10-bits-per-key bitset.
+        if snap.bucket_by:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{snap.bucket_by[0]}", "true"
+            ).option("parquet.bloom.filter.adaptive.enabled", "true")
+        writer.parquet(out_abs)
         files: dict[str, list[str]] = {}
         if not os.path.isdir(out_abs):
             return files
