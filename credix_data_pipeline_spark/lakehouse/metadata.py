@@ -39,6 +39,7 @@ SNAPSHOTS_SCHEMA = T.StructType(
         T.StructField("batch_id", T.LongType(), True),
         T.StructField("summary", T.StringType(), False),
         T.StructField("is_current", T.BooleanType(), False),
+        T.StructField("refs", T.ArrayType(T.StringType()), False),
     ]
 )
 
@@ -58,6 +59,9 @@ FILES_SCHEMA = T.StructType(
 def snapshots_df(table: LakeTable) -> DataFrame:
     """One row per snapshot (Iceberg ``snapshots`` metadata table)."""
     cur = table.current().snapshot_id
+    refs_by_sid: dict[int, list[str]] = {}
+    for name, sid in table.tags().items():
+        refs_by_sid.setdefault(sid, []).append(name)
     rows = []
     for s in table.history():
         bid = s.summary.get("batch_id")
@@ -74,6 +78,7 @@ def snapshots_df(table: LakeTable) -> DataFrame:
                 None if bid is None else int(bid),
                 json.dumps(s.summary, sort_keys=True),
                 s.snapshot_id == cur,
+                sorted(refs_by_sid.get(s.snapshot_id, [])),
             )
         )
     return table.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)

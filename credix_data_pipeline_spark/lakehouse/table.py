@@ -245,6 +245,51 @@ class LakeTable:
         if os.path.exists(src):
             os.unlink(src)
 
+    # ------------------------------------------------------------------ tags
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create an immutable named ref to a snapshot (Iceberg tag).
+        Tagged snapshots are exempt from retention: ``expire_snapshots``
+        keeps their manifest and data files until the tag is dropped —
+        the audit/reproducibility pin (e.g. tag the snapshot a model was
+        trained from)."""
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = snapshot_id if snapshot_id is not None else self.current().snapshot_id
+        self.snapshot(sid)  # must exist
+        tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.meta_path, f"tag-{name}.json")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"name": name, "snapshot_id": sid,
+                 "created_at_ms": int(time.time() * 1000)},
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic; EEXIST => tag already exists
+        except FileExistsError as e:
+            raise CommitConflict(f"tag {name!r} already exists") from e
+        finally:
+            os.unlink(tmp)
+
+    def untag(self, name: str) -> None:
+        p = os.path.join(self.meta_path, f"tag-{name}.json")
+        if not os.path.exists(p):
+            raise KeyError(f"no tag {name!r}")
+        os.unlink(p)
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if not os.path.isdir(self.meta_path):
+            return out
+        for fn in sorted(os.listdir(self.meta_path)):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_path, fn)) as f:
+                    m = json.load(f)
+                out[m["name"]] = m["snapshot_id"]
+        return out
+
     # -------------------------------------------------------------- rollback
     def _fence_as_of(self, version: int) -> dict[str, Any]:
         """Fence / high-water summary keys visible at ``version`` — what
@@ -746,6 +791,12 @@ class LakeTable:
                 if key in self._read_manifest(v).summary:
                     cutoff.add(v)
                     break
+        # tagged snapshots are pinned until the tag is dropped (Iceberg refs)
+        tagged = set(self.tags().values())
+        if tagged:
+            for v in versions:
+                if self._read_manifest(v).snapshot_id in tagged:
+                    cutoff.add(v)
         expire: list[int] = []
         for v in versions:
             if v in cutoff:

@@ -297,6 +297,19 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    if args.drop:
+        t.untag(args.name)
+    else:
+        t.tag(args.name, snapshot_id=args.snapshot)
+    print(json.dumps({"tags": t.tags()}))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -436,6 +449,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead of the snapshot lineage")
     hi.add_argument("--limit", type=int, default=50)
     hi.set_defaults(fn=cmd_history)
+
+    tg = sub.add_parser(
+        "tag", help="create/drop an immutable named snapshot ref (Iceberg tag)"
+    )
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--snapshot", type=int, default=None,
+                    help="snapshot_id to pin (default: current)")
+    tg.add_argument("--drop", action="store_true")
+    tg.set_defaults(fn=cmd_tag)
 
     ro = sub.add_parser(
         "rollback", help="roll back to a past snapshot (fence rolls back too)"

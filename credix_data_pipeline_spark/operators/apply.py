@@ -399,7 +399,15 @@ def apply_batch(
             dirty, out, summary=batch_summary, staged=wap
         )
     if wap:
-        new_snap = _audit_and_publish(table, new_snap, dirty, res)
+        try:
+            new_snap = _audit_and_publish(table, new_snap, dirty, res)
+        except ContractViolation:
+            # the failed audit is an operational event: surface it in the
+            # lineage sidecar before halting (the staged snapshot is gone)
+            res.wall_ms = int((time.monotonic() - t0) * 1000)
+            if lineage:
+                lineage.record(res, note="wap-audit-failed")
+            raise
     res.merge_ms = int((time.monotonic() - t_merge) * 1000)
     res.snapshot_id = new_snap.snapshot_id
 

@@ -8,6 +8,7 @@ queryable table.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from credix_data_pipeline_spark.lakehouse import LakeTable
@@ -120,3 +121,54 @@ def test_cli_history(spark, tmp_path, capsys):
     assert cli.main(["history", "--table", t.path, "--files"]) == 0
     out = capsys.readouterr().out
     assert "row_group_count" in out
+
+
+def test_tags_pin_snapshots_through_retention(spark, tmp_path):
+    """Iceberg-refs semantics: a tagged snapshot survives expire_snapshots
+    (manifest + data files) until the tag is dropped."""
+    from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+
+    _, t = _setup(spark, tmp_path)
+    target = next(s for s in t.history() if s.summary.get("batch_id") == 0)
+    t.tag("model-v1", snapshot_id=target.snapshot_id)
+    assert t.tags() == {"model-v1": target.snapshot_id}
+    with pytest.raises(CommitConflict):
+        t.tag("model-v1")
+    with pytest.raises(ValueError):
+        t.tag("bad/name")
+
+    # churn + retention that would normally expire the tagged snapshot
+    t.compact()
+    rows_at_tag = t.read(snapshot_id=target.snapshot_id).count()
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    assert t.read(snapshot_id=target.snapshot_id).count() == rows_at_tag
+
+    # refs surface in the snapshots metadata table
+    refs = {
+        r["snapshot_id"]: r["refs"] for r in snapshots_df(t).collect()
+    }
+    assert refs[target.snapshot_id] == ["model-v1"]
+
+    # dropping the tag releases the pin: next expire collects it
+    t.untag("model-v1")
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    with pytest.raises(KeyError):
+        t.snapshot(target.snapshot_id)
+
+
+def test_cli_tag(spark, tmp_path, capsys):
+    import json as _json
+
+    from credix_data_pipeline_spark import main as cli
+
+    _, t = _setup(spark, tmp_path)
+    out = _run_cli(capsys, cli, "tag", "--table", t.path, "--name", "rc1")
+    assert _json.loads(out)["tags"] == {"rc1": t.current().snapshot_id}
+    out = _run_cli(capsys, cli, "tag", "--table", t.path, "--name", "rc1",
+                   "--drop")
+    assert _json.loads(out)["tags"] == {}
+
+
+def _run_cli(capsys, cli, *argv):
+    assert cli.main(list(argv)) == 0
+    return capsys.readouterr().out.strip().splitlines()[-1]
