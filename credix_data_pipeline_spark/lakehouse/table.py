@@ -813,7 +813,15 @@ class LakeTable:
         }
         keep_snaps = [self._read_manifest(v) for v in versions if v not in expire]
         live = {f for s in keep_snaps for f in s.all_files()}
-        # a pending staged (WAP) snapshot's files are referenced, not orphans
+        # A stale staged manifest (version already taken by a published
+        # commit — e.g. a crash between stage and publish/discard, then a
+        # later writer won the version) can never publish (EEXIST); drop it
+        # so it stops pinning files.  A still-publishable staged snapshot's
+        # files are referenced, not orphans.
+        cur_version = versions[-1]
+        for sv in self._staged_versions():
+            if sv <= cur_version:
+                os.unlink(os.path.join(self.meta_path, _staged_name(sv)))
         staged = self.staged_snapshot()
         if staged is not None:
             live |= set(staged.all_files())

@@ -247,3 +247,43 @@ def test_rollback_commit_survives_retention(spark, tmp_path):
     # the rollback commit (newest, fence-bearing) survives with its data
     assert last_applied_batch_id(t) == 1
     assert _final(spark, tp) == state
+
+
+def test_expire_drops_stale_staged_manifest(spark, tmp_path):
+    """A staged snapshot whose version was superseded by a published commit
+    (crashed WAP run) can never publish; retention removes it and its files
+    become collectable orphans."""
+    import os
+
+    feed = str(tmp_path / "feed")
+    write_feed(spark, feed, SPEC)
+    tp = str(tmp_path / "t")
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4,
+                  max_batches=2)
+    t = LakeTable.load(spark, tp)
+    fence = last_applied_batch_id(t)
+    cur = t.current()
+    ts = datetime.datetime(2025, 1, 1)
+    row_df = spark.createDataFrame(
+        [("conv-stale", 0, "user", "x", None, ts, 99_000_000, False)],
+        cur.schema,
+    )
+    dirty = [
+        r["_b"]
+        for r in row_df.select(t.bucket_expr().alias("_b")).distinct().collect()
+    ]
+    staged = t.replace_buckets(
+        dirty, row_df, summary={"batch_id": fence + 1}, staged=True
+    )
+    stale_files = set(staged.all_files()) - set(cur.all_files())
+
+    # a later (recovered) run publishes the same version normally
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4)
+    assert t.current().version >= staged.version
+
+    t.expire_snapshots(keep_last=2, orphan_grace_sec=0.0)
+    assert t.staged_snapshot() is None  # stale manifest removed
+    for f in stale_files:
+        assert not os.path.exists(os.path.join(t.path, f))  # orphans gone
+    # the published table is untouched by the cleanup
+    assert read_clean(t).filter(F.col("conv_id") == "conv-stale").count() == 0
