@@ -1,11 +1,11 @@
-"""Parquet bloom filters on the bucket column.
+"""Parquet bloom filters on the bucket column — maintenance writes only.
 
-Every data-file write carries ``parquet.bloom.filter.enabled#<bucket_col>``
-so point lookups can skip row groups in UNSORTED ingest files (where key
-min/max ranges are too wide to prune).  parquet-mr's adaptive writer omits
-the filter for chunks that stay fully dictionary-encoded — the dictionary
-already provides exact row-group skipping — so this pins both sides:
-a high-cardinality write carries a bloom bitset; lookups stay correct.
+``compact``/``rebucket`` rewrites carry
+``parquet.bloom.filter.enabled#<bucket_col>`` so point lookups skip row
+groups by bloom in addition to the sorted min/max ranges.  The INGEST path
+deliberately writes no bloom: a measured A/B put bitset construction at
+~3x replay wall on a high-cardinality insert-heavy feed, so fresh batch
+files rely on dictionary/min-max skipping until compaction rewrites them.
 """
 
 from __future__ import annotations
@@ -15,7 +15,6 @@ import os
 from pyspark.sql import functions as F, types as T
 
 from credix_data_pipeline_spark.lakehouse import LakeTable
-from credix_data_pipeline_spark.lakehouse.table import BUCKET_COL
 
 
 def _bloom_bytes(spark, abs_path: str, column: str) -> int | None:
@@ -51,9 +50,17 @@ SCHEMA = T.StructType(
 )
 
 
-def test_high_cardinality_write_carries_bloom_and_lookup_works(
-    spark, tmp_path
-):
+def _high_card_df(spark, n=60_000):
+    return spark.range(n).select(
+        F.concat(F.lit("conv"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+    )
+
+
+def test_ingest_writes_no_bloom_compaction_adds_it(spark, tmp_path):
     t = LakeTable.create(
         spark,
         str(tmp_path / "t"),
@@ -62,49 +69,39 @@ def test_high_cardinality_write_carries_bloom_and_lookup_works(
         num_buckets=2,
         bucket_by=["conv_id"],
     )
-    # 60k distinct conv ids in one unsorted write: the dictionary falls
-    # back to plain encoding, so the adaptive writer emits a bloom bitset
-    df = spark.range(60_000).select(
-        F.concat(F.lit("conv"), F.col("id").cast("string")).alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.sha2(F.col("id").cast("string"), 256).alias("text"),
-        F.col("id").alias("_lsn"),
-        F.lit(False).alias("_deleted"),
-    )
-    snap = t.append(df)
-    some_file = snap.all_files()[0]
-    size = _bloom_bytes(spark, os.path.join(t.path, some_file), "conv_id")
-    assert size and size > 0
+    snap = t.append(_high_card_df(spark))
+    # hot path: no bitset even at high cardinality (measured write tax)
+    sizes = {
+        _bloom_bytes(spark, os.path.join(t.path, f), "conv_id")
+        for f in snap.all_files()
+    }
+    assert sizes == {None}
+
+    # maintenance rewrite: sorted AND bloom'd
+    # (append twice so every bucket has >1 file and compaction rewrites it)
+    t.append(_high_card_df(spark, 5_000))
+    snap = t.compact()
+    sizes = {
+        _bloom_bytes(spark, os.path.join(t.path, f), "conv_id")
+        for f in snap.all_files()
+    }
+    assert None not in sizes and all(s > 0 for s in sizes)
 
     # bloom'd files read back correctly through the point-lookup path
     got = t.read_keys(["conv12345"]).select("turn_idx", "_lsn").collect()
     assert [(r.turn_idx, r._lsn) for r in got] == [(0, 12345)]
 
 
-def test_low_cardinality_write_stays_dictionary_encoded(spark, tmp_path):
-    """Few distinct keys ⇒ chunk stays dict-encoded ⇒ parquet-mr omits the
-    bloom (the dictionary is the better filter) — no bitset tax on small
-    batch files."""
+def test_rebucket_carries_bloom(spark, tmp_path):
     t = LakeTable.create(
         spark,
         str(tmp_path / "t"),
         SCHEMA,
         key=["conv_id", "turn_idx"],
-        num_buckets=1,
+        num_buckets=2,
         bucket_by=["conv_id"],
     )
-    df = spark.range(5_000).select(
-        F.concat(
-            F.lit("conv"), (F.col("id") % 20).cast("string")
-        ).alias("conv_id"),
-        F.col("id").cast("int").alias("turn_idx"),
-        F.lit("x").alias("text"),
-        F.col("id").alias("_lsn"),
-        F.lit(False).alias("_deleted"),
-    )
-    snap = t.append(df)
-    sizes = {
-        _bloom_bytes(spark, os.path.join(t.path, f), "conv_id")
-        for f in snap.all_files()
-    }
-    assert sizes == {None}
+    t.append(_high_card_df(spark))
+    snap = t.rebucket(4)
+    some_file = snap.all_files()[0]
+    assert _bloom_bytes(spark, os.path.join(t.path, some_file), "conv_id")
