@@ -138,6 +138,7 @@ def cmd_stream(args) -> int:
         processing_time=args.trigger,
         collect_stats=not args.fast,
         merge_mode=args.merge_mode,
+        wap=args.wap,
     )
     q.awaitTermination()
     return 0
@@ -382,6 +383,10 @@ def build_parser() -> argparse.ArgumentParser:
         else:
             r.add_argument("--continuous", action="store_true")
             r.add_argument("--trigger", default="10 seconds")
+            r.add_argument("--wap", action="store_true",
+                           help="write-audit-publish each micro-batch; a "
+                                "violation fails the streaming query with "
+                                "the table unchanged")
         r.set_defaults(fn=fn)
 
     for name, fn in (("metrics", cmd_metrics), ("gold", cmd_gold)):

@@ -253,12 +253,20 @@ def stream(
     write_salt: int = 4,
     collect_stats: bool = True,
     merge_mode: str = "cow",
+    wap: bool = False,
 ):
     """Structured Streaming mode: readStream file source → foreachBatch MERGE.
 
     The classic exactly-once pattern: SS checkpoint gives offset tracking and
     monotone batch ids; the fence inside apply_batch de-duplicates the
     at-least-once `foreachBatch` redelivery window (SURVEY §2.8 ST3).
+
+    ``wap=True``: each foreachBatch commit goes through the write-audit-
+    publish gate; a contract violation raises inside the sink, failing the
+    streaming query with the published table unchanged and the SS
+    checkpoint still pointing at the offending offsets — on restart the
+    batch is re-delivered (fixed upstream, it publishes; still broken, it
+    fails again rather than corrupting the table).
     """
     manifest = feed_mod.read_manifest(feed_path)
     feed_format: str = manifest.get("format", "parquet")
@@ -312,6 +320,7 @@ def stream(
             dead_letter=dead,
             write_salt=write_salt,
             collect_stats=collect_stats,
+            wap=wap,
         )
 
     writer = src.writeStream.foreachBatch(_sink).option(

@@ -244,3 +244,46 @@ def test_stream_mode_writes_listener_progress(spark, tmp_path):
     lin = LineageLog(table)
     assert lin.read(spark).count() >= 1
     assert lin.throughput(spark)["events_in"] >= 1_000
+
+
+def test_stream_mode_wap_violation_fails_query_then_clean_restart(
+    spark, tmp_path
+):
+    """WAP inside foreachBatch: a violating batch fails the streaming query
+    with the published table unchanged; a fixed restart (same SS
+    checkpoint) re-delivers the batch and completes to the oracle state."""
+    feed, table_path = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+
+    def corrupt(df):
+        return df.withColumn(
+            "role",
+            F.when(F.col("lsn") >= 700, F.lit("alien")).otherwise(
+                F.col("role")
+            ),
+        )
+
+    q = runner.stream(
+        spark, feed, table_path, num_buckets=4, max_files_per_trigger=1,
+        transform=corrupt, wap=True,
+    )
+    with pytest.raises(Exception, match="ContractViolation|accepted_role"):
+        q.awaitTermination(300)
+        q.processAllAvailable()
+    t = LakeTable.load(spark, table_path)
+    assert t.staged_snapshot() is None
+    assert read_clean(t).filter(F.col("role") == "alien").count() == 0
+
+    # fixed upstream: same checkpoint, the failed batch re-delivers clean
+    q2 = runner.stream(
+        spark, feed, table_path, num_buckets=4, max_files_per_trigger=1,
+        wap=True,
+    )
+    q2.awaitTermination(300)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in read_clean(t).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == [
+        (c, ti, x) for c, ti, x in oracle_sorted_rows(SPEC, normalize=False)
+    ]
