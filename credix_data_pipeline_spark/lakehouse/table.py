@@ -27,7 +27,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -58,9 +58,24 @@ class Snapshot:
     # MERGE appends delta rows and LWW happens at read/compaction — the
     # Iceberg copy-on-write vs merge-on-read axis.
     merge_mode: str = "cow"
+    # Iceberg field ids: current column name -> stable id.  Ids survive
+    # renames and are never reused after a drop, so files written before a
+    # rename/drop still project to the right columns (Iceberg v2 name
+    # mapping).  Legacy manifests get positional ids on load (safe: a
+    # legacy table by definition never renamed).
+    column_ids: dict[str, int] = field(default_factory=dict)
+    next_column_id: int = 0
+    # commit-dir (the uuid dir under data/) -> {"schema": <StructType
+    # json>, "ids": {name: id}} AT WRITE TIME.  A dir absent here is read
+    # by-name with the snapshot schema (pre-feature files).  Pruned to live
+    # dirs at every commit, so the manifest never grows with dead history.
+    dir_schemas: dict[str, dict] = field(default_factory=dict)
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
+
+    def live_dirs(self) -> set[str]:
+        return {f.split("/", 2)[1] for fl in self.files.values() for f in fl}
 
 
 def _manifest_name(version: int) -> str:
@@ -71,6 +86,57 @@ def _staged_name(version: int) -> str:
     # staged (write-audit-publish) manifests are invisible to `_versions`;
     # publishing links the SAME bytes to the versioned name
     return f"staged-{_manifest_name(version)}"
+
+
+# Iceberg-style type promotions allowed by ``widen_column`` (reads of old
+# files cast on the fly; compaction rewrites them physically widened).
+_WIDENINGS: dict[str, set[str]] = {
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
+    """True if a commit dir's files can be read BY NAME with the snapshot
+    schema (the single-scan fast path).  A dir with no registration is
+    legacy/by-name by construction.  Incompatible dirs (a rename, drop+
+    re-add name collision, or type widening in between) take the per-dir
+    projection path instead."""
+    if dinfo is None:
+        return True
+    dids: dict[str, int] = dinfo["ids"]
+    dtypes = {
+        f["name"]: f["type"] for f in dinfo["schema"]["fields"]
+    }
+    rev = {i: n for n, i in dids.items()}
+    for f in snap.schema.fields:
+        i = snap.column_ids.get(f.name)
+        n = rev.get(i)
+        if n is not None:
+            # field id exists in the dir: name and type must match for a
+            # by-name read to land the data in the right column un-cast
+            if n != f.name or dtypes.get(n) != f.dataType.jsonValue():
+                return False
+        elif f.name in dids:
+            # same NAME bound to a different id in the dir (drop + re-add,
+            # or rename swap): by-name would resurrect dead data
+            return False
+    return True
+
+
+def _project_dir(df: DataFrame, snap: Snapshot, dinfo: dict) -> DataFrame:
+    """Project a write-schema read to the snapshot schema by FIELD ID:
+    renamed columns re-alias, widened columns cast, columns the dir never
+    had (or whose id was dropped) read as typed NULL."""
+    rev = {i: n for n, i in dinfo["ids"].items()}
+    cols = []
+    for f in snap.schema.fields:
+        n = rev.get(snap.column_ids.get(f.name))
+        if n is not None:
+            cols.append(F.col(n).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
 
 
 class LakeTable:
@@ -161,11 +227,18 @@ class LakeTable:
     def _read_manifest_file(self, path: str) -> Snapshot:
         with open(path) as f:
             m = json.load(f)
+        schema = T.StructType.fromJson(m["schema"])
+        # legacy manifests (pre field-id feature): positional ids — safe,
+        # a legacy table has never renamed/dropped, so ids are only a base
+        # for future DDL, not needed to interpret existing files
+        ids = m.get("column_ids") or {
+            f.name: i + 1 for i, f in enumerate(schema.fields)
+        }
         return Snapshot(
             version=m["version"],
             snapshot_id=m["snapshot_id"],
             parent_id=m.get("parent_id"),
-            schema=T.StructType.fromJson(m["schema"]),
+            schema=schema,
             key=m["key"],
             bucket_by=m.get("bucket_by", m["key"][:1]),
             num_buckets=m["num_buckets"],
@@ -173,6 +246,10 @@ class LakeTable:
             summary=m.get("summary", {}),
             committed_at_ms=m["committed_at_ms"],
             merge_mode=m.get("merge_mode", "cow"),
+            column_ids=ids,
+            next_column_id=m.get("next_column_id")
+            or (max(ids.values(), default=0) + 1),
+            dir_schemas=m.get("dir_schemas", {}),
         )
 
     def current(self) -> Snapshot:
@@ -337,6 +414,11 @@ class LakeTable:
                 "rolled_back_to": snapshot_id,
             },
             merge_mode=target.merge_mode,
+            # schema/spec roll back with the data; ids are the target's but
+            # the id counter stays monotone so no retired id is ever reused
+            column_ids=dict(target.column_ids),
+            next_column_id=max(cur.next_column_id, target.next_column_id),
+            dir_schemas=dict(target.dir_schemas),
         )
 
     def _commit(
@@ -350,9 +432,43 @@ class LakeTable:
         summary: dict[str, Any],
         merge_mode: str | None = None,
         staged: bool = False,
+        column_ids: dict[str, int] | None = None,
+        next_column_id: int | None = None,
+        dir_schemas: dict[str, dict] | None = None,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
+        # Field-id bookkeeping: drop ids for columns no longer in the
+        # schema, mint fresh ids for new columns (never reusing a retired
+        # id — the Iceberg rule that makes drop + re-add-same-name safe).
+        base_ids = (
+            column_ids
+            if column_ids is not None
+            else (dict(parent.column_ids) if parent else {})
+        )
+        nci = (
+            next_column_id
+            if next_column_id is not None
+            else (parent.next_column_id if parent else 1)
+        )
+        names = [f.name for f in schema.fields]
+        ids = {n: i for n, i in base_ids.items() if n in set(names)}
+        for n in names:
+            if n not in ids:
+                ids[n] = nci
+                nci += 1
+        # Per-dir write schemas: register dirs new in this commit with the
+        # schema being committed (= what _write_files just laid down),
+        # prune dirs no longer referenced by any file of this snapshot.
+        dsch = dict(
+            dir_schemas
+            if dir_schemas is not None
+            else (parent.dir_schemas if parent else {})
+        )
+        live = {f.split("/", 2)[1] for fl in files.values() for f in fl}
+        dsch = {d: v for d, v in dsch.items() if d in live}
+        for d in sorted(live - set(dsch)):
+            dsch[d] = {"schema": schema.jsonValue(), "ids": ids}
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -366,6 +482,9 @@ class LakeTable:
             "committed_at_ms": int(time.time() * 1000),
             "merge_mode": merge_mode
             or (parent.merge_mode if parent else "cow"),
+            "column_ids": ids,
+            "next_column_id": nci,
+            "dir_schemas": dsch,
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)
@@ -417,11 +536,48 @@ class LakeTable:
         if buckets is not None:
             wanted = {str(b) for b in buckets}
             file_map = {b: fl for b, fl in file_map.items() if b in wanted}
-        paths = [os.path.join(self.path, f) for fl in file_map.values() for f in fl]
-        if not paths:
+        # group files by writing commit dir: each dir was written under ONE
+        # schema, so field-id projection decisions are per-dir
+        by_dir: dict[str, list[str]] = {}
+        for fl in file_map.values():
+            for f in fl:
+                by_dir.setdefault(f.split("/", 2)[1], []).append(
+                    os.path.join(self.path, f)
+                )
+        if not by_dir:
             return self.spark.createDataFrame([], snap.schema)
-        # Explicit schema => old files missing late-added columns yield NULL.
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        fast: list[str] = []
+        slow: dict[str, tuple[dict, list[str]]] = {}
+        for d, paths in by_dir.items():
+            dinfo = snap.dir_schemas.get(d)
+            if _dir_compatible(snap, dinfo):
+                fast.extend(paths)
+            else:
+                k = json.dumps(dinfo, sort_keys=True)
+                slow.setdefault(k, (dinfo, []))[1].extend(paths)
+        parts: list[DataFrame] = []
+        if fast:
+            # the common case — ONE vectorized scan over every by-name-
+            # compatible file; explicit schema => files missing late-added
+            # columns yield NULL (add-column evolution stays metadata-only)
+            parts.append(
+                self.spark.read.schema(snap.schema).parquet(*sorted(fast))
+            )
+        for dinfo, paths in slow.values():
+            # files written before a rename/drop/widen: read with their
+            # WRITE schema, then project to the snapshot schema by field id
+            wschema = T.StructType.fromJson(dinfo["schema"])
+            parts.append(
+                _project_dir(
+                    self.spark.read.schema(wschema).parquet(*sorted(paths)),
+                    snap,
+                    dinfo,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_keys(self, bucket_values: list) -> DataFrame:
         """Key-targeted read: prune the scan to the buckets the given
@@ -622,6 +778,124 @@ class LakeTable:
             },
         )
 
+    def _dirs_registered(self, snap: Snapshot) -> dict[str, dict]:
+        """``dir_schemas`` with every live dir present — legacy dirs (written
+        before the field-id feature) pin to the PRE-DDL schema, under which
+        they are by-name correct.  Rename/drop/widen must snapshot this
+        before changing the schema, otherwise _commit would register legacy
+        dirs under the post-DDL schema they were never written with."""
+        out = dict(snap.dir_schemas)
+        for d in sorted(snap.live_dirs() - set(out)):
+            out[d] = {
+                "schema": snap.schema.jsonValue(),
+                "ids": dict(snap.column_ids),
+            }
+        return out
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Metadata-only column rename (Iceberg ALTER TABLE RENAME COLUMN).
+
+        The column keeps its field id, so files written under the old name
+        keep projecting to it — no rewrite.  Key/bucket columns may be
+        renamed: bucketing hashes VALUES, so layout and pruning are
+        unaffected."""
+        snap = self.current()
+        names = {f.name for f in snap.schema.fields}
+        if old not in names:
+            raise KeyError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if not new or new.startswith("_"):
+            raise ValueError(
+                f"invalid name {new!r} (empty or engine-reserved '_' prefix)"
+            )
+        dirs = self._dirs_registered(snap)
+        new_fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in snap.schema.fields
+        ]
+        ids = dict(snap.column_ids)
+        ids[new] = ids.pop(old)
+        return self._commit(
+            parent=snap,
+            schema=T.StructType(new_fields),
+            key=[new if c == old else c for c in snap.key],
+            bucket_by=[new if c == old else c for c in snap.bucket_by],
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={"operation": "rename-column", "from": old, "to": new},
+            column_ids=ids,
+            dir_schemas=dirs,
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Metadata-only column drop (Iceberg ALTER TABLE DROP COLUMN).
+
+        The field id is retired and never reused: a later ADD COLUMN with
+        the same name gets a fresh id, so old files' stale physical data
+        can never resurrect under the new column (reads of mixed dirs take
+        the field-id projection path and see typed NULL)."""
+        snap = self.current()
+        if name not in {f.name for f in snap.schema.fields}:
+            raise KeyError(f"no column {name!r}")
+        if name in snap.key or name in snap.bucket_by:
+            raise ValueError(f"cannot drop key/bucket column {name!r}")
+        if name.startswith("_"):
+            raise ValueError(f"cannot drop engine column {name!r}")
+        dirs = self._dirs_registered(snap)
+        return self._commit(
+            parent=snap,
+            schema=T.StructType(
+                [f for f in snap.schema.fields if f.name != name]
+            ),
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={"operation": "drop-column", "column": name},
+            dir_schemas=dirs,
+        )
+
+    def widen_column(self, name: str, new_type: T.DataType) -> Snapshot:
+        """Metadata-only type promotion (Iceberg ALTER TABLE ALTER COLUMN
+        TYPE): int→long, float→double.  Old files cast on the fly via the
+        field-id projection path; ``compact()`` rewrites them physically
+        widened, restoring the single-scan fast path."""
+        snap = self.current()
+        if name not in {f.name for f in snap.schema.fields}:
+            raise KeyError(f"no column {name!r}")
+        cur_t = snap.schema[name].dataType
+        if cur_t == new_type:
+            return snap
+        allowed = _WIDENINGS.get(cur_t.typeName(), set())
+        if new_type.typeName() not in allowed:
+            raise ValueError(
+                f"cannot widen {name!r} from {cur_t.simpleString()} to "
+                f"{new_type.simpleString()}; allowed: int->long, "
+                "float->double"
+            )
+        dirs = self._dirs_registered(snap)
+        new_fields = [
+            T.StructField(name, new_type, f.nullable)
+            if f.name == name
+            else f
+            for f in snap.schema.fields
+        ]
+        return self._commit(
+            parent=snap,
+            schema=T.StructType(new_fields),
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={
+                "operation": "widen-column",
+                "column": name,
+                "to": new_type.simpleString(),
+            },
+            dir_schemas=dirs,
+        )
+
     def _lww_collapse(self, df: DataFrame) -> DataFrame:
         """Collapse multi-version merge-on-read rows to the LWW winner per
         key (same hash-agg shape as the apply core's LWW).
@@ -688,7 +962,23 @@ class LakeTable:
         if snap.merge_mode == "mor":
             multi = [b for b in buckets if snap.files.get(str(b))]
         else:
-            multi = [b for b in buckets if len(snap.files.get(str(b), [])) > 1]
+            # rewrite a bucket if it has small-file buildup OR any file from
+            # a dir across an evolution boundary (rename/drop/widen): the
+            # rewrite lands under the current schema, restoring the
+            # single-scan by-name fast path (Iceberg rewrite_data_files
+            # migrating old-schema files)
+            def _needs_rewrite(b: int) -> bool:
+                fl = snap.files.get(str(b), [])
+                if len(fl) > 1:
+                    return True
+                return any(
+                    not _dir_compatible(
+                        snap, snap.dir_schemas.get(f.split("/", 2)[1])
+                    )
+                    for f in fl
+                )
+
+            multi = [b for b in buckets if _needs_rewrite(b)]
         if not multi:
             return snap
         df = self.read(buckets=multi)

@@ -200,6 +200,36 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    """Column DDL: metadata-only rename/drop/widen (Iceberg ALTER TABLE)."""
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    if args.rename:
+        old, new = args.rename.split(":", 1)
+        snap = t.rename_column(old, new)
+    elif args.drop:
+        snap = t.drop_column(args.drop)
+    elif args.widen:
+        col, type_name = args.widen.split(":", 1)
+        snap = t.widen_column(col, T._parse_datatype_string(type_name))
+    else:
+        raise SystemExit("one of --rename/--drop/--widen is required")
+    print(
+        json.dumps(
+            {
+                "snapshot_id": snap.snapshot_id,
+                "version": snap.version,
+                "columns": [f.name for f in snap.schema.fields],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_rebucket(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -407,6 +437,15 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    al = sub.add_parser(
+        "alter", help="column DDL: rename/drop/widen (metadata-only)"
+    )
+    al.add_argument("--table", required=True)
+    al.add_argument("--rename", metavar="OLD:NEW")
+    al.add_argument("--drop", metavar="COLUMN")
+    al.add_argument("--widen", metavar="COLUMN:TYPE")
+    al.set_defaults(fn=cmd_alter)
 
     rb = sub.add_parser(
         "rebucket", help="rewrite into a new bucket layout (spec evolution)"

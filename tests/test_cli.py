@@ -185,3 +185,30 @@ def test_cli_wap_and_rollback(spark, tmp_path, capsys):
     n_rolled = read_clean(t).count()
     assert 0 < n_rolled <= n_full
     assert n_rolled == read_clean(t, snapshot_id=target.snapshot_id).count()
+
+
+def test_cli_alter_rename_drop_widen(spark, tmp_path, capsys):
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+
+    feed, table = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(n_events=500, n_conversations=10,
+                                     turns_per_conversation=6,
+                                     events_per_chunk=250))
+    _run(capsys, "replay", "--feed", feed, "--table", table,
+         "--buckets", "4", "--fast")
+    t = LakeTable.load(spark, table)
+    n = read_clean(t).count()
+    texts = {(r.conv_id, r.turn_idx): r.text
+             for r in t.read().select("conv_id", "turn_idx", "text").collect()}
+
+    out = _run(capsys, "alter", "--table", table, "--rename", "text:body")
+    assert "body" in json.loads(out)["columns"]
+    out = _run(capsys, "alter", "--table", table, "--widen", "turn_idx:long")
+    assert json.loads(out)["version"] > 1
+    t = LakeTable.load(spark, table)
+    got = {(r.conv_id, r.turn_idx): r.body
+           for r in t.read().select("conv_id", "turn_idx", "body").collect()}
+    assert got == texts and read_clean(t).count() == n
+
+    out = _run(capsys, "alter", "--table", table, "--drop", "tool")
+    assert "tool" not in json.loads(out)["columns"]
