@@ -200,6 +200,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_publish(args) -> int:
+    """Publish the table's net changes as a replayable change feed (the
+    engine's CDC-source role — downstream tables replay this feed)."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+
+    spark = _spark(args)
+    out = publish_changes(
+        LakeTable.load(spark, args.table), args.out
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_alter(args) -> int:
     """Column DDL: metadata-only rename/drop/widen (Iceberg ALTER TABLE)."""
     from pyspark.sql import types as T
@@ -437,6 +451,13 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    pb = sub.add_parser(
+        "publish", help="publish net changes as a replayable change feed"
+    )
+    pb.add_argument("--table", required=True)
+    pb.add_argument("--out", required=True, help="feed directory to append to")
+    pb.set_defaults(fn=cmd_publish)
 
     al = sub.add_parser(
         "alter", help="column DDL: rename/drop/widen (metadata-only)"

@@ -51,9 +51,12 @@ CHANGE_COL = "_change_type"
 
 
 def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
-                target_schema) -> DataFrame:
-    """Live rows (tombstones dropped) of ``snap`` restricted to ``buckets``,
-    aligned to ``target_schema``'s columns (missing → typed NULL)."""
+                target_schema, keep_tombstones: bool = False) -> DataFrame:
+    """Rows of ``snap`` restricted to ``buckets``, aligned to
+    ``target_schema``'s columns (missing → typed NULL), with a ``_del``
+    marker.  Tombstones are dropped unless ``keep_tombstones`` (the
+    after-image delete path needs them: the tombstone row carries the
+    DELETING event's ``_lsn``)."""
     df = table.read(snapshot_id=snap.snapshot_id, buckets=buckets)
     if snap.merge_mode == "mor":
         cols = [f.name for f in snap.schema.fields]
@@ -68,8 +71,14 @@ def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
             .agg(F.max_by(row, order).alias("_w"))
             .select("_w.*")
         )
-    if "_deleted" in df.columns:
-        df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    flag = (
+        F.coalesce(F.col("_deleted"), F.lit(False))
+        if "_deleted" in df.columns
+        else F.lit(False)
+    )
+    df = df.withColumn("_del", flag)
+    if not keep_tombstones:
+        df = df.filter(~F.col("_del"))
     have = set(df.columns)
     aligned = [
         F.col(f.name) if f.name in have
@@ -77,20 +86,31 @@ def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
         for f in target_schema.fields
         if f.name not in ("_deleted", "_seq")
     ]
-    return df.select(*aligned)
+    return df.select(*aligned, F.col("_del"))
 
 
 def read_changes(
     table: LakeTable,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    delete_images: str = "before",
 ) -> DataFrame:
     """Net row-level changes between two snapshots (CDF envelope).
 
     Returns the TO-snapshot data columns (sans bookkeeping ``_deleted``)
     plus ``_change_type``: before-images for ``update_before``/``delete``,
     after-images for ``insert``/``update_after``.
+
+    ``delete_images="after"``: a key live-before and TOMBSTONED-after emits
+    ``delete`` with the stored tombstone's image instead of the before-image
+    — payload NULLs but the DELETING event's ``_lsn``, which is what a relay
+    needs so downstream LWW re-derives the same winner (the before-image's
+    older ``_lsn`` would lose the downstream tie).  A tombstone physically
+    expired between the endpoints still falls back to the before-image.
     """
+    if delete_images not in ("before", "after"):
+        raise ValueError(f"delete_images must be before|after, got "
+                         f"{delete_images!r}")
     s_from = table.snapshot(from_snapshot_id)
     s_to = (
         table.snapshot(to_snapshot_id)
@@ -121,7 +141,10 @@ def read_changes(
         return empty.select(*out_cols).withColumn(CHANGE_COL, F.lit(""))
 
     old = _live_state(table, s_from, dirty, s_to.schema)
-    new = _live_state(table, s_to, dirty, s_to.schema)
+    new = _live_state(
+        table, s_to, dirty, s_to.schema,
+        keep_tombstones=(delete_images == "after"),
+    )
 
     o = old.select(
         *key, F.struct(*[F.col(c) for c in payload]).alias("_op"),
@@ -129,7 +152,7 @@ def read_changes(
     )
     n = new.select(
         *key, F.struct(*[F.col(c) for c in payload]).alias("_np"),
-        F.lit(True).alias("_nh"),
+        F.lit(True).alias("_nh"), F.col("_del").alias("_ndel"),
     )
     j = o.join(n, on=key, how="full_outer")
 
@@ -139,9 +162,13 @@ def read_changes(
             F.lit(tag).alias(CHANGE_COL),
         )
 
+    ndel = F.coalesce(F.col("_ndel"), F.lit(False))
     changes = (
-        F.when(F.col("_oh").isNull(), F.array(img("_np", "insert")))
+        F.when(F.col("_oh").isNull() & ~ndel, F.array(img("_np", "insert")))
+        # never-visible key (tombstone only): nothing to emit
+        .when(F.col("_oh").isNull(), F.slice(F.array(img("_np", "")), 1, 0))
         .when(F.col("_nh").isNull(), F.array(img("_op", "delete")))
+        .when(ndel, F.array(img("_np", "delete")))  # after-image tombstone
         .when(
             ~F.col("_op").eqNullSafe(F.col("_np")),
             F.array(img("_op", "update_before"), img("_np", "update_after")),

@@ -1,0 +1,195 @@
+"""CDC relay: a LakeTable as a change-feed SOURCE (operators/relay.py).
+
+The chained-pipeline property: replay a feed into T1, publish T1's changes
+as a new feed, replay that into T2 — T2's clean state must equal T1's.
+Incremental publishes append chunks and the downstream replay catches up
+through its own checkpoint, exactly like tailing a live WAL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from credix_data_pipeline_spark.functions.normalize import with_normalized_text
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.operators.relay import publish_changes
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+SPEC = FeedSpec(
+    n_events=3_000,
+    n_conversations=50,
+    turns_per_conversation=8,
+    delete_pct=8,
+    duplicate_pct=4,
+    events_per_chunk=500,
+)
+
+
+def _state(t: LakeTable) -> dict:
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in read_clean(t)
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .collect()
+    }
+
+
+def test_publish_then_replay_reproduces_state(spark, tmp_path):
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(
+        spark, feed, t1p, chunks_per_batch=2, num_buckets=8,
+        transform=with_normalized_text,
+    )
+    t1 = LakeTable.load(spark, t1p)
+    rep = publish_changes(t1, relay)
+    assert rep["published_rows"] > 0 and rep["chunk"] == 0
+
+    # downstream replays the published feed with NO transform: text was
+    # already normalized upstream, the relay carries final row images
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t1)
+
+    # no new upstream commits -> publish is a no-op
+    rep2 = publish_changes(t1, relay)
+    assert rep2["skipped"] and rep2["published_rows"] == 0
+
+
+def test_incremental_publish_and_downstream_catchup(spark, tmp_path):
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+
+    # phase 1: apply half the feed upstream, publish, sync downstream
+    runner.replay(
+        spark, feed, t1p, chunks_per_batch=1, num_buckets=8, max_batches=3,
+        transform=with_normalized_text,
+    )
+    t1 = LakeTable.load(spark, t1p)
+    rep1 = publish_changes(t1, relay)
+    assert rep1["chunk"] == 0 and rep1["published_rows"] > 0
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t1)
+
+    # phase 2: rest of the feed upstream, second publish appends chunk 1,
+    # the SAME downstream checkpoint replays only the new chunk
+    runner.replay(
+        spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+        transform=with_normalized_text,
+    )
+    rep2 = publish_changes(t1, relay)
+    assert rep2["chunk"] == 1 and not rep2["skipped"]
+    stats = runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    assert stats.batches == 1  # only the new chunk
+    assert _state(t2) == _state(t1)
+
+
+def test_relayed_deletes_carry_deleting_lsn(spark, tmp_path):
+    """A key deleted upstream must disappear downstream — only works if the
+    relayed D event's LSN beats the key's earlier relayed upsert."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=3)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    live_before = set(_state(t2))
+
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    publish_changes(t1, relay)
+
+    # some keys live after phase 1 were deleted by the rest of the feed
+    deleted = live_before - set(_state(t1))
+    assert deleted, "feed spec must delete at least one phase-1 key"
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    after = set(_state(t2))
+    assert not (deleted & after)
+    assert after == set(_state(t1))
+
+
+def test_relay_manifest_and_state_shape(spark, tmp_path):
+    feed, t1p, relay = (str(tmp_path / d) for d in ("feed", "t1", "relay"))
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    with open(os.path.join(relay, "_feed.json")) as f:
+        man = json.load(f)
+    assert man["chunks"] == ["pub00000/chunk=0"]
+    assert man["format"] == "parquet"
+    assert "pub00000" in man["schemas"]
+    with open(os.path.join(relay, "_relay.json")) as f:
+        st = json.load(f)
+    assert st["snapshot_id"] == t1.current().snapshot_id
+    assert st["next_chunk"] == 1
+    # every published op is I/U/D with a non-null lsn (replay-applicable)
+    df = spark.read.parquet(os.path.join(relay, "pub00000"))
+    assert df.filter(
+        F.col("lsn").isNull() | ~F.col("op").isin("I", "U", "D")
+    ).count() == 0
+    # deletes carry null payload but real keys
+    d = df.filter(F.col("op") == "D")
+    if d.count():
+        assert d.filter(F.col("conv_id").isNull()).count() == 0
+        assert d.filter(F.col("text").isNotNull()).count() == 0
+
+
+def test_relay_through_upstream_evolution(spark, tmp_path):
+    """Upstream feed evolves mid-stream (tool_meta); publishes before and
+    after the boundary carry different schemas and the downstream table
+    evolves in-flight, ending equal to upstream."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    spec = FeedSpec(
+        n_events=2_000, n_conversations=40, turns_per_conversation=8,
+        events_per_chunk=500, evolution_frac=0.5,
+    )
+    write_feed(spark, feed, spec)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=2)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert "tool_meta" in [f.name for f in t2.current().schema.fields]
+    up = {
+        (r.conv_id, r.turn_idx): (r.text, r.tool_meta)
+        for r in read_clean(t1)
+        .select("conv_id", "turn_idx", "text", "tool_meta").collect()
+    }
+    down = {
+        (r.conv_id, r.turn_idx): (r.text, r.tool_meta)
+        for r in read_clean(t2)
+        .select("conv_id", "turn_idx", "text", "tool_meta").collect()
+    }
+    assert down == up
+
+
+def test_cli_publish(spark, tmp_path, capsys):
+    from credix_data_pipeline_spark import main as cli
+
+    feed, t1p, relay = (str(tmp_path / d) for d in ("feed", "t1", "relay"))
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    assert cli.main(["publish", "--table", t1p, "--out", relay]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["published_rows"] > 0 and out["chunk"] == 0
