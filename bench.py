@@ -41,6 +41,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).count()
+    # ... and the shuffle + whole-stage-codegen + noop-sink machinery, which
+    # a bare count() never touches: without this the FIRST timed query
+    # absorbs exchange/codegen warm-up (~1-2 s of one-time JIT, observed on
+    # user_activity_summary every round).
+    from pyspark.sql import functions as F
+
+    _materialize(
+        spark.range(0, 2_000_000)
+        .groupBy((F.col("id") % 101).alias("k"))
+        .agg(F.count("*").alias("n"), F.avg("id").alias("a"))
+    )
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in {

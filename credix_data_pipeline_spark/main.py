@@ -96,6 +96,7 @@ def cmd_replay(args) -> int:
             auto_compact_threshold=args.auto_compact,
             merge_mode=args.merge_mode,
             wap=args.wap,
+            publish_to=args.publish_to,
         )
     except ContractViolation as e:
         # staged snapshot discarded; published table unchanged; checkpoint
@@ -424,6 +425,9 @@ def build_parser() -> argparse.ArgumentParser:
                            help="write-audit-publish: stage each batch, run "
                                 "contracts on the staged post-image, publish "
                                 "only on a clean audit")
+            r.add_argument("--publish-to", default=None,
+                           help="relay this table's net changes to a "
+                                "downstream change feed after every batch")
         else:
             r.add_argument("--continuous", action="store_true")
             r.add_argument("--trigger", default="10 seconds")

@@ -19,8 +19,12 @@ Mechanics:
   ``_lsn`` (the stored tombstone's), so downstream LWW reproduces the
   upstream winner; the before-image's older LSN would lose the ordering.
 * **One subdir per publish round** with its own schema in the manifest
-  registry: upstream in-flight evolution (or a rename/widen DDL) flows
-  through ``read_chunks``' per-group schemas + ``unionByName`` alignment.
+  registry: upstream in-flight ADD-COLUMN evolution flows through
+  ``read_chunks``' per-group schemas + ``unionByName`` alignment.  An
+  upstream RENAME surfaces downstream as add-column (rows published before
+  the DDL keep the old name) — DDL replication is a separate channel in
+  every CDC system; apply the same ``alter`` downstream to converge
+  layouts.
 * **Resumable / incremental** — ``_relay.json`` pins the last published
   snapshot id; a publish with no new commits is a no-op.  Data files are
   written BEFORE the manifest + state swap, so a crash leaves an

@@ -533,30 +533,26 @@ FROM customer
 # ---------------------------------------------------------------------------
 def q_user_activity_summary(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
 
-    w = W.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # The oracle keeps the reference's window-then-count shape
+    # (ROW_NUMBER()=1 per (user, event_type), counted per user); that is
+    # exactly COUNT(DISTINCT event_type) per user, so the Spark plan
+    # declares it as one hash aggregation — no sort-window, no second agg,
+    # no join.  One shuffle on user_id instead of three exchanges.
     agg = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("total_events"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
         F.round(F.sum("value"), 4).alias("total_value"),
         F.max("ts").alias("last_seen"),
+        F.countDistinct("event_type").alias("active_event_types"),
     )
     err_rate = F.round(
         F.when(F.col("total_events") > 0, F.col("errors") * 100.0 / F.col("total_events"))
         .otherwise(0.0),
         4,
     )
-    distinct_latest = latest.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("active_event_types")
-    )
-    out = agg.join(distinct_latest, "user_id", "left").withColumn(
-        "error_rate", err_rate
-    )
+    out = agg.withColumn("error_rate", err_rate)
     return out.withColumn(
         "activity_band",
         F.when(F.col("total_events") >= 100, "HEAVY")

@@ -132,8 +132,16 @@ def replay(
     auto_compact_threshold: int | None = None,
     merge_mode: str = "cow",
     wap: bool = False,
+    publish_to: str | None = None,
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
+
+    ``publish_to=<dir>`` relays this table's net changes as a downstream
+    change feed after every checkpoint advance (operators/relay.py) —
+    multi-hop pipelines tail the published feed with their own ``replay``.
+    Publish runs AFTER the checkpoint: a crash between them re-applies the
+    fenced batch as a no-op and the next publish picks the span up (the
+    relay state pins snapshot ids, so nothing is skipped or doubled).
 
     ``wap=True`` commits every batch through the write-audit-publish gate
     (apply_batch wap): contracts run on the staged dirty-bucket post-image
@@ -219,6 +227,12 @@ def replay(
             ]
             if fat:
                 table.compact(target_buckets=fat)
+        if publish_to:
+            from credix_data_pipeline_spark.operators.relay import (
+                publish_changes,
+            )
+
+            publish_changes(table, publish_to)
         done += 1
     return stats
 

@@ -193,3 +193,24 @@ def test_cli_publish(spark, tmp_path, capsys):
     assert cli.main(["publish", "--table", t1p, "--out", relay]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["published_rows"] > 0 and out["chunk"] == 0
+
+
+def test_replay_publish_to_chains_per_batch(spark, tmp_path):
+    """replay(publish_to=...) relays after every checkpoint advance: the
+    downstream feed accumulates one chunk per batch and a downstream replay
+    converges to the upstream state."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)  # 6 chunks at 500/chunk (+dups)
+    stats = runner.replay(
+        spark, feed, t1p, chunks_per_batch=2, num_buckets=8,
+        transform=with_normalized_text, publish_to=relay,
+    )
+    with open(os.path.join(relay, "_feed.json")) as f:
+        man = json.load(f)
+    assert len(man["chunks"]) == stats.batches
+    runner.replay(spark, relay, t2p, chunks_per_batch=2, num_buckets=4)
+    t1 = LakeTable.load(spark, t1p)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t1)
