@@ -172,3 +172,40 @@ def files_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
             )
 
     return src.mapInPandas(scan, FILES_SCHEMA)
+
+
+PARTITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("file_count", T.LongType(), False),
+        T.StructField("total_size_bytes", T.LongType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("avg_file_bytes", T.LongType(), False),
+        T.StructField("key_min", T.StringType(), True),
+        T.StructField("key_max", T.StringType(), True),
+    ]
+)
+
+
+def partitions_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
+    """One row per bucket (Iceberg ``partitions`` metadata table): the
+    layout-health view operators script against — small-file buildup
+    (``avg_file_bytes`` vs target), row skew across buckets (a hot
+    conversation shows up as one bucket's ``row_count`` outlier), and
+    compaction targeting.  Same distributed footer-only scan as
+    ``files_df``, aggregated per bucket."""
+    f = files_df(table, snapshot_id=snapshot_id)
+    return (
+        f.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("size_bytes").alias("total_size_bytes"),
+            F.sum("row_count").alias("row_count"),
+            (F.sum("size_bytes") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_file_bytes"),
+            F.min("key_min").alias("key_min"),
+            F.max("key_max").alias("key_max"),
+        )
+        .select(*[f.name for f in PARTITIONS_SCHEMA.fields])
+    )

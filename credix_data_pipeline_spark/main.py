@@ -328,12 +328,17 @@ def cmd_history(args) -> int:
     from credix_data_pipeline_spark.lakehouse.metadata import (
         files_df,
         history_df,
+        partitions_df,
     )
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
     if args.files:
         files_df(table).orderBy("bucket", "file_path").show(
+            n=args.limit, truncate=False
+        )
+    elif getattr(args, "partitions", False):
+        partitions_df(table).orderBy("bucket").show(
             n=args.limit, truncate=False
         )
     else:
@@ -516,6 +521,9 @@ def build_parser() -> argparse.ArgumentParser:
     hi.add_argument("--files", action="store_true",
                     help="per-file footer stats (distributed metadata scan) "
                          "instead of the snapshot lineage")
+    hi.add_argument("--partitions", action="store_true",
+                    help="per-bucket layout health (file count/size/rows/"
+                         "key range) instead of the snapshot lineage")
     hi.add_argument("--limit", type=int, default=50)
     hi.set_defaults(fn=cmd_history)
 

@@ -172,3 +172,30 @@ def test_cli_tag(spark, tmp_path, capsys):
 def _run_cli(capsys, cli, *argv):
     assert cli.main(list(argv)) == 0
     return capsys.readouterr().out.strip().splitlines()[-1]
+
+
+def test_partitions_df_aggregates_layout_health(spark, tmp_path):
+    from credix_data_pipeline_spark.lakehouse.metadata import partitions_df
+    from credix_data_pipeline_spark.operators.apply import read_clean
+
+    _, t = _setup(spark, tmp_path)
+    pdf = partitions_df(t).persist()
+    snap = t.current()
+    rows = {r["bucket"]: r for r in pdf.collect()}
+    assert set(rows) == {int(b) for b, fl in snap.files.items() if fl}
+    # per-bucket file counts mirror the manifest; totals mirror the data
+    for b, r in rows.items():
+        assert r["file_count"] == len(snap.files[str(b)])
+        assert r["avg_file_bytes"] > 0
+    assert sum(r["row_count"] for r in rows.values()) == t.read().count()
+    assert read_clean(t).count() <= sum(r["row_count"] for r in rows.values())
+    pdf.unpersist()
+
+
+def test_cli_history_partitions(spark, tmp_path, capsys):
+    from credix_data_pipeline_spark import main as cli
+
+    _, t = _setup(spark, tmp_path)
+    assert cli.main(["history", "--table", t.path, "--partitions"]) == 0
+    out = capsys.readouterr().out
+    assert "avg_file_bytes" in out
