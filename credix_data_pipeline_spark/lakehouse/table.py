@@ -371,7 +371,8 @@ class LakeTable:
     def _fence_as_of(self, version: int) -> dict[str, Any]:
         """Fence / high-water summary keys visible at ``version`` — what
         ``carry_fence`` would have returned right after that commit."""
-        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw")
+        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw",
+                "source_snapshot_id")
         out: dict[str, Any] = {}
         for v in reversed([x for x in self._versions() if x <= version]):
             snap = self._read_manifest(v)
@@ -924,7 +925,8 @@ class LakeTable:
         them.  Maintenance commits (compact, expire-tombstones) merge this
         into their own summary so retention can never bury the exactly-once
         fence or an incremental model's high-water (ADVICE r2)."""
-        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw")
+        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw",
+                "source_snapshot_id")
         out: dict[str, Any] = {}
         for snap in reversed(self.history()):
             for k in want:

@@ -50,13 +50,18 @@ def _clean(df: DataFrame) -> DataFrame:
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
 
 
-def _gold_highwater(gold: LakeTable) -> int:
+def _gold_highwater(gold: LakeTable) -> tuple[int, int | None]:
+    """(lsn high-water, source snapshot id) from the newest gold commit that
+    recorded them.  The snapshot id enables metadata-only delta discovery;
+    older gold tables without it fall back to the scan path."""
     for snap in reversed(gold.history()):
         if "source_lsn_hw" in snap.summary:
             v = snap.summary["source_lsn_hw"]
             # a rollback commit declares a null high-water (fence reset)
-            return -1 if v is None else int(v)
-    return -1
+            if v is None:
+                return -1, None
+            return int(v), snap.summary.get("source_snapshot_id")
+    return -1, None
 
 
 def _refresh(
@@ -69,7 +74,9 @@ def _refresh(
 ) -> dict:
     spark = src.spark
     snap = src.current()
-    gold_schema = plan(_clean(src.read().limit(0))).schema
+    # buckets=[] derives the gold schema from the table schema alone — an
+    # empty DataFrame with zero files planned (no scan, even a limit-0 one)
+    gold_schema = plan(_clean(src.read(buckets=[]))).schema
     gold = LakeTable.create_if_not_exists(
         spark,
         gold_path,
@@ -94,8 +101,36 @@ def _refresh(
             "table with the source's bucket spec"
         )
 
-    hw = _gold_highwater(gold)
-    delta = src.read().filter(F.col("_lsn") > F.lit(hw))
+    hw, src_sid = _gold_highwater(gold)
+
+    # Delta-bucket discovery.  Preferred path: METADATA-ONLY — diff the
+    # source's per-bucket file lists between the snapshot the gold table
+    # last saw and now (immutable files ⇒ identical lists = untouched
+    # bucket).  O(changed buckets) with zero data/footer reads, where the
+    # scan path is O(table files) just to find the delta at 100 TB.  Falls
+    # back to the scan when the gold predates the snapshot-id summary or
+    # the source snapshot was expired by retention.
+    scan_buckets: list[int] | None = None  # None = all buckets
+    if src_sid is not None:
+        try:
+            seen = src.snapshot(src_sid)
+        except KeyError:
+            seen = None
+        if seen is not None:
+            scan_buckets = sorted(
+                int(b)
+                for b in set(seen.files) | set(snap.files)
+                if seen.files.get(b) != snap.files.get(b)
+            )
+            if not scan_buckets:
+                return {
+                    count_key: 0,
+                    "dirty_buckets": [],
+                    "source_lsn_hw": hw,
+                    "skipped": True,
+                }
+
+    delta = src.read(buckets=scan_buckets).filter(F.col("_lsn") > F.lit(hw))
 
     # One small driver-side profile (≤ num_buckets + 1 rows): the delta's
     # bucket set (the pruning key for every subsequent step) + new high-water.
@@ -131,7 +166,13 @@ def _refresh(
     gold.replace_buckets(
         dirty,
         out,
-        summary={"source_lsn_hw": int(new_hw), "operation": "gold-refresh"},
+        summary={
+            "source_lsn_hw": int(new_hw),
+            # pins the source snapshot this refresh saw: the next refresh
+            # discovers its delta buckets by manifest diff (metadata-only)
+            "source_snapshot_id": snap.snapshot_id,
+            "operation": "gold-refresh",
+        },
     )
     n = touched.count()
     return {

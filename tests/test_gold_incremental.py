@@ -106,3 +106,47 @@ def test_turn_analytics_incremental_matches_full_rebuild(spark, tmp_path):
     v_before = gold.current().version
     assert refresh_turn_analytics(src, goldp)["skipped"]
     assert gold.current().version == v_before
+
+
+def test_refresh_delta_discovery_is_metadata_only(spark, tmp_path, monkeypatch):
+    """After the first refresh pins source_snapshot_id, the next refresh
+    finds its delta buckets by MANIFEST DIFF and scans only those — never
+    the whole source (the O(dirty) discovery path at 100 TB)."""
+    feed, tablep, goldp = (
+        str(tmp_path / "feed"),
+        str(tmp_path / "table"),
+        str(tmp_path / "gold"),
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  max_batches=2, collect_stats=False)
+    src = LakeTable.load(spark, tablep)
+    res1 = refresh_conversation_summary(src, goldp)
+    gold = LakeTable.load(spark, goldp)
+    assert gold.current().summary["source_snapshot_id"] == \
+        src.current().snapshot_id
+
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+
+    calls: list = []
+    orig = LakeTable.read
+
+    def spy(self, snapshot_id=None, buckets=None):
+        if self.path == src.path:
+            calls.append(buckets)
+        return orig(self, snapshot_id=snapshot_id, buckets=buckets)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    res2 = refresh_conversation_summary(src, goldp)
+    assert not res2["skipped"]
+    # every source read during the refresh was bucket-pruned: the delta
+    # discovery scan got the manifest-diff set, never buckets=None
+    assert calls and all(b is not None for b in calls)
+    assert _rows(gold.read()) == _rows(conversation_summary(read_clean(src)))
+
+    # no-change refresh short-circuits on the manifest diff alone: the only
+    # source read is the zero-file schema derivation (buckets=[])
+    calls.clear()
+    res3 = refresh_conversation_summary(src, goldp)
+    assert res3["skipped"] and all(b == [] for b in calls)
