@@ -140,6 +140,7 @@ def cmd_stream(args) -> int:
         collect_stats=not args.fast,
         merge_mode=args.merge_mode,
         wap=args.wap,
+        publish_to=args.publish_to,
     )
     q.awaitTermination()
     return 0
@@ -440,6 +441,9 @@ def build_parser() -> argparse.ArgumentParser:
                            help="write-audit-publish each micro-batch; a "
                                 "violation fails the streaming query with "
                                 "the table unchanged")
+            r.add_argument("--publish-to", default=None,
+                           help="relay net changes to a downstream change "
+                                "feed inside each foreachBatch")
         r.set_defaults(fn=fn)
 
     for name, fn in (("metrics", cmd_metrics), ("gold", cmd_gold)):

@@ -268,6 +268,7 @@ def stream(
     collect_stats: bool = True,
     merge_mode: str = "cow",
     wap: bool = False,
+    publish_to: str | None = None,
 ):
     """Structured Streaming mode: readStream file source → foreachBatch MERGE.
 
@@ -336,6 +337,15 @@ def stream(
             collect_stats=collect_stats,
             wap=wap,
         )
+        if publish_to:
+            # relay inside foreachBatch, AFTER the fenced commit: an SS
+            # redelivery re-applies as a no-op and the relay state (pinned
+            # snapshot ids) publishes each span exactly once
+            from credix_data_pipeline_spark.operators.relay import (
+                publish_changes,
+            )
+
+            publish_changes(table, publish_to)
 
     writer = src.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",

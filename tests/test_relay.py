@@ -214,3 +214,21 @@ def test_replay_publish_to_chains_per_batch(spark, tmp_path):
     t1 = LakeTable.load(spark, t1p)
     t2 = LakeTable.load(spark, t2p)
     assert _state(t2) == _state(t1)
+
+
+def test_stream_mode_publish_to(spark, tmp_path):
+    """Structured Streaming mode relays inside foreachBatch; the downstream
+    replay converges to the upstream streaming table."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    q = runner.stream(
+        spark, feed, t1p, num_buckets=8, max_files_per_trigger=3,
+        publish_to=relay,
+    )
+    q.awaitTermination(300)
+    runner.replay(spark, relay, t2p, chunks_per_batch=2, num_buckets=4)
+    t1 = LakeTable.load(spark, t1p)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t1)
