@@ -15,9 +15,11 @@ Mechanics:
 * **Envelope parity** — published chunks carry the same ``op/lsn/commit_ts
   + payload`` envelope as ``sources/feed.py``, so a published feed is
   indistinguishable from a generated one to the replay runner.
-* **After-image deletes** — a relayed ``D`` carries the DELETING event's
-  ``_lsn`` (the stored tombstone's), so downstream LWW reproduces the
-  upstream winner; the before-image's older LSN would lose the ordering.
+* **Own LSN space** — relayed events carry ``chunk_ordinal << 40 |
+  upstream_lsn``, monotone per key across publishes even when upstream
+  history rewinds, so compensating rows after an upstream rollback win
+  downstream LWW.  Deletes use after-image tombstones (the DELETING
+  event's ``_lsn``) so within-span ordering matches upstream exactly.
 * **One subdir per publish round** with its own schema in the manifest
   registry: upstream in-flight ADD-COLUMN evolution flows through
   ``read_chunks``' per-group schemas + ``unionByName`` alignment.  An
@@ -25,11 +27,18 @@ Mechanics:
   the DDL keep the old name) — DDL replication is a separate channel in
   every CDC system; apply the same ``alter`` downstream to converge
   layouts.
-* **Resumable / incremental** — ``_relay.json`` pins the last published
-  snapshot id; a publish with no new commits is a no-op.  Data files are
-  written BEFORE the manifest + state swap, so a crash leaves an
-  unreferenced chunk dir that the next publish simply overwrites (same
-  chunk number — the replay checkpoint's chunk positions never move).
+* **Resumable / incremental — the manifest is the only state.**  Each
+  chunk entry records the snapshot span it covers (``chunk_snapshots``);
+  the next publish resumes from the last entry's ``to`` id.  Data files
+  are written BEFORE the manifest swap, so a crash leaves an
+  unreferenced chunk dir that the next publish overwrites (same chunk
+  number; downstream can never have read it — it was never in the
+  manifest).  A separate state file would reopen exactly that hole: crash
+  between manifest and state, and the re-publish would overwrite a chunk
+  a downstream may already have consumed with a different span.
+* **Rollbacks propagate** — a publish after an upstream
+  ``rollback_to`` diffs against the rolled-back state, emitting the
+  deletes/updates that un-do the bad span downstream.
 * **O(dirty)** — the underlying snapshot-diff changelog reads only buckets
   whose file lists differ between the endpoints, never the whole table.
 """
@@ -48,16 +57,6 @@ from credix_data_pipeline_spark.operators.changelog import (
     read_changes,
 )
 from credix_data_pipeline_spark.schema import ENVELOPE_COLS
-
-STATE_FILE = "_relay.json"
-
-
-def _load_state(out_dir: str) -> dict[str, Any] | None:
-    p = os.path.join(out_dir, STATE_FILE)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
 
 
 def _save_json(path: str, obj: dict) -> None:
@@ -87,29 +86,40 @@ def publish_changes(
         if to_snapshot_id is not None
         else table.current()
     )
-    state = _load_state(out_dir)
-    if state is None:
-        base_id = table.history()[0].snapshot_id  # create commit (empty)
-        next_chunk = 0
-        manifest: dict[str, Any] = {
+    man_path = os.path.join(out_dir, "_feed.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+    else:
+        manifest = {
             "relay_source": table.path,
             "chunks": [],
             "n_chunks": 0,
             "format": "parquet",
             "schemas": {},
             "evolution_chunk": None,
+            "chunk_snapshots": {},
         }
+    next_chunk = len(manifest["chunks"])
+    if manifest["chunks"]:
+        base_id = manifest["chunk_snapshots"][manifest["chunks"][-1]]["to"]
     else:
-        base_id = state["snapshot_id"]
-        next_chunk = state["next_chunk"]
-        with open(os.path.join(out_dir, "_feed.json")) as f:
-            manifest = json.load(f)
+        base_id = table.history()[0].snapshot_id  # create commit (empty)
     if base_id == cur.snapshot_id:
         return {
             "published_rows": 0,
             "skipped": True,
             "to_snapshot_id": cur.snapshot_id,
         }
+
+    try:
+        table.snapshot(base_id)
+    except KeyError:
+        raise RuntimeError(
+            f"relay base snapshot {base_id} was expired by retention on "
+            f"{table.path}; keep snapshot retention longer than the publish "
+            "cadence, or start a fresh relay directory (full re-publish)"
+        ) from None
 
     ch = read_changes(
         table, base_id, cur.snapshot_id, delete_images="after"
@@ -120,16 +130,25 @@ def publish_changes(
         c for c in ch.columns if c not in (CHANGE_COL, "_lsn")
     ]
     t = F.col(CHANGE_COL)
+    # The relay feed is its OWN WAL with its own LSN space (exactly like
+    # Debezium emitting its own offsets): lsn = chunk_ordinal << 40 |
+    # upstream _lsn.  A key appears at most once per chunk (net diff), so
+    # any within-chunk order works; the chunk prefix makes LSNs monotone
+    # per key ACROSS publishes even when upstream history rewinds — an
+    # upstream rollback publishes compensating rows that must WIN
+    # downstream LWW despite carrying logically older images.  Bounds:
+    # upstream _lsn < 2^40 (1.1e12) and ~8M chunks fit in the long.
+    relay_lsn = (F.lit(next_chunk * (1 << 40)) + F.col("_lsn")).cast("long")
     ev = ch.filter(t != "update_before").select(
         F.when(t == "insert", F.lit("I"))
         .when(t == "delete", F.lit("D"))
         .otherwise(F.lit("U"))
         .alias("op"),
-        F.col("_lsn").alias("lsn"),
+        relay_lsn.alias("lsn"),
         # commit_ts is only an equal-LSN tie-breaker downstream and relayed
         # LSNs are unique per key span; seconds-from-lsn keeps it monotone
         # and deterministic
-        F.timestamp_seconds(F.col("_lsn")).alias("commit_ts"),
+        F.timestamp_seconds(relay_lsn).alias("commit_ts"),
         *[F.col(c) for c in payload],
     )
 
@@ -145,15 +164,15 @@ def publish_changes(
         **manifest.get("schemas", {}),
         sub: ev.schema.jsonValue(),
     }
+    manifest["chunk_snapshots"] = {
+        **manifest.get("chunk_snapshots", {}),
+        chunk_rel: {"from": base_id, "to": cur.snapshot_id},
+    }
     # the FIRST publish pins the downstream target's initial schema; later
     # columns arrive in-flight via the per-subdir registry (same contract
     # as the generator's evolution switch-point)
     manifest.setdefault("schema", ev.schema.jsonValue())
-    _save_json(os.path.join(out_dir, "_feed.json"), manifest)
-    _save_json(
-        os.path.join(out_dir, STATE_FILE),
-        {"snapshot_id": cur.snapshot_id, "next_chunk": next_chunk + 1},
-    )
+    _save_json(man_path, manifest)
     return {
         "published_rows": n,
         "chunk": next_chunk,
@@ -163,4 +182,4 @@ def publish_changes(
     }
 
 
-__all__ = ["publish_changes", "ENVELOPE_COLS", "STATE_FILE"]
+__all__ = ["publish_changes", "ENVELOPE_COLS"]

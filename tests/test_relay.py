@@ -132,10 +132,9 @@ def test_relay_manifest_and_state_shape(spark, tmp_path):
     assert man["chunks"] == ["pub00000/chunk=0"]
     assert man["format"] == "parquet"
     assert "pub00000" in man["schemas"]
-    with open(os.path.join(relay, "_relay.json")) as f:
-        st = json.load(f)
-    assert st["snapshot_id"] == t1.current().snapshot_id
-    assert st["next_chunk"] == 1
+    span = man["chunk_snapshots"]["pub00000/chunk=0"]
+    assert span["to"] == t1.current().snapshot_id
+    assert span["from"] == t1.history()[0].snapshot_id
     # every published op is I/U/D with a non-null lsn (replay-applicable)
     df = spark.read.parquet(os.path.join(relay, "pub00000"))
     assert df.filter(
@@ -231,4 +230,71 @@ def test_stream_mode_publish_to(spark, tmp_path):
     runner.replay(spark, relay, t2p, chunks_per_batch=2, num_buckets=4)
     t1 = LakeTable.load(spark, t1p)
     t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t1)
+
+
+def test_publish_crash_residue_is_overwritten_safely(spark, tmp_path):
+    """A crash after the chunk write but before the manifest swap leaves an
+    unreferenced chunk dir; the next publish overwrites it with the full
+    span — no duplicate manifest entry, downstream state correct."""
+    import shutil
+
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=3)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    man0 = json.load(open(os.path.join(relay, "_feed.json")))
+
+    # simulate the crashed second publish: chunk dir exists, manifest not
+    # updated (exactly the write-then-swap window)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=1)
+    shutil.copytree(
+        os.path.join(relay, "pub00000"), os.path.join(relay, "pub00001")
+    )
+    assert json.load(open(os.path.join(relay, "_feed.json"))) == man0
+
+    # more upstream progress, then a clean publish: chunk 1 covers the
+    # WHOLE span since chunk 0 (crashed span included), overwriting residue
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    rep = publish_changes(t1, relay)
+    assert rep["chunk"] == 1
+    man = json.load(open(os.path.join(relay, "_feed.json")))
+    assert man["chunks"] == ["pub00000/chunk=0", "pub00001/chunk=1"]
+    assert man["chunk_snapshots"]["pub00001/chunk=1"]["from"] == \
+        man["chunk_snapshots"]["pub00000/chunk=0"]["to"]
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    assert _state(LakeTable.load(spark, t2p)) == _state(t1)
+
+
+def test_publish_propagates_upstream_rollback(spark, tmp_path):
+    """An upstream rollback_to publishes as the compensating diff: the
+    downstream replica converges to the rolled-back state."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=3)
+    t1 = LakeTable.load(spark, t1p)
+    good = t1.current().snapshot_id
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+
+    # a bad span lands upstream and gets published downstream
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t1)
+
+    # roll the upstream back; the next publish emits the compensation
+    t1.rollback_to(good)
+    rep = publish_changes(t1, relay)
+    assert not rep["skipped"] and rep["published_rows"] > 0
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
     assert _state(t2) == _state(t1)
