@@ -107,6 +107,7 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
         # least polluted by neighbors.
         wall = float("inf")
         stats = None
+        last_table = None
         for trial in range(2):
             trial_table = f"{table}-{trial}"
             t0 = time.monotonic()
@@ -120,9 +121,28 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
                 collect_stats=False,
             )
             w = time.monotonic() - t0
-            shutil.rmtree(trial_table, ignore_errors=True)
+            if last_table:
+                shutil.rmtree(last_table, ignore_errors=True)
+            last_table = trial_table
             if w < wall:
                 wall, stats = w, st
+
+        # CDC-relay leg: publish the table's net changes as a downstream
+        # feed and replay it into a replica — the multi-hop throughput a
+        # bronze→silver chain pays per hop.
+        from credix_data_pipeline_spark.lakehouse import LakeTable
+        from credix_data_pipeline_spark.operators.relay import publish_changes
+
+        relay_dir = os.path.join(work, "relay")
+        t0 = time.monotonic()
+        rep = publish_changes(LakeTable.load(spark, last_table), relay_dir)
+        publish_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        runner.replay(
+            spark, relay_dir, os.path.join(work, "replica"),
+            chunks_per_batch=8, num_buckets=32, collect_stats=False,
+        )
+        hop_sec = publish_sec + (time.monotonic() - t0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     # duplicates ride along; throughput is counted on distinct change events
@@ -131,6 +151,9 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
         "cdc_replay_sec": round(wall, 3),
         "cdc_events_per_sec": round(n_events / wall, 1),
         "cdc_batches": stats.batches,
+        "relay_rows": rep["published_rows"],
+        "relay_hop_sec": round(hop_sec, 3),
+        "relay_rows_per_sec": round(rep["published_rows"] / hop_sec, 1),
     }
 
 

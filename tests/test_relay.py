@@ -298,3 +298,28 @@ def test_publish_propagates_upstream_rollback(spark, tmp_path):
     assert not rep["skipped"] and rep["published_rows"] > 0
     runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
     assert _state(t2) == _state(t1)
+
+
+def test_publish_from_mor_upstream(spark, tmp_path):
+    """Relaying from a merge-on-read upstream collapses delta versions to
+    LWW winners before diffing; the downstream (CoW) replica matches."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8,
+                  merge_mode="mor")
+    t1 = LakeTable.load(spark, t1p)
+    rep = publish_changes(t1, relay)
+    assert rep["published_rows"] > 0
+    runner.replay(spark, relay, t2p, chunks_per_batch=2, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    from credix_data_pipeline_spark.operators.apply import read_current
+
+    up = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in read_current(t1)
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .select("conv_id", "turn_idx", "role", "text", "tool").collect()
+    }
+    assert _state(t2) == up
