@@ -132,23 +132,29 @@ def publish_changes(
     t = F.col(CHANGE_COL)
     # The relay feed is its OWN WAL with its own LSN space (exactly like
     # Debezium emitting its own offsets): lsn = chunk_ordinal << 40 |
-    # upstream _lsn.  A key appears at most once per chunk (net diff), so
-    # any within-chunk order works; the chunk prefix makes LSNs monotone
-    # per key ACROSS publishes even when upstream history rewinds — an
-    # upstream rollback publishes compensating rows that must WIN
-    # downstream LWW despite carrying logically older images.  Bounds:
-    # upstream _lsn < 2^40 (1.1e12) and ~8M chunks fit in the long.
-    relay_lsn = (F.lit(next_chunk * (1 << 40)) + F.col("_lsn")).cast("long")
+    # hash(key).  A key appears at most once per chunk (net diff), so the
+    # chunk ordinal alone orders a key's images — lsn is strictly monotone
+    # per key ACROSS publishes no matter what upstream LSNs did, which is
+    # what makes an upstream rollback's compensating rows WIN downstream
+    # LWW despite carrying logically older images.  The key-hash low bits
+    # only de-alias unrelated keys for diagnostics; cross-key collisions
+    # are harmless (downstream dedup/LWW partitions by key).  Bounds:
+    # ~8M chunks fit in the long.
+    key_cols = [c for c in table.current().key if c in ch.columns]
+    relay_lsn = (
+        F.lit(next_chunk * (1 << 40))
+        + F.pmod(F.xxhash64(*key_cols), F.lit(1 << 40))
+    ).cast("long")
     ev = ch.filter(t != "update_before").select(
         F.when(t == "insert", F.lit("I"))
         .when(t == "delete", F.lit("D"))
         .otherwise(F.lit("U"))
         .alias("op"),
         relay_lsn.alias("lsn"),
-        # commit_ts is only an equal-LSN tie-breaker downstream and relayed
-        # LSNs are unique per key span; seconds-from-lsn keeps it monotone
-        # and deterministic
-        F.timestamp_seconds(relay_lsn).alias("commit_ts"),
+        # commit_ts only tie-breaks equal LSNs downstream, and a key's
+        # relay LSNs are strictly monotone (chunk prefix) — so a per-chunk
+        # constant is sufficient and deterministic
+        F.timestamp_seconds(F.lit(next_chunk)).alias("commit_ts"),
         *[F.col(c) for c in payload],
     )
 

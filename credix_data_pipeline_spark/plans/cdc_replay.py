@@ -172,6 +172,58 @@ def q_cdc_changelog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type", "change_type")
 
 
+def q_cdc_relay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC-relay chain, oracle-checked: the replayed events table is
+    published TWICE through operators/relay.py — once up to the mid-stream
+    snapshot (state-as-inserts) and once to the final state (the diff
+    carries updates and after-image delete tombstones in the relay's own
+    LSN space) — and a downstream replica applies the published feed
+    through the same MERGE core.  The replica's clean state must equal the
+    upstream oracle (SQL_CDC_REPLAY_EVENTS verbatim): byte-parity through
+    publish → re-ingest, including the in-flight ``props`` evolution that
+    makes chunk 0's schema narrower than chunk 1's."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+    from credix_data_pipeline_spark.sources.feed import (
+        read_chunks,
+        read_manifest,
+    )
+
+    work, mid_snapshot = _replayed_events(spark, sf_dir)
+    replica_path = work + "_replica"
+    if work not in _EVENTS_RELAY:
+        relay_dir = work + "_relay"
+        shutil.rmtree(relay_dir, ignore_errors=True)
+        shutil.rmtree(replica_path, ignore_errors=True)
+        up = LakeTable.load(spark, work)
+        publish_changes(up, relay_dir, to_snapshot_id=mid_snapshot)
+        publish_changes(up, relay_dir)
+        man = read_manifest(relay_dir)
+        replica = LakeTable.create(
+            spark,
+            replica_path,
+            _TARGET_SCHEMA,  # pre-evolution: `props` must arrive in-flight
+            key=["user_id", "event_type"],
+            num_buckets=8,
+            bucket_by=["user_id"],
+        )
+        for i, chunk in enumerate(man["chunks"]):
+            df = read_chunks(spark, relay_dir, [chunk],
+                             schemas=man["schemas"])
+            apply_batch(replica, df, i, collect_stats=False)
+        _EVENTS_RELAY[work] = replica_path
+    return read_clean(LakeTable.load(spark, replica_path)).select(
+        "user_id", "event_type", "event_id", "ts", "value", "props"
+    )
+
+
+_EVENTS_RELAY: dict[str, str] = {}
+
+
 SQL_CDC_REPLAY_EVENTS = f"""
 WITH ch AS (
   -- FLOOR(epoch(..)) mirrors Spark's unix_timestamp (whole-second floor)
@@ -451,6 +503,9 @@ SQL_CDC_TURN_ANALYTICS_E2E = _sql_cdc_turn_analytics()
 
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    # the relay chain must land the replica on the SAME final state the
+    # upstream oracle describes — one oracle, two independent paths
+    "cdc_relay_e2e": (q_cdc_relay_e2e, SQL_CDC_REPLAY_EVENTS),
     "cdc_changelog_e2e": (q_cdc_changelog_e2e, SQL_CDC_CHANGELOG_E2E),
     "cdc_transcripts_e2e": (q_cdc_transcripts_e2e, SQL_CDC_TRANSCRIPTS_E2E),
     "cdc_turn_analytics_e2e": (
