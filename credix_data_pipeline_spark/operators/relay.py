@@ -68,6 +68,56 @@ def _save_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+def _load_manifest(out_dir: str) -> tuple[dict | None, int]:
+    """(manifest, version).  Versioned manifests (``_feed.v*.json``) are
+    authoritative — the convenience ``_feed.json`` copy may lag one publish
+    after a crash; the next publish repairs it."""
+    versions = []
+    if os.path.isdir(out_dir):
+        for fn in os.listdir(out_dir):
+            if fn.startswith("_feed.v") and fn.endswith(".json"):
+                try:
+                    versions.append(int(fn[len("_feed.v"):-5]))
+                except ValueError:
+                    continue
+    if versions:
+        v = max(versions)
+        with open(os.path.join(out_dir, f"_feed.v{v}.json")) as f:
+            return json.load(f), v
+    legacy = os.path.join(out_dir, "_feed.json")
+    if os.path.exists(legacy):  # pre-versioning relay dir
+        with open(legacy) as f:
+            return json.load(f), 0
+    return None, 0
+
+
+def _commit_manifest(out_dir: str, manifest: dict, version: int) -> None:
+    """Atomic optimistic-concurrency manifest swap (the table-commit rule):
+    exclusive-link the new version; EEXIST means a concurrent publisher won
+    and THIS publish must abort — last-writer-wins on ``_feed.json`` alone
+    would silently drop the loser's span from the chunk chain."""
+    from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+
+    tmp = os.path.join(out_dir, f".tmp-manifest-{os.getpid()}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(out_dir, f"_feed.v{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"concurrent publish to {out_dir}: version {version} already "
+            "committed; re-run to publish the remaining span"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    # downstream readers (runner.replay/stream) read the plain _feed.json;
+    # repaired on every successful publish, so it lags at most one crash
+    _save_json(os.path.join(out_dir, "_feed.json"), manifest)
+
+
 def publish_changes(
     table: LakeTable,
     out_dir: str,
@@ -86,11 +136,8 @@ def publish_changes(
         if to_snapshot_id is not None
         else table.current()
     )
-    man_path = os.path.join(out_dir, "_feed.json")
-    if os.path.exists(man_path):
-        with open(man_path) as f:
-            manifest = json.load(f)
-    else:
+    manifest, man_version = _load_manifest(out_dir)
+    if manifest is None:
         manifest = {
             "relay_source": table.path,
             "chunks": [],
@@ -178,7 +225,7 @@ def publish_changes(
     # columns arrive in-flight via the per-subdir registry (same contract
     # as the generator's evolution switch-point)
     manifest.setdefault("schema", ev.schema.jsonValue())
-    _save_json(man_path, manifest)
+    _commit_manifest(out_dir, manifest, man_version + 1)
     return {
         "published_rows": n,
         "chunk": next_chunk,

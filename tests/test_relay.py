@@ -323,3 +323,72 @@ def test_publish_from_mor_upstream(spark, tmp_path):
         .select("conv_id", "turn_idx", "role", "text", "tool").collect()
     }
     assert _state(t2) == up
+
+
+def test_concurrent_publish_loses_cleanly(spark, tmp_path):
+    """Two publishers racing on one relay dir: the loser's manifest CAS
+    (exclusive link of the next version) raises CommitConflict instead of
+    silently dropping the winner's span from the chunk chain."""
+    import pytest
+
+    from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+    from credix_data_pipeline_spark.operators.relay import (
+        _commit_manifest,
+        _load_manifest,
+    )
+
+    feed, t1p, relay = (str(tmp_path / d) for d in ("feed", "t1", "relay"))
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    man, v = _load_manifest(relay)
+    assert v == 1 and len(man["chunks"]) == 1
+
+    # both publishers loaded v1; the winner commits v2 first...
+    _commit_manifest(relay, {**man, "winner": True}, v + 1)
+    # ...so the loser's CAS on the same next version must fail loudly
+    with pytest.raises(CommitConflict):
+        _commit_manifest(relay, {**man, "winner": False}, v + 1)
+    got, v2 = _load_manifest(relay)
+    assert v2 == 2 and got.get("winner") is True
+
+
+def test_publish_crash_between_versioned_and_plain_manifest(spark, tmp_path):
+    """_feed.json lagging one publish behind the versioned manifest (crash
+    window) still resumes from the versioned state — no span doubled — and
+    the next successful publish repairs the plain copy."""
+    from pyspark.sql import functions as F2
+
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=3)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    man_v1 = json.load(open(os.path.join(relay, "_feed.v1.json")))
+
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    publish_changes(t1, relay)
+    # simulate the crash: roll the PLAIN manifest back to v1 (stale), keep v2
+    with open(os.path.join(relay, "_feed.json"), "w") as f:
+        json.dump(man_v1, f)
+
+    # no new upstream commits: resume state is the VERSIONED v2 -> no-op
+    assert publish_changes(t1, relay)["skipped"]
+
+    # a real new span -> v3 commits and the plain manifest is repaired
+    extra = t1.read(buckets=[]).sparkSession.createDataFrame(
+        [("convZ", 0, "user", "late row", None, None, 10**9, False)],
+        t1.current().schema,
+    )
+    t1.append(extra)
+    rep = publish_changes(t1, relay)
+    assert not rep["skipped"] and rep["chunk"] == 2
+    man = json.load(open(os.path.join(relay, "_feed.json")))
+    assert man["chunks"] == json.load(
+        open(os.path.join(relay, "_feed.v3.json")))["chunks"]
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    assert _state(LakeTable.load(spark, t2p)) == _state(t1)
