@@ -225,7 +225,32 @@ def publish_changes(
     # columns arrive in-flight via the per-subdir registry (same contract
     # as the generator's evolution switch-point)
     manifest.setdefault("schema", ev.schema.jsonValue())
-    _commit_manifest(out_dir, manifest, man_version + 1)
+    # Pin the new base snapshot with a retention-exempt tag BEFORE the
+    # manifest commit: expire_snapshots can then never expire the snapshot
+    # the next publish diffs from (the "relay base expired" failure mode
+    # becomes impossible while the relay exists).  Tag names carry the
+    # manifest version; stale pins (crash residue / superseded bases) are
+    # dropped after a successful commit.
+    import hashlib
+
+    relay_id = hashlib.sha1(
+        os.path.abspath(out_dir).encode()
+    ).hexdigest()[:8]
+    new_tag = f"relay-{relay_id}-v{man_version + 1}"
+    try:
+        table.tag(new_tag, cur.snapshot_id)
+    except Exception:
+        # tag exists (crash residue): re-point it at the current snapshot
+        table.untag(new_tag)
+        table.tag(new_tag, cur.snapshot_id)
+    try:
+        _commit_manifest(out_dir, manifest, man_version + 1)
+    except BaseException:
+        table.untag(new_tag)
+        raise
+    for name in list(table.tags()):
+        if name.startswith(f"relay-{relay_id}-v") and name != new_tag:
+            table.untag(name)
     return {
         "published_rows": n,
         "chunk": next_chunk,

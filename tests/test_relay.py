@@ -392,3 +392,31 @@ def test_publish_crash_between_versioned_and_plain_manifest(spark, tmp_path):
         open(os.path.join(relay, "_feed.v3.json")))["chunks"]
     runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
     assert _state(LakeTable.load(spark, t2p)) == _state(t1)
+
+
+def test_relay_base_survives_aggressive_retention(spark, tmp_path):
+    """Each publish tags its base snapshot (retention-exempt), so
+    expire_snapshots between publishes can never break the relay chain."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=3)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    assert any(n.startswith("relay-") for n in t1.tags())
+
+    # lots of churn, then the most aggressive retention possible
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    t1.compact()
+    t1.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+
+    # the pinned base is still resolvable -> incremental publish succeeds
+    rep = publish_changes(t1, relay)
+    assert not rep["skipped"] and rep["chunk"] == 1
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    assert _state(LakeTable.load(spark, t2p)) == _state(t1)
+    # the old pin was superseded; exactly one relay tag remains
+    relay_tags = [n for n in t1.tags() if n.startswith("relay-")]
+    assert len(relay_tags) == 1 and relay_tags[0].endswith("-v2")
