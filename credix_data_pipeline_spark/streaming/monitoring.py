@@ -134,6 +134,51 @@ def monitor(
             "rows_quarantined": quarantined,
             "error_bp": (quarantined * 10000 // total) if total else 0,
         },
+        "layout": layout_health(spark, table_path),
+    }
+
+
+# layout health thresholds (per bucket)
+SMALL_FILE_BYTES = 8 * 1024 * 1024   # files under this count as small
+SKEW_WARN_BP = 30000                 # bucket >= 3x the mean row count
+
+
+def layout_health(spark: SparkSession, table_path: str) -> dict:
+    """Physical-layout signals from the ``partitions`` metadata table:
+    small-file buildup (compaction pressure) and bucket row skew (a hot
+    conversation key concentrating in one bucket).  The underlying scan is
+    footer-only and distributed — O(files) metadata, no data pages — so the
+    signal is cheap at any table size."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.lakehouse.metadata import partitions_df
+
+    table = LakeTable.load(spark, table_path)
+    parts = partitions_df(table).collect()  # one row per bucket: tiny
+    if not parts:
+        return {"buckets": 0, "small_file_buckets": [], "skewed_buckets": [],
+                "max_skew_bp": 0}
+    mean_rows = sum(p["row_count"] for p in parts) // max(1, len(parts))
+    small = [
+        {"bucket": p["bucket"], "file_count": p["file_count"],
+         "avg_file_bytes": p["avg_file_bytes"]}
+        for p in parts
+        if p["file_count"] > 1 and p["avg_file_bytes"] < SMALL_FILE_BYTES
+    ]
+    skew = [
+        {"bucket": p["bucket"], "row_count": p["row_count"],
+         "skew_bp": p["row_count"] * 10000 // max(1, mean_rows)}
+        for p in parts
+        if mean_rows and p["row_count"] * 10000 // mean_rows >= SKEW_WARN_BP
+    ]
+    return {
+        "buckets": len(parts),
+        "mean_rows_per_bucket": mean_rows,
+        "small_file_buckets": sorted(small, key=lambda x: x["bucket"]),
+        "skewed_buckets": sorted(skew, key=lambda x: -x["skew_bp"]),
+        "max_skew_bp": max(
+            (p["row_count"] * 10000 // max(1, mean_rows) for p in parts),
+            default=0,
+        ),
     }
 
 

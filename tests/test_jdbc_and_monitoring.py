@@ -235,3 +235,53 @@ def test_cli_monitor_and_report(spark, replayed_table, tmp_path, capsys):
     assert cli.main(["--master", "local[2]", "report",
                      "--table", replayed_table, "--out", pub]) == 0
     assert os.path.exists(os.path.join(pub, "report.html"))
+
+
+def test_monitor_layout_health(spark, replayed_table, tmp_path):
+    """The layout section surfaces small-file buildup and hot-bucket skew
+    from the footer-only partitions scan."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.streaming.monitoring import monitor
+
+    report = monitor(spark, replayed_table)
+    lay = report["layout"]
+    assert lay["buckets"] >= 1 and lay["mean_rows_per_bucket"] > 0
+
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner as _runner
+
+    # merge-on-read appends delta files per batch -> small-file buildup,
+    # cleared by compaction
+    mor_feed, mor_table = str(tmp_path / "mf"), str(tmp_path / "mt")
+    write_feed(spark, mor_feed, FeedSpec(
+        n_events=2_000, n_conversations=40, turns_per_conversation=8,
+        events_per_chunk=250,
+    ))
+    _runner.replay(spark, mor_feed, mor_table, chunks_per_batch=1,
+                   num_buckets=4, merge_mode="mor", collect_stats=False)
+    lay_m = monitor(spark, mor_table)["layout"]
+    assert lay_m["small_file_buckets"], lay_m
+    LakeTable.load(spark, mor_table).compact()
+    assert monitor(spark, mor_table)["layout"]["small_file_buckets"] == []
+
+    # a hot conversation (one key with ~100x the turns of the rest) skews
+    # its bucket's stored-row count
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.streaming.monitoring import layout_health
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("_lsn", T.LongType(), True),
+    ])
+    hot_table = str(tmp_path / "ht")
+    t = LakeTable.create(spark, hot_table, schema,
+                         key=["conv_id", "turn_idx"], num_buckets=8)
+    rows = [("convHOT", i, i) for i in range(2_000)]
+    rows += [(f"conv{c}", i, 10_000 + c * 10 + i)
+             for c in range(20) for i in range(10)]
+    t.append(spark.createDataFrame(rows, schema))
+    hot = layout_health(spark, hot_table)
+    assert hot["skewed_buckets"], hot
+    assert hot["max_skew_bp"] >= 30000
