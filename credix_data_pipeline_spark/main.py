@@ -29,6 +29,10 @@ Subcommands:
                   values) and exit non-zero on violations (dbt-test analogue)
 * ``changes``   — changelog scan between two snapshots (Iceberg changelog /
                   Delta CDF analogue) for downstream incremental consumers
+* ``publish``   — CDC relay: publish the table's net changes as a
+                  replayable change feed (the engine's CDC-source role)
+* ``alter``     — column DDL: metadata-only rename / drop / widen
+                  (Iceberg v2 field-id evolution)
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
 * ``history``   — snapshot lineage / per-file footer stats (Iceberg
                   ``history`` + ``files`` metadata tables; ``--files`` runs
