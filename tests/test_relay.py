@@ -420,3 +420,32 @@ def test_relay_base_survives_aggressive_retention(spark, tmp_path):
     # the old pin was superseded; exactly one relay tag remains
     relay_tags = [n for n in t1.tags() if n.startswith("relay-")]
     assert len(relay_tags) == 1 and relay_tags[0].endswith("-v2")
+
+
+def test_downstream_stream_tails_live_publishes(spark, tmp_path):
+    """A downstream Structured Streaming query tails the relay dir LIVE:
+    chunks published while the query runs are picked up by the file source
+    without a restart — true multi-hop streaming."""
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
+                  max_batches=3)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+
+    q = runner.stream(spark, relay, t2p, num_buckets=4,
+                      available_now=False, processing_time="1 seconds")
+    try:
+        q.processAllAvailable()
+        t2 = LakeTable.load(spark, t2p)
+        assert _state(t2) == _state(t1)
+
+        # live: more upstream progress published while the query runs
+        runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+        publish_changes(t1, relay)
+        q.processAllAvailable()
+        assert _state(t2) == _state(t1)
+    finally:
+        q.stop()
