@@ -247,3 +247,28 @@ def test_mor_table_rename_and_read_current(spark, tmp_path):
     collapsed = t._lww_collapse(t.read())
     got = {(r.conv_id, r.turn_idx): r.body for r in collapsed.collect()}
     assert got == {("c1", 0): "v2"}
+
+
+def test_ddl_interplay_with_rebucket(spark, tmp_path):
+    """Rename of the bucket column, then rebucket, then widen, then
+    rebucket again: every rewrite projects old dirs by field id and lands
+    under the current schema/layout."""
+    t = make_table(spark, tmp_path / "t")
+    t.append(
+        spark.createDataFrame(
+            [(f"c{i}", 1, f"x{i}", 0.5, 10 + i) for i in range(10)], SCHEMA
+        )
+    )
+    t.rename_column("conv_id", "cid")
+    t.rebucket(8)
+    assert t.current().num_buckets == 8 and t.current().bucket_by == ["cid"]
+    got = {r.cid: r.text for r in t.read().filter("turn_idx = 1").collect()}
+    assert got == {f"c{i}": f"x{i}" for i in range(10)}
+    assert t.read_keys(["c7"]).count() == 1
+
+    t.widen_column("turn_idx", T.LongType())
+    t.rebucket(2)
+    got = {
+        (r.cid, r.turn_idx): r.text for r in t.read().collect()
+    }
+    assert got[("c7", 1)] == "x7" and got[("c1", 0)] == "hello"
