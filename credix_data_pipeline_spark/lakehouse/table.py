@@ -865,6 +865,18 @@ class LakeTable:
         snap = self.current()
         if name not in {f.name for f in snap.schema.fields}:
             raise KeyError(f"no column {name!r}")
+        if name in snap.bucket_by:
+            # xxhash64(int x) != xxhash64(long x): widening a bucketing
+            # column would silently desync stored bucket ids from
+            # bucket_expr — MERGE would route a key's new rows to a
+            # different bucket than its stored rows (duplicate keys) and
+            # read_keys would prune to the wrong files.  Rename is safe
+            # (values unchanged); widening the hash input is not.
+            raise ValueError(
+                f"cannot widen bucketing column {name!r}: the bucket hash "
+                "is type-sensitive; create a new table or rebucket to a "
+                "different bucket_by first"
+            )
         cur_t = snap.schema[name].dataType
         if cur_t == new_type:
             return snap

@@ -272,3 +272,24 @@ def test_ddl_interplay_with_rebucket(spark, tmp_path):
         (r.cid, r.turn_idx): r.text for r in t.read().collect()
     }
     assert got[("c7", 1)] == "x7" and got[("c1", 0)] == "hello"
+
+
+def test_widen_bucket_column_refused(spark, tmp_path):
+    """xxhash64 is type-sensitive (int 5 and long 5 hash differently), so
+    widening a bucketing column would desync stored bucket ids from
+    bucket_expr — the engine refuses."""
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key=["uid"], num_buckets=4
+    )
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "b", 2)], schema))
+    with pytest.raises(ValueError, match="bucketing column"):
+        t.widen_column("uid", T.LongType())
+    # values unaffected; a non-bucket widen on the same table still works
+    assert {r.uid for r in t.read().collect()} == {1, 2}
