@@ -149,7 +149,15 @@ def publish_changes(
         }
     next_chunk = len(manifest["chunks"])
     if manifest["chunks"]:
-        base_id = manifest["chunk_snapshots"][manifest["chunks"][-1]]["to"]
+        spans = manifest.get("chunk_snapshots", {})
+        last = manifest["chunks"][-1]
+        if last not in spans:
+            raise RuntimeError(
+                f"relay manifest at {out_dir} has no snapshot span for "
+                f"{last!r} (pre-span-tracking format); start a fresh relay "
+                "directory (full re-publish)"
+            )
+        base_id = spans[last]["to"]
     else:
         base_id = table.history()[0].snapshot_id  # create commit (empty)
     if base_id == cur.snapshot_id:
