@@ -70,6 +70,12 @@ class Snapshot:
     # by-name with the snapshot schema (pre-feature files).  Pruned to live
     # dirs at every commit, so the manifest never grows with dead history.
     dir_schemas: dict[str, dict] = field(default_factory=dict)
+    # per-file `_lsn` bounds (Iceberg manifest column-stats analogue):
+    # path -> [lsn_min, lsn_max].  Lets incremental readers skip whole
+    # files by manifest metadata alone — no footer open, no scan task.
+    # Files absent here (legacy commits, tables without _lsn) are never
+    # skipped.  Pruned to live files at every commit.
+    file_stats: dict[str, list[int]] = field(default_factory=dict)
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
@@ -250,6 +256,7 @@ class LakeTable:
             next_column_id=m.get("next_column_id")
             or (max(ids.values(), default=0) + 1),
             dir_schemas=m.get("dir_schemas", {}),
+            file_stats=m.get("file_stats", {}),
         )
 
     def current(self) -> Snapshot:
@@ -420,6 +427,7 @@ class LakeTable:
             column_ids=dict(target.column_ids),
             next_column_id=max(cur.next_column_id, target.next_column_id),
             dir_schemas=dict(target.dir_schemas),
+            file_stats=dict(target.file_stats),
         )
 
     def _commit(
@@ -436,6 +444,7 @@ class LakeTable:
         column_ids: dict[str, int] | None = None,
         next_column_id: int | None = None,
         dir_schemas: dict[str, dict] | None = None,
+        file_stats: dict[str, list[int]] | None = None,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
@@ -470,6 +479,25 @@ class LakeTable:
         dsch = {d: v for d, v in dsch.items() if d in live}
         for d in sorted(live - set(dsch)):
             dsch[d] = {"schema": schema.jsonValue(), "ids": ids}
+        # Per-file _lsn bounds (Iceberg manifest column stats): carried
+        # forward for surviving files, computed from parquet FOOTERS for
+        # files new in this commit — a driver-side loop bounded by the
+        # commit's own file count (each file was just written locally).
+        live_files = {f for fl in files.values() for f in fl}
+        stats = {
+            p: s
+            for p, s in (
+                file_stats
+                if file_stats is not None
+                else (parent.file_stats if parent else {})
+            ).items()
+            if p in live_files
+        }
+        if any(f.name == "_lsn" for f in schema.fields):
+            for rel in sorted(live_files - set(stats)):
+                s = self._lsn_footer_stats(rel)
+                if s is not None:
+                    stats[rel] = s
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -486,6 +514,7 @@ class LakeTable:
             "column_ids": ids,
             "next_column_id": nci,
             "dir_schemas": dsch,
+            "file_stats": stats,
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)
@@ -507,6 +536,33 @@ class LakeTable:
             return self._read_manifest_file(final)
         return self._read_manifest(version)
 
+    def _lsn_footer_stats(self, rel_path: str) -> list[int] | None:
+        """[lsn_min, lsn_max] from the parquet footer, or None (missing
+        column / all-null / unreadable — the file is then never skipped)."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == "_lsn":
+                    idx = i
+                    break
+            if idx is None:
+                return None
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None  # partial stats: never skip this file
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                return None
+            return [int(lo), int(hi)]
+        except Exception:
+            return None
+
     # ----------------------------------------------------------------- read
     def bucket_expr(self, snap: Snapshot | None = None):
         """Deterministic bucket id for a row: pmod(xxhash64(key...), N)."""
@@ -517,18 +573,30 @@ class LakeTable:
         self,
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
+        lsn_above: int | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past snapshot / a bucket subset).
 
         Files are immutable, the manifest pins the set — this is snapshot
         isolation and time travel.  ``buckets`` is the partition-pruning path
         used by MERGE (only dirty buckets are read).
+
+        ``lsn_above=N`` additionally skips files whose manifest ``_lsn``
+        bounds prove ``lsn_max <= N`` (Iceberg column-stats file pruning):
+        an incremental reader's "rows past the high-water" scan plans zero
+        tasks for cold files without opening a single footer.  Callers must
+        STILL apply the row-level ``_lsn > N`` filter — stats prune whole
+        files; surviving files can hold straddling rows.  Files without
+        recorded bounds are never skipped.
         """
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current()
-        return self.read_snap(snap, buckets=buckets)
+        return self.read_snap(snap, buckets=buckets, lsn_above=lsn_above)
 
     def read_snap(
-        self, snap: Snapshot, buckets: list[int] | None = None
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None = None,
+        lsn_above: int | None = None,
     ) -> DataFrame:
         """Read an explicit Snapshot object — also works for a staged
         (not-yet-published) snapshot, which is how the WAP audit inspects
@@ -542,6 +610,10 @@ class LakeTable:
         by_dir: dict[str, list[str]] = {}
         for fl in file_map.values():
             for f in fl:
+                if lsn_above is not None:
+                    s = snap.file_stats.get(f)
+                    if s is not None and s[1] <= lsn_above:
+                        continue  # provably no rows past the high-water
                 by_dir.setdefault(f.split("/", 2)[1], []).append(
                     os.path.join(self.path, f)
                 )

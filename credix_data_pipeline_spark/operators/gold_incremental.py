@@ -130,7 +130,12 @@ def _refresh(
                     "skipped": True,
                 }
 
-    delta = src.read(buckets=scan_buckets).filter(F.col("_lsn") > F.lit(hw))
+    # lsn_above: manifest file-stats pruning — cold files inside a changed
+    # bucket (e.g. the bucket's pre-existing data next to one new delta
+    # file) plan zero scan tasks; the row filter stays for exactness
+    delta = src.read(buckets=scan_buckets, lsn_above=hw).filter(
+        F.col("_lsn") > F.lit(hw)
+    )
 
     # One small driver-side profile (≤ num_buckets + 1 rows): the delta's
     # bucket set (the pruning key for every subsequent step) + new high-water.

@@ -132,10 +132,11 @@ def test_refresh_delta_discovery_is_metadata_only(spark, tmp_path, monkeypatch):
     calls: list = []
     orig = LakeTable.read
 
-    def spy(self, snapshot_id=None, buckets=None):
+    def spy(self, snapshot_id=None, buckets=None, lsn_above=None):
         if self.path == src.path:
             calls.append(buckets)
-        return orig(self, snapshot_id=snapshot_id, buckets=buckets)
+        return orig(self, snapshot_id=snapshot_id, buckets=buckets,
+                    lsn_above=lsn_above)
 
     monkeypatch.setattr(LakeTable, "read", spy)
     res2 = refresh_conversation_summary(src, goldp)

@@ -293,3 +293,48 @@ def test_widen_bucket_column_refused(spark, tmp_path):
         t.widen_column("uid", T.LongType())
     # values unaffected; a non-bucket widen on the same table still works
     assert {r.uid for r in t.read().collect()} == {1, 2}
+
+
+def test_manifest_lsn_file_stats_prune_incremental_reads(spark, tmp_path):
+    """Per-file _lsn bounds in the manifest (Iceberg column-stats analogue):
+    an incremental read with lsn_above skips cold files entirely — the
+    planned file set shrinks, values stay exact."""
+    t = make_table(spark, tmp_path / "t")  # rows with _lsn 1, 2
+    t.append(
+        spark.createDataFrame(
+            [("c5", 0, "late", 0.5, 100), ("c6", 0, "later", 0.5, 200)],
+            SCHEMA,
+        )
+    )
+    snap = t.current()
+    # every live file carries bounds
+    assert set(snap.file_stats) == set(snap.all_files())
+    assert all(lo <= hi for lo, hi in snap.file_stats.values())
+
+    # incremental read above the old high-water: only late rows
+    got = {r.conv_id for r in t.read(lsn_above=2)
+           .filter(F.col("_lsn") > 2).collect()}
+    assert got == {"c5", "c6"}
+    # and the pruned plan reads strictly fewer files than the full read
+    full = t.read().inputFiles()
+    pruned = t.read(lsn_above=2).inputFiles()
+    assert len(pruned) < len(full)
+    # a threshold past everything plans an empty scan
+    assert t.read(lsn_above=200).inputFiles() == []
+
+
+def test_file_stats_survive_compact_and_rollback(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    pre = t.current()
+    t.append(
+        spark.createDataFrame([("c9", 0, "x", 0.1, 50)], SCHEMA)
+    )
+    t.compact()
+    snap = t.current()
+    assert set(snap.file_stats) == set(snap.all_files())
+    # compacted files carry merged bounds spanning their rows
+    assert max(hi for _, hi in snap.file_stats.values()) == 50
+    t.rollback_to(pre.snapshot_id)
+    snap = t.current()
+    assert set(snap.file_stats) == set(snap.all_files())
+    assert max(hi for _, hi in snap.file_stats.values()) == 2
