@@ -117,8 +117,22 @@ def files_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
     snap = table.snapshot(snapshot_id) if snapshot_id else table.current()
     key0 = snap.key[0] if snap.key else None
     root = table.path
+    # the key column's WRITE-TIME name per commit dir: files written before
+    # a rename store the old name in their footers — map through the stable
+    # field id (same rule as the read path's per-dir projection)
+    key_id = snap.column_ids.get(key0) if key0 is not None else None
+
+    def _dir_key_name(dirname: str) -> str | None:
+        dinfo = snap.dir_schemas.get(dirname)
+        if dinfo is None:
+            return key0  # legacy/by-name dir: never renamed
+        rev = {i: n for n, i in dinfo["ids"].items()}
+        return rev.get(key_id)
+
     listing = [
-        (int(b), f) for b, fl in snap.files.items() for f in fl
+        (int(b), f, _dir_key_name(f.split("/", 2)[1]))
+        for b, fl in snap.files.items()
+        for f in fl
     ]
     if not listing:
         return table.spark.createDataFrame([], FILES_SCHEMA)
@@ -128,6 +142,7 @@ def files_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
             [
                 T.StructField("bucket", T.IntegerType(), False),
                 T.StructField("file_path", T.StringType(), False),
+                T.StructField("key_name", T.StringType(), True),
             ]
         ),
     ).repartition(max(1, min(len(listing), table.spark.sparkContext.defaultParallelism)))
@@ -138,24 +153,31 @@ def files_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for bucket, rel in zip(pdf["bucket"], pdf["file_path"]):
+            for bucket, rel, kname in zip(
+                pdf["bucket"], pdf["file_path"], pdf["key_name"]
+            ):
                 path = os.path.join(root, rel)
                 md = pq.ParquetFile(path).metadata
                 kmin = kmax = None
-                if key0 is not None:
+                if kname is not None:
                     names = {
                         md.schema.column(i).name: i
                         for i in range(md.num_columns)
                     }
-                    ki = names.get(key0)
+                    ki = names.get(kname)
                     if ki is not None:
+                        # compare stats in their NATIVE type (int 9 < 10;
+                        # lexicographic '10' < '9' is wrong — ADVICE r3),
+                        # stringify only for the output column below
                         for rg in range(md.num_row_groups):
                             st = md.row_group(rg).column(ki).statistics
                             if st is None or not st.has_min_max:
                                 continue
-                            lo, hi = str(st.min), str(st.max)
+                            lo, hi = st.min, st.max
                             kmin = lo if kmin is None else min(kmin, lo)
                             kmax = hi if kmax is None else max(kmax, hi)
+                if kmin is not None:
+                    kmin, kmax = str(kmin), str(kmax)
                 out.append(
                     (
                         int(bucket),
@@ -194,6 +216,10 @@ def partitions_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame
     conversation shows up as one bucket's ``row_count`` outlier), and
     compaction targeting.  Same distributed footer-only scan as
     ``files_df``, aggregated per bucket."""
+    snap = table.snapshot(snapshot_id) if snapshot_id else table.current()
+    # aggregate per-file bounds in the KEY COLUMN'S type, not as strings —
+    # string min/max on numeric keys is lexicographic and wrong (ADVICE r3)
+    key_t = snap.schema[snap.key[0]].dataType if snap.key else T.StringType()
     f = files_df(table, snapshot_id=snapshot_id)
     return (
         f.groupBy("bucket")
@@ -204,8 +230,8 @@ def partitions_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame
             (F.sum("size_bytes") / F.count(F.lit(1)))
             .cast("long")
             .alias("avg_file_bytes"),
-            F.min("key_min").alias("key_min"),
-            F.max("key_max").alias("key_max"),
+            F.min(F.col("key_min").cast(key_t)).cast("string").alias("key_min"),
+            F.max(F.col("key_max").cast(key_t)).cast("string").alias("key_max"),
         )
         .select(*[f.name for f in PARTITIONS_SCHEMA.fields])
     )

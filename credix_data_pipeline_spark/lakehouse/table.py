@@ -523,17 +523,23 @@ class LakeTable:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
+        if staged:
+            # A leftover staged-vN (crash between stage and publish) must
+            # not wedge the re-staging retry: staged manifests are
+            # invisible to readers and the exactly-once fence makes the
+            # batch's re-application idempotent, so for single-writer WAP
+            # os.replace is safe — the OCC race is still decided at
+            # PUBLISH time by publish_staged's os.link (ADVICE r3 medium).
+            os.replace(tmp, final)
+            return self._read_manifest_file(final)
         try:
             os.link(tmp, final)  # atomic; EEXIST => lost the race
         except FileExistsError as e:
             raise CommitConflict(
-                f"version {version} already {'staged' if staged else 'committed'}"
-                f" at {self.path}"
+                f"version {version} already committed at {self.path}"
             ) from e
         finally:
             os.unlink(tmp)
-        if staged:
-            return self._read_manifest_file(final)
         return self._read_manifest(version)
 
     def _lsn_footer_stats(self, rel_path: str) -> list[int] | None:

@@ -30,12 +30,17 @@ Mechanics:
 * **Resumable / incremental — the manifest is the only state.**  Each
   chunk entry records the snapshot span it covers (``chunk_snapshots``);
   the next publish resumes from the last entry's ``to`` id.  Data files
-  are written BEFORE the manifest swap, so a crash leaves an
-  unreferenced chunk dir that the next publish overwrites (same chunk
-  number; downstream can never have read it — it was never in the
-  manifest).  A separate state file would reopen exactly that hole: crash
-  between manifest and state, and the re-publish would overwrite a chunk
-  a downstream may already have consumed with a different span.
+  are written BEFORE the manifest swap, under a UNIQUE (uuid-suffixed)
+  directory per publish ATTEMPT — so of two concurrent publishers racing
+  to the same chunk ordinal, the OCC loser can never clobber the winner's
+  already-committed files (ADVICE r3): the committed manifest references
+  only the winner's directory.  A crash (or a lost race) leaves an
+  unreferenced chunk dir; it is swept by the next successful publish once
+  older than a grace period (same age-guard idea as
+  ``expire_snapshots``'s orphan pass).  A separate state file would
+  reopen exactly that hole: crash between manifest and state, and the
+  re-publish would overwrite a chunk a downstream may already have
+  consumed with a different span.
 * **Rollbacks propagate** — a publish after an upstream
   ``rollback_to`` diffs against the rolled-back state, emitting the
   deletes/updates that un-do the bad span downstream.
@@ -47,6 +52,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
+import uuid
 from typing import Any
 
 from pyspark.sql import functions as F
@@ -122,13 +130,16 @@ def publish_changes(
     table: LakeTable,
     out_dir: str,
     to_snapshot_id: int | None = None,
+    residue_grace_sec: float = 3600.0,
 ) -> dict[str, Any]:
     """Publish the table's net changes since the last publish as one feed
     chunk under ``out_dir`` (creating a new feed on first call).
 
     Returns ``{"published_rows": n, "chunk": k, "from_snapshot_id": ...,
     "to_snapshot_id": ...}`` (``published_rows=0, skipped=True`` when the
-    table hasn't moved).
+    table hasn't moved).  ``bootstrap_full_state=True`` marks a first
+    publish whose create commit was already expired by retention: chunk 0
+    is the full current state as inserts instead of a diff.
     """
     spark = table.spark
     cur = (
@@ -148,6 +159,7 @@ def publish_changes(
             "chunk_snapshots": {},
         }
     next_chunk = len(manifest["chunks"])
+    bootstrap_full = False
     if manifest["chunks"]:
         spans = manifest.get("chunk_snapshots", {})
         last = manifest["chunks"][-1]
@@ -159,26 +171,49 @@ def publish_changes(
             )
         base_id = spans[last]["to"]
     else:
-        base_id = table.history()[0].snapshot_id  # create commit (empty)
-    if base_id == cur.snapshot_id:
+        # First publish.  The diff base must be the EMPTY create commit —
+        # diffing from any later snapshot would silently omit every row
+        # unchanged since it (ADVICE r3 high).  Retention may have expired
+        # the create commit on an aged table; bootstrap chunk 0 as the full
+        # current state expressed as inserts instead.
+        oldest = table.history()[0]
+        if oldest.summary.get("operation") == "create" and not oldest.files:
+            base_id = oldest.snapshot_id
+        else:
+            bootstrap_full = True
+            base_id = None
+    if not bootstrap_full and base_id == cur.snapshot_id:
         return {
             "published_rows": 0,
             "skipped": True,
             "to_snapshot_id": cur.snapshot_id,
         }
 
-    try:
-        table.snapshot(base_id)
-    except KeyError:
-        raise RuntimeError(
-            f"relay base snapshot {base_id} was expired by retention on "
-            f"{table.path}; keep snapshot retention longer than the publish "
-            "cadence, or start a fresh relay directory (full re-publish)"
-        ) from None
+    if bootstrap_full:
+        # full-state-as-inserts: current live rows (tombstones excluded —
+        # a fresh downstream replica never saw those keys) in the same
+        # column shape read_changes emits (data cols incl. _lsn + tag)
+        from credix_data_pipeline_spark.operators.apply import read_current
 
-    ch = read_changes(
-        table, base_id, cur.snapshot_id, delete_images="after"
-    )
+        live = read_current(table, snapshot_id=cur.snapshot_id)
+        if "_deleted" in live.columns:
+            live = live.filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            ).drop("_deleted")
+        ch = live.withColumn(CHANGE_COL, F.lit("insert"))
+    else:
+        try:
+            table.snapshot(base_id)
+        except KeyError:
+            raise RuntimeError(
+                f"relay base snapshot {base_id} was expired by retention on "
+                f"{table.path}; keep snapshot retention longer than the "
+                "publish cadence, or start a fresh relay directory (full "
+                "re-publish)"
+            ) from None
+        ch = read_changes(
+            table, base_id, cur.snapshot_id, delete_images="after"
+        )
     # data columns in table order (everything but bookkeeping); the relay
     # envelope re-labels _lsn as the feed's lsn
     payload = [
@@ -195,7 +230,17 @@ def publish_changes(
     # only de-alias unrelated keys for diagnostics; cross-key collisions
     # are harmless (downstream dedup/LWW partitions by key).  Bounds:
     # ~8M chunks fit in the long.
-    key_cols = [c for c in table.current().key if c in ch.columns]
+    # key from the snapshot being PUBLISHED (cur), not the table head: a
+    # to_snapshot_id older than a key-column rename must hash the key
+    # columns by their names at that snapshot (ADVICE r3 low)
+    key_cols = [c for c in cur.key if c in ch.columns]
+    if len(key_cols) != len(cur.key):
+        missing = [c for c in cur.key if c not in ch.columns]
+        raise RuntimeError(
+            f"relay: key columns {missing} of snapshot "
+            f"{cur.snapshot_id} are absent from the changelog output "
+            f"(have: {sorted(ch.columns)})"
+        )
     relay_lsn = (
         F.lit(next_chunk * (1 << 40))
         + F.pmod(F.xxhash64(*key_cols), F.lit(1 << 40))
@@ -213,7 +258,10 @@ def publish_changes(
         *[F.col(c) for c in payload],
     )
 
-    sub = f"pub{next_chunk:05d}"
+    # unique dir per publish ATTEMPT: a concurrent OCC loser can never
+    # overwrite the winner's committed chunk files (ADVICE r3 medium) —
+    # only the attempt that links the manifest version gets referenced
+    sub = f"pub{next_chunk:05d}-{uuid.uuid4().hex[:8]}"
     chunk_rel = os.path.join(sub, f"chunk={next_chunk}")
     out_abs = os.path.join(out_dir, chunk_rel)
     ev.write.mode("overwrite").parquet(out_abs)
@@ -259,12 +307,30 @@ def publish_changes(
     for name in list(table.tags()):
         if name.startswith(f"relay-{relay_id}-v") and name != new_tag:
             table.untag(name)
+    # sweep unreferenced chunk-dir residue (crashed / OCC-losing publish
+    # attempts) past an age grace — a freshly-written dir may belong to a
+    # concurrent publish still racing for the next manifest version
+    referenced = {c.split(os.sep, 1)[0] for c in manifest["chunks"]}
+    now = time.time()
+    for d in os.listdir(out_dir):
+        p = os.path.join(out_dir, d)
+        if (
+            d.startswith("pub")
+            and d not in referenced
+            and os.path.isdir(p)
+        ):
+            try:
+                if now - os.path.getmtime(p) > residue_grace_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
     return {
         "published_rows": n,
         "chunk": next_chunk,
         "from_snapshot_id": base_id,
         "to_snapshot_id": cur.snapshot_id,
         "skipped": False,
+        "bootstrap_full_state": bootstrap_full,
     }
 
 

@@ -129,14 +129,19 @@ def test_relay_manifest_and_state_shape(spark, tmp_path):
     publish_changes(t1, relay)
     with open(os.path.join(relay, "_feed.json")) as f:
         man = json.load(f)
-    assert man["chunks"] == ["pub00000/chunk=0"]
+    # one chunk, under a uuid-suffixed attempt dir (ADVICE r3: unique dir
+    # per publish attempt so a concurrent loser can't clobber the winner)
+    assert len(man["chunks"]) == 1
+    chunk0 = man["chunks"][0]
+    sub0 = chunk0.split(os.sep, 1)[0]
+    assert sub0.startswith("pub00000-") and chunk0.endswith("chunk=0")
     assert man["format"] == "parquet"
-    assert "pub00000" in man["schemas"]
-    span = man["chunk_snapshots"]["pub00000/chunk=0"]
+    assert sub0 in man["schemas"]
+    span = man["chunk_snapshots"][chunk0]
     assert span["to"] == t1.current().snapshot_id
     assert span["from"] == t1.history()[0].snapshot_id
     # every published op is I/U/D with a non-null lsn (replay-applicable)
-    df = spark.read.parquet(os.path.join(relay, "pub00000"))
+    df = spark.read.parquet(os.path.join(relay, sub0))
     assert df.filter(
         F.col("lsn").isNull() | ~F.col("op").isin("I", "U", "D")
     ).count() == 0
@@ -233,10 +238,11 @@ def test_stream_mode_publish_to(spark, tmp_path):
     assert _state(t2) == _state(t1)
 
 
-def test_publish_crash_residue_is_overwritten_safely(spark, tmp_path):
+def test_publish_crash_residue_left_unreferenced_then_swept(spark, tmp_path):
     """A crash after the chunk write but before the manifest swap leaves an
-    unreferenced chunk dir; the next publish overwrites it with the full
-    span — no duplicate manifest entry, downstream state correct."""
+    UNREFERENCED uuid chunk dir (never overwritten — ADVICE r3); the next
+    publish covers the full span under a fresh dir, downstream state is
+    correct, and the residue is swept once past the age grace."""
     import shutil
 
     feed, t1p, relay, t2p = (
@@ -248,27 +254,50 @@ def test_publish_crash_residue_is_overwritten_safely(spark, tmp_path):
     t1 = LakeTable.load(spark, t1p)
     publish_changes(t1, relay)
     man0 = json.load(open(os.path.join(relay, "_feed.json")))
+    sub0 = man0["chunks"][0].split(os.sep, 1)[0]
 
-    # simulate the crashed second publish: chunk dir exists, manifest not
-    # updated (exactly the write-then-swap window)
+    # simulate the crashed second publish: a chunk-1 attempt dir exists,
+    # manifest not updated (exactly the write-then-swap window)
     runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8,
                   max_batches=1)
+    residue = "pub00001-deadbeef"
     shutil.copytree(
-        os.path.join(relay, "pub00000"), os.path.join(relay, "pub00001")
+        os.path.join(relay, sub0), os.path.join(relay, residue)
     )
     assert json.load(open(os.path.join(relay, "_feed.json"))) == man0
 
     # more upstream progress, then a clean publish: chunk 1 covers the
-    # WHOLE span since chunk 0 (crashed span included), overwriting residue
+    # WHOLE span since chunk 0 under a NEW dir; the residue dir is fresh
+    # (inside the grace window) so it is left alone, just unreferenced
     runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
     rep = publish_changes(t1, relay)
     assert rep["chunk"] == 1
     man = json.load(open(os.path.join(relay, "_feed.json")))
-    assert man["chunks"] == ["pub00000/chunk=0", "pub00001/chunk=1"]
-    assert man["chunk_snapshots"]["pub00001/chunk=1"]["from"] == \
-        man["chunk_snapshots"]["pub00000/chunk=0"]["to"]
+    assert len(man["chunks"]) == 2
+    sub1 = man["chunks"][1].split(os.sep, 1)[0]
+    assert sub1.startswith("pub00001-") and sub1 != residue
+    assert man["chunk_snapshots"][man["chunks"][1]]["from"] == \
+        man["chunk_snapshots"][man["chunks"][0]]["to"]
+    assert os.path.isdir(os.path.join(relay, residue))
     runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
     assert _state(LakeTable.load(spark, t2p)) == _state(t1)
+
+    # a later publish with grace 0 sweeps the residue, keeps the committed
+    # chunks intact
+    runner.replay(spark, feed, t1p, chunks_per_batch=1, num_buckets=8)
+    t1.append(
+        spark.createDataFrame(
+            [("convXRES", 0, "user", "late", None, None, 10_000_001, False)],
+            t1.current().schema,
+        )
+    )
+    publish_changes(t1, relay, residue_grace_sec=0.0)
+    assert not os.path.isdir(os.path.join(relay, residue))
+    man2 = json.load(open(os.path.join(relay, "_feed.json")))
+    for c in man2["chunks"]:
+        assert os.path.isdir(
+            os.path.join(relay, c.split(os.sep, 1)[0])
+        )
 
 
 def test_publish_propagates_upstream_rollback(spark, tmp_path):
