@@ -27,6 +27,46 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cal_worker(n_mb: int) -> None:
+    import hashlib
+
+    h = hashlib.sha256()
+    buf = b"\xab" * (1 << 20)
+    for _ in range(n_mb):
+        h.update(buf)
+    h.digest()
+
+
+def host_calibration(procs: int = 8, mb: int = 256) -> dict:
+    """Raw-CPU host-weather probe (no JVM, no Spark): single-core sha256
+    throughput plus parallel efficiency at ``procs`` concurrent processes.
+
+    Embedded in the bench artifact (before AND after the timed runs) so a
+    reader of the JSON alone can tell a code regression from a noisy-
+    neighbor hypervisor window (VERDICT r3: self-attesting bench) — this
+    sandbox's identical runs swing >2x between windows (BENCH/BASELINE.md).
+    """
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    # spawn (not fork): safe with a live JVM/py4j in the parent; pool is
+    # warmed first so interpreter startup never pollutes the timing
+    ctx = mp.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=procs, mp_context=ctx) as ex:
+        list(ex.map(_cal_worker, [1] * procs))
+        t0 = time.monotonic()
+        _cal_worker(mb)
+        t_single = time.monotonic() - t0
+        t0 = time.monotonic()
+        list(ex.map(_cal_worker, [mb] * procs))
+        t_par = time.monotonic() - t0
+    return {
+        "sha256_single_core_mb_per_s": round(mb / t_single, 1),
+        "procs": procs,
+        "parallel_eff": round(t_single / t_par, 3),
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
     from credix_data_pipeline_spark.plans.monitoring import MONITOR_QUERIES
@@ -53,14 +93,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         .agg(F.count("*").alias("n"), F.avg("id").alias("a"))
     )
 
-    timings: dict[str, float] = {}
-    for name, (fn, _sql) in {
-        **QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES
-    }.items():
-        t0 = time.monotonic()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
-    return timings
+    # Best-of-2 per query, BOTH trials recorded in the artifact: a query
+    # whose two trials disagree wildly is host weather, not a plan change —
+    # readable from the JSON alone (VERDICT r3: self-attesting bench).
+    trials: dict[str, list[float]] = {}
+    all_queries = {**QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES}
+    for trial in range(2):
+        for name, (fn, _sql) in all_queries.items():
+            t0 = time.monotonic()
+            _materialize(fn(spark, sf_dir))
+            trials.setdefault(name, []).append(
+                round(time.monotonic() - t0, 3)
+            )
+    return {name: min(ts) for name, ts in trials.items()}, trials
 
 
 def bench_cdc_replay(spark, n_events: int) -> dict:
@@ -176,11 +221,13 @@ def main() -> None:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         },
     )
+    cal_before = host_calibration()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    queries = bench_queries(spark, sf_dir)
+    queries, query_trials = bench_queries(spark, sf_dir)
     cdc = bench_cdc_replay(spark, n_events)
     queries["cdc_replay"] = cdc["cdc_replay_sec"]
+    cal_after = host_calibration()
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -192,6 +239,8 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "query_trials": query_trials,
+        "host_calibration": {"before": cal_before, "after": cal_after},
         "sf": sf,
         "cpus": cpus,
         **cdc,

@@ -163,7 +163,11 @@ def main() -> None:
     )
     feed = os.path.join(gen_dir, "feed")
     warm_feed = os.path.join(gen_dir, "warm_feed")
+    from bench import host_calibration
+
+    cal_before = host_calibration()
     best: dict[int, float] = {}
+    trial_walls: dict[int, list[float]] = {}
     try:
         if own_gen:
             spark = get_spark(app_name="scalegen", master="local[32]",
@@ -188,10 +192,12 @@ def main() -> None:
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 print(json.dumps({"trial": r}), flush=True)
                 best[cpus] = min(best.get(cpus, 1e18), r["wall_sec"])
+                trial_walls.setdefault(cpus, []).append(r["wall_sec"])
     finally:
         if own_gen:
             shutil.rmtree(gen_dir, ignore_errors=True)
 
+    cal_after = host_calibration()
     thr = {c: round(n_events / w, 1) for c, w in best.items()}
     pairs = {}
     for n in levels:
@@ -203,9 +209,16 @@ def main() -> None:
         "events": n_events,
         "trials_per_level": trials,
         "levels": {
-            str(c): {"best_wall_sec": best[c], "events_per_sec": thr[c]}
+            str(c): {
+                "best_wall_sec": best[c],
+                "events_per_sec": thr[c],
+                "trial_walls_sec": trial_walls.get(c, []),
+            }
             for c in levels
         },
+        # raw-CPU host-weather probe before/after the measurement window:
+        # the artifact alone distinguishes regression from noisy neighbors
+        "host_calibration": {"before": cal_before, "after": cal_after},
         "efficiency_n_to_4n": pairs,
         "headline_efficiency": headline,
         "passes_north_rule": bool(headline and headline >= 0.8),
