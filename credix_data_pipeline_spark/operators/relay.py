@@ -22,11 +22,17 @@ Mechanics:
   event's ``_lsn``) so within-span ordering matches upstream exactly.
 * **One subdir per publish round** with its own schema in the manifest
   registry: upstream in-flight ADD-COLUMN evolution flows through
-  ``read_chunks``' per-group schemas + ``unionByName`` alignment.  An
-  upstream RENAME surfaces downstream as add-column (rows published before
-  the DDL keep the old name) — DDL replication is a separate channel in
-  every CDC system; apply the same ``alter`` downstream to converge
-  layouts.
+  ``read_chunks``' per-group schemas + ``unionByName`` alignment.
+* **DDL replication channel** (the Debezium schema-change-topic pattern):
+  each publish diffs the base and target snapshots' field ids and records
+  rename/widen/drop events in the manifest alongside the data chunk
+  (``manifest["ddl"][chunk] = [...]``).  ``runner.replay`` applies them to
+  the replica BEFORE merging that chunk (chunks with DDL start their own
+  micro-batch), so an upstream ``rename_column`` converges the replica's
+  layout without manual ``alter`` — previously a rename surfaced
+  downstream as add-column.  Application is idempotent
+  (crash-redelivered batches re-apply DDL as no-ops) and column ADDS still
+  flow through the per-chunk schema registry (no DDL event needed).
 * **Resumable / incremental — the manifest is the only state.**  Each
   chunk entry records the snapshot span it covers (``chunk_snapshots``);
   the next publish resumes from the last entry's ``to`` id.  Data files
@@ -126,6 +132,107 @@ def _commit_manifest(out_dir: str, manifest: dict, version: int) -> None:
     _save_json(os.path.join(out_dir, "_feed.json"), manifest)
 
 
+def schema_ddl(base: "Snapshot", cur: "Snapshot") -> list[dict]:
+    """Field-id diff of two snapshots' schemas as replayable DDL events.
+
+    Rename/widen/drop are metadata-only upstream and must replicate as DDL
+    (a rename is invisible in row data); column ADDS are deliberately NOT
+    emitted — they flow through the per-chunk schema registry and the
+    replica's in-flight evolution, which also covers feeds that never had
+    field ids.  Events are ordered drop → rename → widen so a drop frees
+    its name before a rename (or the registry's re-add) can claim it.
+    """
+    base_rev = {i: n for n, i in base.column_ids.items()}
+    cur_rev = {i: n for n, i in cur.column_ids.items()}
+    base_types = {f.name: f.dataType for f in base.schema.fields}
+    cur_types = {f.name: f.dataType for f in cur.schema.fields}
+    drops, renames, widens = [], [], []
+    for i, bname in base_rev.items():
+        cname = cur_rev.get(i)
+        if cname is None:
+            drops.append({"op": "drop", "column": bname, "field_id": i})
+            continue
+        if cname != bname:
+            renames.append(
+                {"op": "rename", "from": bname, "to": cname, "field_id": i}
+            )
+        bt = base_types.get(bname)
+        ct = cur_types.get(cname)
+        if bt is not None and ct is not None and bt != ct:
+            widens.append(
+                {
+                    "op": "widen",
+                    "column": cname,
+                    "type": ct.jsonValue(),
+                    "field_id": i,
+                }
+            )
+    return drops + renames + widens
+
+
+def apply_ddl(table: LakeTable, events: list[dict]) -> int:
+    """Idempotently apply published DDL events to a downstream replica.
+
+    Idempotent by construction (crash-redelivered micro-batches re-apply
+    their chunk's DDL): a drop of an absent column, a rename whose target
+    already exists (and source is gone), and a widen to the current type
+    are all no-ops.  Rename cycles (a→b while b→a in one span) stage
+    through unique temp names.  Returns the number of ALTERs executed.
+    """
+    from pyspark.sql import types as T
+
+    applied = 0
+    names = lambda: {f.name for f in table.current().schema.fields}  # noqa: E731
+
+    for ev in (e for e in events if e["op"] == "drop"):
+        if ev["column"] in names():
+            table.drop_column(ev["column"])
+            applied += 1
+
+    pending = [
+        (e["from"], e["to"]) for e in events if e["op"] == "rename"
+    ]
+    # drop already-applied renames (source gone, target present)
+    pending = [
+        (f, t) for f, t in pending if not (f not in names() and t in names())
+    ]
+    temps: list[tuple[str, str]] = []  # (temp_name, final_name)
+    while pending:
+        progressed = False
+        for f, t in list(pending):
+            if f in names() and t not in names():
+                table.rename_column(f, t)
+                applied += 1
+                pending.remove((f, t))
+                progressed = True
+        if pending and not progressed:
+            # cycle (e.g. swap): park one source under a unique temp name
+            f, t = pending[0]
+            if f not in names():
+                raise RuntimeError(
+                    f"relay DDL: cannot rename {f!r} -> {t!r} on "
+                    f"{table.path}: source column missing and target taken"
+                )
+            tmp = f"ddltmp{uuid.uuid4().hex[:8]}"
+            table.rename_column(f, tmp)
+            applied += 1
+            temps.append((tmp, t))
+            pending.remove((f, t))
+    for tmp, t in temps:
+        table.rename_column(tmp, t)
+        applied += 1
+
+    for ev in (e for e in events if e["op"] == "widen"):
+        col = ev["column"]
+        if col not in names():
+            continue  # column arrives later via the schema registry
+        want = T._parse_datatype_json_value(ev["type"])
+        if table.current().schema[col].dataType != want:
+            table.widen_column(col, want)
+            applied += 1
+    return applied
+
+
 def publish_changes(
     table: LakeTable,
     out_dir: str,
@@ -201,9 +308,10 @@ def publish_changes(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             ).drop("_deleted")
         ch = live.withColumn(CHANGE_COL, F.lit("insert"))
+        ddl_events: list[dict] = []  # fresh full state: no prior layout
     else:
         try:
-            table.snapshot(base_id)
+            base_snap = table.snapshot(base_id)
         except KeyError:
             raise RuntimeError(
                 f"relay base snapshot {base_id} was expired by retention on "
@@ -214,6 +322,9 @@ def publish_changes(
         ch = read_changes(
             table, base_id, cur.snapshot_id, delete_images="after"
         )
+        # DDL channel: layout changes in this span replicate as events the
+        # downstream replay applies BEFORE merging this chunk's data
+        ddl_events = schema_ddl(base_snap, cur)
     # data columns in table order (everything but bookkeeping); the relay
     # envelope re-labels _lsn as the feed's lsn
     payload = [
@@ -277,6 +388,11 @@ def publish_changes(
         **manifest.get("chunk_snapshots", {}),
         chunk_rel: {"from": base_id, "to": cur.snapshot_id},
     }
+    if ddl_events:
+        manifest["ddl"] = {
+            **manifest.get("ddl", {}),
+            chunk_rel: ddl_events,
+        }
     # the FIRST publish pins the downstream target's initial schema; later
     # columns arrive in-flight via the per-subdir registry (same contract
     # as the generator's evolution switch-point)
@@ -334,4 +450,4 @@ def publish_changes(
     }
 
 
-__all__ = ["publish_changes", "ENVELOPE_COLS"]
+__all__ = ["publish_changes", "schema_ddl", "apply_ddl", "ENVELOPE_COLS"]

@@ -188,10 +188,27 @@ def replay(
 
     stats = ReplayStats()
     done = 0
+    # DDL replication channel (relay feeds): a chunk with recorded DDL must
+    # START its micro-batch — its data is aligned to the post-DDL layout,
+    # so the ALTERs apply to the replica before that chunk merges, while
+    # earlier chunks in flight still merge under the pre-DDL layout.
+    ddl_map: dict[str, list] = manifest.get("ddl") or {}
     while pos < len(chunks):
         if max_batches is not None and done >= max_batches:
             break
         batch_chunks = chunks[pos : pos + chunks_per_batch]
+        if ddl_map:
+            for j, c in enumerate(batch_chunks):
+                if j > 0 and c in ddl_map:
+                    batch_chunks = batch_chunks[:j]
+                    break
+            if batch_chunks[0] in ddl_map:
+                from credix_data_pipeline_spark.operators.relay import (
+                    apply_ddl,
+                )
+
+                # idempotent: a crash-redelivered batch re-applies as no-op
+                apply_ddl(table, ddl_map[batch_chunks[0]])
         batch_df = feed_mod.read_chunks(
             spark,
             feed_path,
