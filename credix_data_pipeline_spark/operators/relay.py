@@ -388,7 +388,11 @@ def publish_changes(
         **manifest.get("chunk_snapshots", {}),
         chunk_rel: {"from": base_id, "to": cur.snapshot_id},
     }
-    if ddl_events:
+    # chunk 0 carries no DDL even when the upstream altered columns before
+    # the first publish: a fresh replica is CREATED from chunk 0's post-DDL
+    # schema, so there is no pre-DDL state to migrate (and applying the
+    # events against the final layout would mis-rename fresh columns)
+    if ddl_events and next_chunk > 0:
         manifest["ddl"] = {
             **manifest.get("ddl", {}),
             chunk_rel: ddl_events,

@@ -202,7 +202,9 @@ def replay(
                 if j > 0 and c in ddl_map:
                     batch_chunks = batch_chunks[:j]
                     break
-            if batch_chunks[0] in ddl_map:
+            # chunks[0] never applies DDL: a fresh replica is created from
+            # its post-DDL schema (pre-fix manifests may still carry it)
+            if batch_chunks[0] in ddl_map and batch_chunks[0] != chunks[0]:
                 from credix_data_pipeline_spark.operators.relay import (
                     apply_ddl,
                 )
