@@ -94,7 +94,7 @@ def main() -> None:
             feed = os.path.join(work, f"feed_{ratio_name}")
             write_feed(spark, feed, spec)
             row: dict[str, dict] = {}
-            for mode in ("cow", "mor"):
+            for mode in ("cow", "mor", "mor-append"):
                 tbl_path = os.path.join(work, f"t_{ratio_name}_{mode}")
                 t0 = time.monotonic()
                 runner.replay(
@@ -125,19 +125,97 @@ def main() -> None:
                     "logical_rows": logical,
                     "read_amplification": round(phys / max(logical, 1), 2),
                 }
-                if mode == "mor":
+                if mode.startswith("mor"):
+                    entry["delete_files"] = len(
+                        t.current().all_delete_files()
+                    )
                     c0 = time.monotonic()
                     t.compact()
                     entry["compact_sec"] = round(time.monotonic() - c0, 3)
                     entry["read_after_compact_sec"] = round(_read_wall(), 3)
                 row[mode] = entry
-            row["ingest_speedup_mor_vs_cow"] = round(
-                row["cow"]["ingest_sec"] / row["mor"]["ingest_sec"], 2
-            )
-            row["read_slowdown_mor_vs_cow"] = round(
-                row["mor"]["read_clean_sec"] / row["cow"]["read_clean_sec"], 2
-            )
+            for m in ("mor", "mor-append"):
+                row[f"ingest_speedup_{m}_vs_cow"] = round(
+                    row["cow"]["ingest_sec"] / row[m]["ingest_sec"], 2
+                )
+                row[f"read_slowdown_{m}_vs_cow"] = round(
+                    row[m]["read_clean_sec"] / row["cow"]["read_clean_sec"], 2
+                )
             results[ratio_name] = row
+
+        # Steady-state read (the MoR shape that matters in production): a
+        # big COMPACTED base plus one small recent delta batch.  Position-
+        # delete MoR reads scan + BROADCAST anti-join (no table shuffle);
+        # append-MoR must LWW-shuffle the whole table for the same answer.
+        from pyspark.sql import functions as F
+
+        from credix_data_pipeline_spark.operators.apply import (
+            apply_batch,
+            last_applied_batch_id,
+        )
+
+        spec = FeedSpec(
+            n_events=n_events, n_conversations=max(100, n_events // 10),
+            turns_per_conversation=10, delete_pct=5, duplicate_pct=3,
+            hot_pct=5, shuffle_window=64,
+            events_per_chunk=max(5_000, n_events // 32),
+        )
+        feed = os.path.join(work, "feed_steady")
+        write_feed(spark, feed, spec)
+        steady: dict[str, dict] = {}
+        for mode in ("cow", "mor", "mor-append"):
+            tbl_path = os.path.join(work, f"t_steady_{mode}")
+            runner.replay(
+                spark, feed, tbl_path, chunks_per_batch=8, num_buckets=32,
+                transform=with_normalized_text, collect_stats=False,
+                merge_mode=mode,
+            )
+            t = LakeTable.load(spark, tbl_path)
+            t.compact()
+            n_delta = max(1000, n_events // 100)
+            const_ts = F.timestamp_seconds(F.lit(1_800_000_000))
+            delta = (
+                read_clean(t)
+                .select("conv_id", "turn_idx")
+                .limit(n_delta)
+                .select(
+                    F.lit("U").alias("op"),
+                    (F.lit(2_000_000_000)
+                     + F.monotonically_increasing_id()).alias("lsn"),
+                    const_ts.alias("commit_ts"),
+                    "conv_id",
+                    "turn_idx",
+                    F.lit("user").alias("role"),
+                    F.lit("steady-state update").alias("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    const_ts.alias("ts"),
+                )
+            )
+            # materialize the delta first: its construction reads the table
+            # and must not pollute the timed apply
+            delta_path = os.path.join(work, f"delta_{mode}")
+            delta.write.mode("overwrite").parquet(delta_path)
+            delta = spark.read.parquet(delta_path)
+            t0 = time.monotonic()
+            apply_batch(t, delta, last_applied_batch_id(t) + 1,
+                        collect_stats=False)
+            delta_sec = time.monotonic() - t0
+
+            best = float("inf")
+            for _ in range(3):
+                r0 = time.monotonic()
+                _materialize(read_clean(t))
+                best = min(best, time.monotonic() - r0)
+            steady[mode] = {
+                "delta_apply_sec": round(delta_sec, 3),
+                "read_clean_sec": round(best, 3),
+            }
+        for m in ("mor", "mor-append"):
+            steady[f"read_slowdown_{m}_vs_cow"] = round(
+                steady[m]["read_clean_sec"] / steady["cow"]["read_clean_sec"],
+                2,
+            )
+        results["steady_state_small_delta"] = steady
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

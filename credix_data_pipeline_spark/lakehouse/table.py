@@ -55,8 +55,10 @@ class Snapshot:
     summary: dict[str, Any]
     committed_at_ms: int
     # "cow": MERGE rewrites dirty buckets (read = latest only).  "mor":
-    # MERGE appends delta rows and LWW happens at read/compaction — the
-    # Iceberg copy-on-write vs merge-on-read axis.
+    # MERGE appends delta rows — the Iceberg copy-on-write vs merge-on-read
+    # axis.  Within "mor", `mor_prefer` picks position-delete merges
+    # (Iceberg v2: anti-join reads, no shuffle) vs blind appends (fastest
+    # ingest, LWW collapse at read until compaction).
     merge_mode: str = "cow"
     # Iceberg field ids: current column name -> stable id.  Ids survive
     # renames and are never reused after a drop, so files written before a
@@ -76,9 +78,29 @@ class Snapshot:
     # Files absent here (legacy commits, tables without _lsn) are never
     # skipped.  Pruned to live files at every commit.
     file_stats: dict[str, list[int]] = field(default_factory=dict)
+    # Merge-on-read POSITION DELETES (Iceberg v2 position-delete files):
+    # bucket id -> delete-file paths; each delete file holds (file, pos)
+    # rows marking superseded ordinals in OLDER data files of the same
+    # bucket.  Reads anti-join instead of LWW-collapsing the whole table.
+    delete_files: dict[str, list[str]] = field(default_factory=dict)
+    # True while the position-delete INVARIANT holds: at most one live
+    # (non-position-deleted) version per key, so reads take the cheap
+    # scan + anti-join path with no LWW shuffle.  Holds from creation;
+    # preserved by position-delete merges, compact and rebucket; CLEARED
+    # by any blind append (mor-append merges, warehouse loads) until the
+    # next compaction collapses versions and restores it.
+    mor_deletes: bool = False
+    # The table's MERGE strategy preference, fixed at create time:
+    # "posdel" (merge_mode="mor") arbitrates at write and maintains the
+    # invariant; "append" (merge_mode="mor-append" / legacy manifests)
+    # blind-appends winners and defers LWW to read/compaction.
+    mor_prefer: str = "append"
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
+
+    def all_delete_files(self) -> list[str]:
+        return [f for fl in self.delete_files.values() for f in fl]
 
     def live_dirs(self) -> set[str]:
         return {f.split("/", 2)[1] for fl in self.files.values() for f in fl}
@@ -133,7 +155,9 @@ def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
 def _project_dir(df: DataFrame, snap: Snapshot, dinfo: dict) -> DataFrame:
     """Project a write-schema read to the snapshot schema by FIELD ID:
     renamed columns re-alias, widened columns cast, columns the dir never
-    had (or whose id was dropped) read as typed NULL."""
+    had (or whose id was dropped) read as typed NULL.  Engine position
+    columns (``_file``/``_pos``, present on ``with_pos`` reads) pass
+    through untouched."""
     rev = {i: n for n, i in dinfo["ids"].items()}
     cols = []
     for f in snap.schema.fields:
@@ -142,6 +166,9 @@ def _project_dir(df: DataFrame, snap: Snapshot, dinfo: dict) -> DataFrame:
             cols.append(F.col(n).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    for extra in ("_file", "_pos"):
+        if extra in df.columns:
+            cols.append(F.col(extra))
     return df.select(*cols)
 
 
@@ -165,8 +192,25 @@ class LakeTable:
         bucket_by: list[str] | None = None,
         merge_mode: str = "cow",
     ) -> "LakeTable":
-        if merge_mode not in ("cow", "mor"):
-            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
+        """``merge_mode`` picks the MERGE strategy per table (the Iceberg
+        copy-on-write / merge-on-read axis, plus the delete-granularity
+        choice within merge-on-read):
+
+        * ``cow`` — MERGE rewrites dirty buckets; reads are flat scans.
+        * ``mor`` — MERGE appends the winners PLUS position-delete files
+          for the ordinals they supersede (Iceberg v2): no bucket rewrite
+          at write, no key shuffle at read (scan + broadcast anti-join).
+          Pays a dirty-bucket read per batch to discover positions.
+        * ``mor-append`` — MERGE blindly appends winners, O(batch) with NO
+          read of existing data (the Flink-CDC equality-delete shape);
+          reads LWW-collapse all delta versions until ``compact()``.
+          Fastest ingest, most expensive read — pick for write-dominated
+          tables with infrequent reads.
+        """
+        if merge_mode not in ("cow", "mor", "mor-append"):
+            raise ValueError(
+                f"merge_mode must be cow|mor|mor-append, got {merge_mode!r}"
+            )
         t = cls(spark, path)
         os.makedirs(t.meta_path, exist_ok=True)
         os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
@@ -180,7 +224,12 @@ class LakeTable:
             num_buckets=num_buckets,
             files={},
             summary={"operation": "create"},
-            merge_mode=merge_mode,
+            # both MoR flavors persist as merge_mode=mor; the strategy
+            # preference and the (trivially true on an empty table)
+            # position-delete invariant are tracked separately
+            merge_mode="mor" if merge_mode == "mor-append" else merge_mode,
+            mor_deletes=merge_mode in ("mor", "mor-append"),
+            mor_prefer="posdel" if merge_mode == "mor" else "append",
         )
         return t
 
@@ -257,6 +306,10 @@ class LakeTable:
             or (max(ids.values(), default=0) + 1),
             dir_schemas=m.get("dir_schemas", {}),
             file_stats=m.get("file_stats", {}),
+            delete_files=m.get("delete_files", {}),
+            mor_deletes=m.get("mor_deletes", False),
+            mor_prefer=m.get("mor_prefer")
+            or ("posdel" if m.get("mor_deletes") else "append"),
         )
 
     def current(self) -> Snapshot:
@@ -428,6 +481,7 @@ class LakeTable:
             next_column_id=max(cur.next_column_id, target.next_column_id),
             dir_schemas=dict(target.dir_schemas),
             file_stats=dict(target.file_stats),
+            delete_files=dict(target.delete_files),
         )
 
     def _commit(
@@ -445,6 +499,9 @@ class LakeTable:
         next_column_id: int | None = None,
         dir_schemas: dict[str, dict] | None = None,
         file_stats: dict[str, list[int]] | None = None,
+        delete_files: dict[str, list[str]] | None = None,
+        mor_deletes: bool | None = None,
+        mor_prefer: str | None = None,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
@@ -515,6 +572,21 @@ class LakeTable:
             "next_column_id": nci,
             "dir_schemas": dsch,
             "file_stats": stats,
+            "delete_files": (
+                delete_files
+                if delete_files is not None
+                else (parent.delete_files if parent else {})
+            ),
+            "mor_deletes": (
+                mor_deletes
+                if mor_deletes is not None
+                else (parent.mor_deletes if parent else False)
+            ),
+            "mor_prefer": (
+                mor_prefer
+                if mor_prefer is not None
+                else (parent.mor_prefer if parent else "append")
+            ),
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)
@@ -598,15 +670,39 @@ class LakeTable:
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current()
         return self.read_snap(snap, buckets=buckets, lsn_above=lsn_above)
 
+    def _pos_cols(self, df: DataFrame) -> DataFrame:
+        """Attach the file-position identity of each row (``_file`` = path
+        relative to the table root, ``_pos`` = row ordinal in that file)
+        from Spark's parquet ``_metadata`` columns — the coordinates
+        position-delete files reference.  Zero extra I/O: both are scan
+        metadata, not data pages."""
+        # rel path = everything after the LAST "/data/" marker (the table's
+        # data root; commit dirs are uuid hex so the marker cannot repeat
+        # below it).  substring_index is a plain scan — ~4x cheaper per row
+        # than a regexp over the URI, measurable at full-table reads.
+        rel = F.concat(
+            F.lit(DATA_DIR + "/"),
+            F.substring_index(
+                F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+            ),
+        )
+        return df.withColumn("_file", rel).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
+
     def read_snap(
         self,
         snap: Snapshot,
         buckets: list[int] | None = None,
         lsn_above: int | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read an explicit Snapshot object — also works for a staged
         (not-yet-published) snapshot, which is how the WAP audit inspects
-        the post-image before anyone else can see it."""
+        the post-image before anyone else can see it.
+
+        ``with_pos=True`` appends ``_file``/``_pos`` row-position columns
+        (the position-delete coordinate system)."""
         file_map = snap.files
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -624,7 +720,16 @@ class LakeTable:
                     os.path.join(self.path, f)
                 )
         if not by_dir:
-            return self.spark.createDataFrame([], snap.schema)
+            empty_schema = snap.schema
+            if with_pos:
+                empty_schema = T.StructType(
+                    [
+                        *snap.schema.fields,
+                        T.StructField("_file", T.StringType(), True),
+                        T.StructField("_pos", T.LongType(), True),
+                    ]
+                )
+            return self.spark.createDataFrame([], empty_schema)
         fast: list[str] = []
         slow: dict[str, tuple[dict, list[str]]] = {}
         for d, paths in by_dir.items():
@@ -639,24 +744,87 @@ class LakeTable:
             # the common case — ONE vectorized scan over every by-name-
             # compatible file; explicit schema => files missing late-added
             # columns yield NULL (add-column evolution stays metadata-only)
-            parts.append(
-                self.spark.read.schema(snap.schema).parquet(*sorted(fast))
-            )
+            p = self.spark.read.schema(snap.schema).parquet(*sorted(fast))
+            parts.append(self._pos_cols(p) if with_pos else p)
         for dinfo, paths in slow.values():
             # files written before a rename/drop/widen: read with their
             # WRITE schema, then project to the snapshot schema by field id
             wschema = T.StructType.fromJson(dinfo["schema"])
-            parts.append(
-                _project_dir(
-                    self.spark.read.schema(wschema).parquet(*sorted(paths)),
-                    snap,
-                    dinfo,
-                )
-            )
+            p = self.spark.read.schema(wschema).parquet(*sorted(paths))
+            if with_pos:
+                p = self._pos_cols(p)
+            parts.append(_project_dir(p, snap, dinfo))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _delete_rows(
+        self, snap: Snapshot, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """(file, pos) rows of the snapshot's position-delete files for the
+        requested buckets, or None when there are none."""
+        file_map = snap.delete_files
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            file_map = {b: fl for b, fl in file_map.items() if b in wanted}
+        paths = sorted(
+            os.path.join(self.path, f) for fl in file_map.values() for f in fl
+        )
+        if not paths:
+            return None
+        schema = T.StructType(
+            [
+                T.StructField("file", T.StringType(), False),
+                T.StructField("pos", T.LongType(), False),
+            ]
+        )
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def current_versions(
+        self,
+        snap: Snapshot | None = None,
+        buckets: list[int] | None = None,
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """One CURRENT row version per key (tombstones included) under the
+        table's merge mode:
+
+        * CoW: the plain snapshot read (one version per key by contract).
+        * MoR + position deletes (``mor_deletes``): scan minus delete-file
+          anti-join — NO key shuffle; the delete set is small (one row per
+          superseded version) so the join broadcasts.  This is the
+          Iceberg-v2 read path that makes update-heavy MoR reads cheap.
+        * Legacy MoR (no delete files): the historical LWW hash-collapse.
+        """
+        snap = snap or self.current()
+        if snap.merge_mode != "mor":
+            return self.read_snap(snap, buckets=buckets, with_pos=with_pos)
+        if snap.mor_deletes:
+            dels = self._delete_rows(snap, buckets)
+            if dels is None and not with_pos:
+                # no outstanding deletes (e.g. right after compaction):
+                # a plain flat scan, same as CoW
+                df = self.read_snap(snap, buckets=buckets)
+                return df.drop("_seq") if "_seq" in df.columns else df
+            df = self.read_snap(snap, buckets=buckets, with_pos=True)
+            if dels is not None:
+                df = df.join(
+                    dels,
+                    on=(df["_file"] == dels["file"])
+                    & (df["_pos"] == dels["pos"]),
+                    how="left_anti",
+                )
+            if "_seq" in df.columns:
+                # residue of a mor-append phase whose compaction restored
+                # the invariant: internal column, never user-visible
+                df = df.drop("_seq")
+            return df if with_pos else df.drop("_file", "_pos")
+        df = self.read_snap(snap, buckets=buckets, with_pos=with_pos)
+        df = self._lww_collapse(df, snap=snap)
+        if "_seq" in df.columns:
+            df = df.drop("_seq")
+        return df
 
     def read_keys(self, bucket_values: list) -> DataFrame:
         """Key-targeted read: prune the scan to the buckets the given
@@ -688,14 +856,9 @@ class LakeTable:
             .distinct()
             .collect()
         ]
-        out = self.read(buckets=buckets).filter(
+        return self.current_versions(snap=snap, buckets=buckets).filter(
             F.col(col).isin(list(bucket_values))
         )
-        if snap.merge_mode == "mor":
-            out = self._lww_collapse(out)  # current version per key
-            if "_seq" in out.columns:  # MoR-internal tie-break column
-                out = out.drop("_seq")
-        return out
 
     # ---------------------------------------------------------------- write
     def _write_files(
@@ -754,6 +917,76 @@ class LakeTable:
                 files[b] = rel
         return files
 
+    def _write_delete_files(self, delete_df: DataFrame) -> dict[str, list[str]]:
+        """Write position-delete rows (``_bucket``, ``file``, ``pos``) under
+        a fresh commit dir, one file set per bucket (same layout rule as
+        data files, so bucket pruning applies to delete reads too).
+        Returns bucket -> relative delete-file paths (empty for an empty
+        delete set — no files, no manifest entries)."""
+        commit_dir = uuid.uuid4().hex
+        out_abs = os.path.join(self.path, DATA_DIR, commit_dir)
+        (
+            # REBALANCE by bucket: a batch's delete set is tiny relative to
+            # its data, so AQE coalesces the write to a couple of tasks —
+            # without this, every shuffle partition emits a file per bucket
+            # and the accumulated tiny delete files dominate read planning
+            delete_df.select(BUCKET_COL, "file", "pos")
+            .hint("rebalance", BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("append")
+            .parquet(out_abs)
+        )
+        files: dict[str, list[str]] = {}
+        if not os.path.isdir(out_abs):
+            return files
+        for entry in sorted(os.listdir(out_abs)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_abs, entry)
+            rel = [
+                os.path.join(DATA_DIR, commit_dir, entry, fn)
+                for fn in sorted(os.listdir(bdir))
+                if fn.endswith(".parquet")
+            ]
+            if rel:
+                files[b] = rel
+        return files
+
+    def append_mor_delta(
+        self,
+        df: DataFrame,
+        delete_df: DataFrame | None,
+        summary: dict[str, Any] | None = None,
+        staged: bool = False,
+    ) -> Snapshot:
+        """Merge-on-read MERGE commit (Iceberg v2 shape): append the batch's
+        winning row versions as data files PLUS position-delete files
+        marking the ordinals they supersede in older files — one atomic
+        commit, no bucket rewrite.  ``delete_df`` columns: ``_bucket``,
+        ``file`` (table-relative path), ``pos`` (row ordinal)."""
+        snap = self.current()
+        bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
+        new_files = self._write_files(bucketed, snap)
+        merged = {b: list(fl) for b, fl in snap.files.items()}
+        for b, fl in new_files.items():
+            merged.setdefault(b, []).extend(fl)
+        merged_dels = {b: list(fl) for b, fl in snap.delete_files.items()}
+        if delete_df is not None:
+            for b, fl in self._write_delete_files(delete_df).items():
+                merged_dels.setdefault(b, []).extend(fl)
+        return self._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=merged,
+            summary={"operation": "merge-delta", **(summary or {})},
+            delete_files=merged_dels,
+            staged=staged,
+        )
+
     def append(
         self,
         df: DataFrame,
@@ -761,7 +994,12 @@ class LakeTable:
         staged: bool = False,
     ) -> Snapshot:
         """Append rows (no key reconciliation — the reference's WRITE_APPEND,
-        credix_pipeline/resources/gcp_resource.py:32-67)."""
+        credix_pipeline/resources/gcp_resource.py:32-67).
+
+        On a merge-on-read table a blind append may introduce a second live
+        version of a key, so it CLEARS the position-delete invariant —
+        reads fall back to the (correct, slower) LWW collapse until the
+        next ``compact()`` restores it."""
         snap = self.current()
         bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
         new_files = self._write_files(bucketed, snap)
@@ -776,6 +1014,7 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=merged,
             summary={"operation": "append", **(summary or {})},
+            mor_deletes=False if snap.merge_mode == "mor" else None,
             staged=staged,
         )
 
@@ -787,6 +1026,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         sort_keys: list[str] | None = None,
         staged: bool = False,
+        restore_mor_invariant: bool = False,
     ) -> Snapshot:
         """Copy-on-write commit: swap the file sets of ``dirty_buckets`` for
         the files of ``new_df`` (which must contain exactly those buckets'
@@ -817,6 +1057,13 @@ class LakeTable:
         merged = {b: list(fl) for b, fl in snap.files.items() if b not in dirty}
         for b, fl in new_files.items():
             merged.setdefault(b, []).extend(fl)
+        # a rewritten bucket's position-delete files are consumed by the
+        # rewrite (the new files are already net-of-deletes)
+        kept_dels = {
+            b: list(fl)
+            for b, fl in snap.delete_files.items()
+            if b not in dirty
+        }
         return self._commit(
             parent=snap,
             schema=out_schema,
@@ -825,6 +1072,11 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=merged,
             summary={"operation": "merge", **(summary or {})},
+            delete_files=kept_dels,
+            # compaction-style rewrites collapse to one version per key in
+            # the rewritten buckets; with ALL buckets rewritten (or none
+            # previously violating), the caller attests the invariant
+            mor_deletes=True if restore_mor_invariant else None,
             staged=staged,
         )
 
@@ -987,7 +1239,9 @@ class LakeTable:
             dir_schemas=dirs,
         )
 
-    def _lww_collapse(self, df: DataFrame) -> DataFrame:
+    def _lww_collapse(
+        self, df: DataFrame, snap: Snapshot | None = None
+    ) -> DataFrame:
         """Collapse multi-version merge-on-read rows to the LWW winner per
         key (same hash-agg shape as the apply core's LWW).
 
@@ -996,7 +1250,7 @@ class LakeTable:
         payloads) the row from the LATER batch wins — MoR delta rows persist
         the batch ordinal as ``_seq`` for exactly this comparator, so CoW and
         MoR replays of the same feed stay byte-equal (ADVICE r2)."""
-        snap = self.current()
+        snap = snap or self.current()
         cols = [f.name for f in snap.schema.fields]
         row = F.struct(*[F.col(c) for c in cols])
         order = (
@@ -1051,8 +1305,21 @@ class LakeTable:
             if target_buckets is None
             else target_buckets
         )
-        if snap.merge_mode == "mor":
+        if snap.merge_mode == "mor" and not snap.mor_deletes:
+            # invariant broken (blind appends): rewrite every non-empty
+            # bucket — any single file may hide multiple key versions
             multi = [b for b in buckets if snap.files.get(str(b))]
+        elif snap.merge_mode == "mor":
+            # any bucket with delta buildup OR outstanding position deletes
+            multi = [
+                b
+                for b in buckets
+                if snap.files.get(str(b))
+                and (
+                    len(snap.files[str(b)]) > 1
+                    or snap.delete_files.get(str(b))
+                )
+            ]
         else:
             # rewrite a bucket if it has small-file buildup OR any file from
             # a dir across an evolution boundary (rename/drop/widen): the
@@ -1073,15 +1340,31 @@ class LakeTable:
             multi = [b for b in buckets if _needs_rewrite(b)]
         if not multi:
             return snap
-        df = self.read(buckets=multi)
-        if snap.merge_mode == "mor":
-            df = self._lww_collapse(df)
-        df = df.coalesce(max(1, len(multi)))
+        if snap.merge_mode == "mor" and snap.mor_deletes:
+            # apply position deletes; the rewrite consumes them
+            # (replace_buckets drops the rewritten buckets' delete files)
+            df = self.current_versions(snap=snap, buckets=multi)
+        elif snap.merge_mode == "mor":
+            df = self._lww_collapse(self.read(buckets=multi))
+        else:
+            df = self.read(buckets=multi)
+        # partition BY BUCKET ID, not coalesce: coalesce leaves each task
+        # holding rows of many buckets, so the dynamic-partition writer
+        # emits up to tasks x buckets small files — the exact buildup
+        # compaction exists to remove.  Hash-partitioned on the bucket id,
+        # each bucket's rows land in one task → one file set per bucket.
+        df = df.repartition(max(1, len(multi)), self.bucket_expr(snap))
         return self.replace_buckets(
             multi,
             df,
             summary={**self.carry_fence(), "operation": "compact"},
             sort_keys=snap.key if sort else None,
+            # a FULL MoR compaction collapses every bucket to one version
+            # per key — the position-delete invariant holds again, so reads
+            # drop back to the cheap scan + anti-join path
+            restore_mor_invariant=(
+                snap.merge_mode == "mor" and target_buckets is None
+            ),
         )
 
     def rebucket(
@@ -1116,9 +1399,12 @@ class LakeTable:
             raise ValueError(f"bucket_by columns not in schema: {unknown}")
         if num_buckets == snap.num_buckets and new_by == snap.bucket_by:
             return snap
-        df = self.read()
-        if snap.merge_mode == "mor":
-            df = self._lww_collapse(df)  # one base version per key
+        if snap.merge_mode == "mor" and snap.mor_deletes:
+            df = self.current_versions(snap=snap)  # net of position deletes
+        elif snap.merge_mode == "mor":
+            df = self._lww_collapse(self.read())  # one base version per key
+        else:
+            df = self.read()
         bexpr = F.pmod(F.xxhash64(*new_by), F.lit(num_buckets)).cast("int")
         # rebalance on the new bucket id: write tasks are byte-sized by AQE
         # and each bucket's rows co-locate, so the new layout starts with
@@ -1135,6 +1421,9 @@ class LakeTable:
             num_buckets=num_buckets,
             files=new_files,
             summary={**self.carry_fence(), "operation": "rebucket"},
+            delete_files={},  # the rewrite consumed all position deletes
+            # full-table rewrite → one version per key → invariant restored
+            mor_deletes=True if snap.merge_mode == "mor" else None,
         )
 
     def expire_snapshots(
@@ -1188,13 +1477,17 @@ class LakeTable:
                     continue
             expire.append(v)
 
-        expired_files = {
-            f
-            for v in expire
-            for f in self._read_manifest(v).all_files()
-        }
+        expired_files = set()
+        for v in expire:
+            s = self._read_manifest(v)
+            expired_files.update(s.all_files())
+            expired_files.update(s.all_delete_files())
         keep_snaps = [self._read_manifest(v) for v in versions if v not in expire]
-        live = {f for s in keep_snaps for f in s.all_files()}
+        live = {
+            f
+            for s in keep_snaps
+            for f in (*s.all_files(), *s.all_delete_files())
+        }
         # A stale staged manifest (version already taken by a published
         # commit — e.g. a crash between stage and publish/discard, then a
         # later writer won the version) can never publish (EEXIST); drop it
@@ -1207,6 +1500,7 @@ class LakeTable:
         staged = self.staged_snapshot()
         if staged is not None:
             live |= set(staged.all_files())
+            live |= set(staged.all_delete_files())
 
         # Delete expired manifests FIRST: a crash mid-way leaves extra data
         # files (harmless, re-collected next run), never a manifest pointing

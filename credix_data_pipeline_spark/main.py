@@ -421,9 +421,12 @@ def build_parser() -> argparse.ArgumentParser:
         r.add_argument("--no-normalize", action="store_true")
         r.add_argument("--fast", action="store_true",
                        help="skip per-batch stats collection")
-        r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
-                       help="copy-on-write (read-optimized) or "
-                            "merge-on-read (write-optimized) table")
+        r.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
+                       default="cow",
+                       help="cow: rewrite dirty buckets (read-optimized); "
+                            "mor: append + position deletes (balanced); "
+                            "mor-append: blind delta append, LWW at read "
+                            "(write-optimized)")
         if name == "replay":
             r.add_argument("--chunks-per-batch", type=int, default=4)
             r.add_argument("--auto-compact", type=int, default=None,

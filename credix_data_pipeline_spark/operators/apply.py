@@ -150,11 +150,9 @@ def _audit_and_publish(table, staged, dirty: list[int], res: ApplyResult):
     bucket post-image; publish on pass, discard + raise on violation."""
     from credix_data_pipeline_spark.operators.contracts import validate_df
 
-    df = table.read_snap(staged, buckets=dirty)
-    if staged.merge_mode == "mor":
-        df = table._lww_collapse(df)
-        if "_seq" in df.columns:
-            df = df.drop("_seq")
+    df = table.current_versions(snap=staged, buckets=dirty)
+    if "_seq" in df.columns:
+        df = df.drop("_seq")
     if "_deleted" in df.columns:
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     report = validate_df(df, staged.key)
@@ -254,7 +252,18 @@ def apply_batch(
 
     # --- in-flight evolution before any column alignment.
     _evolve_if_needed(table, events)
-    if merge_mode == "mor" and "_seq" not in {
+    # Position-delete MoR (Iceberg v2, merge_mode="mor"): arbitration
+    # happens at WRITE time against the live prior versions, so no `_seq`
+    # tie-break column is needed.  Requires BOTH the table preference AND
+    # the invariant to hold — a blind append (warehouse load) clears the
+    # invariant and merges fall back to append+`_seq` until compact()
+    # restores it.  mor-append tables always take the blind path.
+    pos_del = (
+        merge_mode == "mor"
+        and snap0.mor_deletes
+        and snap0.mor_prefer == "posdel"
+    )
+    if merge_mode == "mor" and not pos_del and "_seq" not in {
         f.name for f in table.current().schema.fields
     }:
         # MoR delta rows persist the batch ordinal: the `_lsn`-tie LWW
@@ -268,21 +277,29 @@ def apply_batch(
     if transform is not None:
         events = transform(events)
 
-    # Merge-on-read: the batch's deduped winners APPEND as delta rows —
-    # no read of existing data, no bucket rewrite; LWW against stored rows
-    # happens at read (`read_current`) / compaction.  Ingest cost is
-    # O(batch) even when updates scatter across every bucket — the Iceberg
-    # MoR trade (faster writes, read-side merge) selected per table at
-    # create time.
-    if merge_mode == "mor":
+    # Merge-on-read:
+    # * position-delete mode (`pos_del`): read the LIVE prior versions of
+    #   the dirty buckets WITH row positions, arbitrate at write like CoW,
+    #   then append only the event-won rows plus position-delete files for
+    #   the ordinals they supersede — no bucket rewrite (low write
+    #   amplification) AND no read-time key shuffle (the Iceberg v2 MERGE).
+    # * legacy mode: blind O(batch) append of the batch winners; LWW
+    #   against stored rows deferred to read/compaction.
+    if merge_mode == "mor" and not pos_del:
         ex_side = None
     else:
-        existing = table.read(buckets=dirty)
+        if pos_del:
+            existing = table.current_versions(buckets=dirty, with_pos=True)
+        else:
+            existing = table.read(buckets=dirty)
 
         # Align both sides to (payload..., lsn, op, _src) and take the
         # max-lsn winner per key: cross-batch LWW against the stored
         # `_lsn`, tombstones included so late lower-LSN updates cannot
         # resurrect deleted turns.
+        pos_extra = (
+            [F.col("_file"), F.col("_pos")] if pos_del else []
+        )
         ex_side = existing.select(
             *[F.col(c) for c in payload_cols],
             F.col("_lsn").alias("lsn"),
@@ -294,6 +311,7 @@ def apply_batch(
             # comparator field is only reached on (lsn, _src) ties, i.e.
             # event-vs-event
             F.lit(0).alias("_cts"),
+            *pos_extra,
         )
     ev_cols = set(events.columns)
     # commit_ts tie-break (event-vs-event only): a real WAL/binlog LSN is
@@ -317,6 +335,14 @@ def apply_batch(
         F.col("op"),
         F.lit(_SRC_EVENT).alias("_src"),
         ev_cts.alias("_cts"),
+        *(
+            [
+                F.lit(None).cast("string").alias("_file"),
+                F.lit(None).cast("long").alias("_pos"),
+            ]
+            if pos_del
+            else []
+        ),
     )
     combined = ev_side if ex_side is None else ex_side.unionByName(ev_side)
     # W2 + cross-batch LWW in ONE hash aggregation: max_by over (lsn, _src,
@@ -328,14 +354,27 @@ def apply_batch(
     row_struct = F.struct(
         *[F.col(c) for c in payload_cols], F.col("lsn"), F.col("op"), F.col("_src")
     )
+    aggs = [
+        F.max_by(
+            row_struct, F.struct(F.col("lsn"), F.col("_src"), F.col("_cts"))
+        ).alias("_w")
+    ]
+    if pos_del:
+        # the STORED row's file position rides the same aggregation (at most
+        # one stored version per key — the position-delete invariant), so
+        # superseded ordinals are known without a second pass over `prior`
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_src") == _SRC_EXISTING,
+                    F.struct(F.col("_file").alias("f"), F.col("_pos").alias("p")),
+                )
+            ).alias("_sp")
+        )
     winners = (
         combined.groupBy(*[F.col(k) for k in key])
-        .agg(
-            F.max_by(
-                row_struct, F.struct(F.col("lsn"), F.col("_src"), F.col("_cts"))
-            ).alias("_w")
-        )
-        .select("_w.*")
+        .agg(*aggs)
+        .select("_w.*", *(["_sp"] if pos_del else []))
     )
 
     is_del = F.col("op") == "D"
@@ -351,10 +390,18 @@ def apply_batch(
         F.col("lsn").alias("_lsn"),
         is_del.alias("_deleted"),
         F.col("_src"),
+        *(["_sp"] if pos_del else []),
     )
+    if pos_del:
+        # stored-won keys need no write at all: their stored row stays live.
+        # Event-won keys append their new version and position-delete the
+        # stored one (if any).  Persist: the delete rows and the data rows
+        # are two writes over the same merge result.
+        result = result.filter(F.col("_src") == _SRC_EVENT).persist()
 
     if collect_stats:
-        result = result.persist()
+        if not pos_del:  # pos_del already persisted above
+            result = result.persist()
         stats = result.groupBy("_src").count().collect()
         by_src = {r["_src"]: r["count"] for r in stats}
         res.rows_applied = by_src.get(_SRC_EVENT, 0)
@@ -372,9 +419,14 @@ def apply_batch(
     # conversation spread over `write_salt` hash groups even where AQE's
     # skew split is unavailable.  Strictly better than a fixed-width
     # repartition at both ends of the scale.
-    out = result.drop("_src")
-    if merge_mode == "mor":
+    out = result.drop("_src", *(["_sp"] if pos_del else []))
+    if merge_mode == "mor" and not pos_del:
         out = out.withColumn("_seq", F.lit(batch_id).cast("long"))
+    elif pos_del and "_seq" in out_cols:
+        # `_seq` residue of a blind-append phase: position-delete rows
+        # don't need a tie-break, but the table schema still carries the
+        # column — write typed NULL
+        out = out.withColumn("_seq", F.lit(None).cast("long"))
     salt = F.pmod(F.xxhash64(*key), F.lit(max(1, write_salt)))
     out = (
         out.withColumn("_wb", bexpr)
@@ -390,7 +442,19 @@ def apply_batch(
         "rows_applied": res.rows_applied,
     }
     t_merge = time.monotonic()
-    if merge_mode == "mor":
+    if pos_del:
+        # Iceberg v2 MERGE shape: append the event-won versions + position-
+        # delete files for the stored ordinals they supersede — one atomic
+        # commit, no bucket rewrite, and reads stay shuffle-free
+        delete_df = result.filter(F.col("_sp").isNotNull()).select(
+            bexpr.alias(BUCKET_COL),
+            F.col("_sp.f").alias("file"),
+            F.col("_sp.p").alias("pos"),
+        )
+        new_snap = table.append_mor_delta(
+            out, delete_df, summary=batch_summary, staged=wap
+        )
+    elif merge_mode == "mor":
         # delta append: existing files stay; the fence rides this commit's
         # summary exactly like a CoW merge commit
         new_snap = table.append(out, summary=batch_summary, staged=wap)
@@ -415,6 +479,7 @@ def apply_batch(
         res.partition_stats = {
             str(r[0]): r["count"] for r in pstats  # noqa: F821 (guarded)
         }
+    if collect_stats or pos_del:
         result.unpersist()
 
     res.wall_ms = int((time.monotonic() - t0) * 1000)
@@ -438,15 +503,10 @@ def read_current(
     within-batch conflicts were already resolved by commit_ts before the
     delta was written.
     """
-    df = table.read(snapshot_id=snapshot_id, buckets=buckets)
     snap = (
         table.snapshot(snapshot_id) if snapshot_id else table.current()
     )
-    if snap.merge_mode == "mor":
-        df = table._lww_collapse(df)
-        if "_seq" in df.columns:  # MoR-internal tie-break, not a user column
-            df = df.drop("_seq")
-    return df
+    return table.current_versions(snap=snap, buckets=buckets)
 
 
 def read_clean(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:

@@ -57,20 +57,9 @@ def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
     marker.  Tombstones are dropped unless ``keep_tombstones`` (the
     after-image delete path needs them: the tombstone row carries the
     DELETING event's ``_lsn``)."""
-    df = table.read(snapshot_id=snap.snapshot_id, buckets=buckets)
-    if snap.merge_mode == "mor":
-        cols = [f.name for f in snap.schema.fields]
-        row = F.struct(*[F.col(c) for c in cols])
-        order = (
-            F.struct(F.col("_lsn"), F.coalesce(F.col("_seq"), F.lit(-1)))
-            if "_seq" in cols
-            else F.col("_lsn")
-        )
-        df = (
-            df.groupBy(*[F.col(k) for k in snap.key])
-            .agg(F.max_by(row, order).alias("_w"))
-            .select("_w.*")
-        )
+    # one CURRENT version per key under the snapshot's merge mode (CoW
+    # plain read / MoR position-delete anti-join / legacy MoR LWW collapse)
+    df = table.current_versions(snap=snap, buckets=buckets)
     flag = (
         F.coalesce(F.col("_deleted"), F.lit(False))
         if "_deleted" in df.columns

@@ -111,11 +111,12 @@ def test_mor_lsn_tie_breaks_like_cow(spark, tmp_path):
     want = [(r["turn_idx"], r["text"]) for r in read_clean(cow).collect()]
     got = [(r["turn_idx"], r["text"]) for r in read_clean(mor).collect()]
     assert want == got == [(0, "second")]
-    # the tie-break column is engine-internal: hidden from clean reads
+    # position-delete MoR arbitrates the tie at WRITE time (the stored
+    # lsn-5 row loses to the event on the _src comparator and gets
+    # position-deleted) — no `_seq` column exists anywhere
     assert "_seq" not in read_clean(mor).columns
-    # ... but persisted in the delta files
-    assert "_seq" in [f.name for f in mor.current().schema.fields]
-    # and the winner survives compaction (collapse uses the same comparator)
+    assert "_seq" not in [f.name for f in mor.current().schema.fields]
+    # and the winner survives compaction (the rewrite consumes the deletes)
     mor.compact()
     got2 = [(r["turn_idx"], r["text"]) for r in read_clean(mor).collect()]
     assert got2 == [(0, "second")]

@@ -96,13 +96,13 @@ def test_changelog_prunes_untouched_buckets(spark, tmp_path, monkeypatch):
                                          CHANGE_SCHEMA), 1, collect_stats=False)
 
     seen: dict[str, list] = {}
-    orig = LakeTable.read
+    orig = LakeTable.read_snap
 
-    def spy(self, snapshot_id=None, buckets=None):
+    def spy(self, snap, buckets=None, **kw):
         seen.setdefault("buckets", []).append(buckets)
-        return orig(self, snapshot_id=snapshot_id, buckets=buckets)
+        return orig(self, snap, buckets=buckets, **kw)
 
-    monkeypatch.setattr(LakeTable, "read", spy)
+    monkeypatch.setattr(LakeTable, "read_snap", spy)
     out = _changes(t, s0, None)
     assert out == [("c3", 0, "new", "update_after"),
                    ("c3", 0, "t3", "update_before")]
