@@ -959,13 +959,16 @@ class LakeTable:
         delete_df: DataFrame | None,
         summary: dict[str, Any] | None = None,
         staged: bool = False,
+        base: Snapshot | None = None,
     ) -> Snapshot:
         """Merge-on-read MERGE commit (Iceberg v2 shape): append the batch's
         winning row versions as data files PLUS position-delete files
         marking the ordinals they supersede in older files — one atomic
         commit, no bucket rewrite.  ``delete_df`` columns: ``_bucket``,
-        ``file`` (table-relative path), ``pos`` (row ordinal)."""
-        snap = self.current()
+        ``file`` (table-relative path), ``pos`` (row ordinal).  ``base``
+        pins the snapshot the deletes were computed against (see
+        ``replace_buckets``) — stale positions must conflict, not commit."""
+        snap = base or self.current()
         bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
         new_files = self._write_files(bucketed, snap)
         merged = {b: list(fl) for b, fl in snap.files.items()}
@@ -992,6 +995,7 @@ class LakeTable:
         df: DataFrame,
         summary: dict[str, Any] | None = None,
         staged: bool = False,
+        base: Snapshot | None = None,
     ) -> Snapshot:
         """Append rows (no key reconciliation — the reference's WRITE_APPEND,
         credix_pipeline/resources/gcp_resource.py:32-67).
@@ -1000,7 +1004,7 @@ class LakeTable:
         version of a key, so it CLEARS the position-delete invariant —
         reads fall back to the (correct, slower) LWW collapse until the
         next ``compact()`` restores it."""
-        snap = self.current()
+        snap = base or self.current()
         bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
         new_files = self._write_files(bucketed, snap)
         merged = {b: list(fl) for b, fl in snap.files.items()}
@@ -1027,6 +1031,7 @@ class LakeTable:
         sort_keys: list[str] | None = None,
         staged: bool = False,
         restore_mor_invariant: bool = False,
+        base: Snapshot | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: swap the file sets of ``dirty_buckets`` for
         the files of ``new_df`` (which must contain exactly those buckets'
@@ -1036,8 +1041,14 @@ class LakeTable:
         ``schema`` lets the same commit carry an evolution (add-column): the
         new files are written with the new schema, old files in untouched
         buckets read as NULL for the added columns.
+
+        ``base`` pins the snapshot this rewrite was COMPUTED against (the
+        Iceberg validation rule): if any other writer committed after
+        ``base``, the version link fails with ``CommitConflict`` instead of
+        silently replacing state the rewrite never saw — without the pin, a
+        commit landing in the compute window would be LOST, not conflicted.
         """
-        snap = self.current()
+        snap = base or self.current()
         out_schema = schema or snap.schema
         write_snap = Snapshot(
             version=snap.version,

@@ -451,16 +451,21 @@ def apply_batch(
             F.col("_sp.f").alias("file"),
             F.col("_sp.p").alias("pos"),
         )
+        # base=snap pins the snapshot this merge READ: a concurrent commit
+        # landing mid-merge loses the version race (CommitConflict) instead
+        # of being silently replaced — the retry re-reads and converges
         new_snap = table.append_mor_delta(
-            out, delete_df, summary=batch_summary, staged=wap
+            out, delete_df, summary=batch_summary, staged=wap, base=snap
         )
     elif merge_mode == "mor":
         # delta append: existing files stay; the fence rides this commit's
         # summary exactly like a CoW merge commit
-        new_snap = table.append(out, summary=batch_summary, staged=wap)
+        new_snap = table.append(
+            out, summary=batch_summary, staged=wap, base=snap
+        )
     else:
         new_snap = table.replace_buckets(
-            dirty, out, summary=batch_summary, staged=wap
+            dirty, out, summary=batch_summary, staged=wap, base=snap
         )
     if wap:
         try:
