@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -95,12 +96,29 @@ class Snapshot:
     # invariant; "append" (merge_mode="mor-append" / legacy manifests)
     # blind-appends winners and defers LWW to read/compaction.
     mor_prefer: str = "append"
+    # EQUALITY DELETES (Iceberg v2 equality-delete files): each entry is a
+    # key-value purge committed WITHOUT reading any data file —
+    # {"paths": [rel parquet paths holding the key values], "cols":
+    # [column names at write time], "col_ids": [their field ids], "seq":
+    # commit version, "buckets": [bucket ids the keys hash to]}.  A row is
+    # dead iff its key matches an entry AND its file's sequence number is
+    # OLDER than the entry's seq (the Iceberg sequence-number rule) — so
+    # re-inserting a purged key later is visible, and bucket rewrites
+    # consume entries as an OPTIMIZATION only, never for correctness.
+    eq_deletes: list[dict] = field(default_factory=list)
+    # data-file path -> sequence number (the version of the commit that
+    # added the file).  Files absent here predate the eq-delete feature and
+    # read as seq 0 (older than every possible delete).
+    file_seq: dict[str, int] = field(default_factory=dict)
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
 
     def all_delete_files(self) -> list[str]:
         return [f for fl in self.delete_files.values() for f in fl]
+
+    def all_eq_delete_files(self) -> list[str]:
+        return [p for e in self.eq_deletes for p in e["paths"]]
 
     def live_dirs(self) -> set[str]:
         return {f.split("/", 2)[1] for fl in self.files.values() for f in fl}
@@ -310,6 +328,8 @@ class LakeTable:
             mor_deletes=m.get("mor_deletes", False),
             mor_prefer=m.get("mor_prefer")
             or ("posdel" if m.get("mor_deletes") else "append"),
+            eq_deletes=m.get("eq_deletes", []),
+            file_seq=m.get("file_seq", {}),
         )
 
     def current(self) -> Snapshot:
@@ -482,6 +502,11 @@ class LakeTable:
             dir_schemas=dict(target.dir_schemas),
             file_stats=dict(target.file_stats),
             delete_files=dict(target.delete_files),
+            eq_deletes=list(target.eq_deletes),
+            # the target's file sequence numbers must roll back WITH its
+            # files: backfilling re-appearing files at the NEW version
+            # would lift them past the target era's equality deletes
+            file_seq=dict(target.file_seq),
         )
 
     def _commit(
@@ -502,6 +527,8 @@ class LakeTable:
         delete_files: dict[str, list[str]] | None = None,
         mor_deletes: bool | None = None,
         mor_prefer: str | None = None,
+        eq_deletes: list[dict] | None = None,
+        file_seq: dict[str, int] | None = None,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
@@ -555,6 +582,25 @@ class LakeTable:
                 s = self._lsn_footer_stats(rel)
                 if s is not None:
                     stats[rel] = s
+        # File sequence numbers (the Iceberg data-sequence-number rule that
+        # scopes equality deletes): carried for surviving files; files NEW
+        # in this commit get this commit's version; live files with no
+        # recorded seq that already existed at the parent are backfilled
+        # with the PARENT's version — never the new one, or the purge
+        # committing right now would skip the very files it must cover.
+        seq_base = dict(
+            file_seq
+            if file_seq is not None
+            else (parent.file_seq if parent else {})
+        )
+        parent_files = set(parent.all_files()) if parent else set()
+        fseq = {p: s for p, s in seq_base.items() if p in live_files}
+        for p in live_files - set(fseq):
+            fseq[p] = (
+                (parent.version if parent else 0)
+                if p in parent_files
+                else version
+            )
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -587,6 +633,12 @@ class LakeTable:
                 if mor_prefer is not None
                 else (parent.mor_prefer if parent else "append")
             ),
+            "eq_deletes": (
+                eq_deletes
+                if eq_deletes is not None
+                else (list(parent.eq_deletes) if parent else [])
+            ),
+            "file_seq": fseq,
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)
@@ -702,7 +754,15 @@ class LakeTable:
         the post-image before anyone else can see it.
 
         ``with_pos=True`` appends ``_file``/``_pos`` row-position columns
-        (the position-delete coordinate system)."""
+        (the position-delete coordinate system).
+
+        Equality deletes are applied here, so every read — including the
+        MERGE's dirty-bucket scan and every maintenance rewrite — is net of
+        purged keys by default.  That default is what makes rewrites safe:
+        a rewrite that copied purged rows into NEW files would resurrect
+        them (new files carry a sequence number newer than the purge)."""
+        eq_entries = self._live_eq_entries(snap, buckets)
+        need_pos = with_pos or bool(eq_entries)
         file_map = snap.files
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -745,19 +805,121 @@ class LakeTable:
             # compatible file; explicit schema => files missing late-added
             # columns yield NULL (add-column evolution stays metadata-only)
             p = self.spark.read.schema(snap.schema).parquet(*sorted(fast))
-            parts.append(self._pos_cols(p) if with_pos else p)
+            parts.append(self._pos_cols(p) if need_pos else p)
         for dinfo, paths in slow.values():
             # files written before a rename/drop/widen: read with their
             # WRITE schema, then project to the snapshot schema by field id
             wschema = T.StructType.fromJson(dinfo["schema"])
             p = self.spark.read.schema(wschema).parquet(*sorted(paths))
-            if with_pos:
+            if need_pos:
                 p = self._pos_cols(p)
             parts.append(_project_dir(p, snap, dinfo))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if eq_entries:
+            read_files = [f for fl in file_map.values() for f in fl]
+            out = self._apply_eq_deletes(out, snap, eq_entries, read_files)
+            if not with_pos:
+                out = out.drop("_file", "_pos")
         return out
+
+    def _live_eq_entries(
+        self, snap: Snapshot, buckets: list[int] | None = None
+    ) -> list[dict]:
+        """The snapshot's equality-delete entries that could affect the
+        requested buckets (entry bucket lists prune, exactly like file
+        lists do)."""
+        if not snap.eq_deletes:
+            return []
+        if buckets is None:
+            return list(snap.eq_deletes)
+        want = {int(b) for b in buckets}
+        return [e for e in snap.eq_deletes if want & set(e["buckets"])]
+
+    def _apply_eq_deletes(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        entries: list[dict],
+        read_files: list[str] | None = None,
+    ) -> DataFrame:
+        """Remove rows matched by equality-delete entries, honouring the
+        sequence-number rule: a delete covers only rows from files OLDER
+        than its committing version (``file_seq``), so keys re-inserted
+        after the purge survive.  ``df`` must carry ``_file``.
+
+        Plan shape: one broadcast left-anti join per distinct key-column
+        signature (normally one) — the delete key sets are tiny by
+        construction, the data side never shuffles.  ``read_files`` scopes
+        the broadcast file→seq map to the files this read actually planned
+        (the bucket-pruned set), not the whole table."""
+        rev = {i: n for n, i in snap.column_ids.items()}
+        files = read_files if read_files is not None else snap.all_files()
+        seq_df = self.spark.createDataFrame(
+            [(p, int(snap.file_seq.get(p, 0))) for p in files],
+            T.StructType(
+                [
+                    T.StructField("_sq_file", T.StringType(), False),
+                    T.StructField("_fseq", T.LongType(), False),
+                ]
+            ),
+        )
+        df = (
+            df.join(
+                F.broadcast(seq_df),
+                df["_file"] == seq_df["_sq_file"],
+                "left",
+            )
+            .drop("_sq_file")
+            .withColumn("_fseq", F.coalesce(F.col("_fseq"), F.lit(0)))
+        )
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            groups.setdefault(tuple(e["col_ids"]), []).append(e)
+        for ids, es in groups.items():
+            cur_names = [rev.get(i) for i in ids]
+            dels = None
+            for e in es:
+                d = self.eq_entry_keys(e, snap=snap)
+                d = d.select(
+                    *[F.col(n).alias(f"_eqd_{n}") for n in cur_names]
+                ).withColumn("_eq_seq", F.lit(int(e["seq"])))
+                dels = d if dels is None else dels.unionByName(d)
+            cond = F.col("_fseq") < F.col("_eq_seq")
+            for n in cur_names:
+                cond = cond & F.col(n).eqNullSafe(F.col(f"_eqd_{n}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        return df.drop("_fseq")
+
+    def eq_entry_keys(
+        self, entry: dict, snap: Snapshot | None = None
+    ) -> DataFrame:
+        """One equality-delete entry's key values, aligned BY FIELD ID to
+        the snapshot's current column names and types (key files carry the
+        names at purge time, so a later rename/widen still enforces)."""
+        snap = snap or self.current()
+        rev = {i: n for n, i in snap.column_ids.items()}
+        names = []
+        for i in entry["col_ids"]:
+            n = rev.get(i)
+            if n is None:
+                raise RuntimeError(
+                    f"equality-delete entry references column id {i} "
+                    f"which was dropped from {self.path}; the purge can "
+                    "no longer be enforced — compact() before dropping "
+                    "purge key columns"
+                )
+            names.append(n)
+        d = self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in entry["paths"]]
+        )
+        return d.select(
+            *[
+                F.col(old).cast(snap.schema[new].dataType).alias(new)
+                for old, new in zip(entry["cols"], names)
+            ]
+        )
 
     def _delete_rows(
         self, snap: Snapshot, buckets: list[int] | None = None
@@ -1022,6 +1184,101 @@ class LakeTable:
             staged=staged,
         )
 
+    def delete_keys(
+        self,
+        keys,
+        cols: list[str] | None = None,
+        summary: dict[str, Any] | None = None,
+        staged: bool = False,
+    ) -> Snapshot:
+        """Purge every CURRENT row matching the given key values — an
+        Iceberg v2 EQUALITY-DELETE commit: the key values are written as one
+        tiny delete file and linked in the manifest; **no data file is read
+        or rewritten** (O(keys), never O(table) — the GDPR/right-to-be-
+        forgotten path at 100 TB).  Reads anti-join the key set against rows
+        from files older than this commit (broadcast — the key set is small
+        by construction), so rows of the same key written AFTER the purge
+        are visible.  ``compact()`` materializes the purge physically;
+        ``expire_snapshots`` then ages out the pre-purge files.
+
+        ``keys``: a DataFrame whose columns are the purge key, or a list of
+        values / tuples for ``cols`` (default: the table's bucket columns —
+        purge-by-conversation for the default layout).  When the purge key
+        covers the bucket columns the entry records the affected buckets,
+        so reads of other buckets never even plan the anti-join.
+        """
+        snap = self.current()
+        names = {f.name for f in snap.schema.fields}
+        if isinstance(keys, DataFrame):
+            cols = list(cols) if cols else list(keys.columns)
+        else:
+            cols = list(cols) if cols else list(snap.bucket_by)
+        if not cols:
+            raise ValueError("delete_keys needs at least one key column")
+        unknown = [c for c in cols if c not in names]
+        if unknown:
+            raise ValueError(f"purge columns not in schema: {unknown}")
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(*cols)
+        else:
+            rows = [
+                tuple(v) if isinstance(v, (tuple, list)) else (v,)
+                for v in keys
+            ]
+            kdf = self.spark.createDataFrame(
+                rows, T.StructType([snap.schema[c] for c in cols])
+            )
+        kdf = kdf.select(
+            *[F.col(c).cast(snap.schema[c].dataType) for c in cols]
+        ).distinct()
+        commit_dir = uuid.uuid4().hex
+        out_abs = os.path.join(self.path, DATA_DIR, commit_dir)
+        kdf.coalesce(1).write.parquet(out_abs)
+        rel_paths = [
+            os.path.join(DATA_DIR, commit_dir, fn)
+            for fn in sorted(os.listdir(out_abs))
+            if fn.endswith(".parquet")
+        ]
+        n = self.spark.read.parquet(out_abs).count()
+        if n == 0:
+            shutil.rmtree(out_abs, ignore_errors=True)
+            return snap
+        if set(snap.bucket_by) <= set(cols):
+            buckets = sorted(
+                r["_b"]
+                for r in self.spark.read.parquet(out_abs)
+                .select(self.bucket_expr(snap).alias("_b"))
+                .distinct()
+                .collect()
+            )
+        else:
+            buckets = list(range(snap.num_buckets))
+        entry = {
+            "paths": rel_paths,
+            "cols": cols,
+            "col_ids": [snap.column_ids[c] for c in cols],
+            # this commit's version: rows in files at least this new were
+            # written after the purge and survive (sequence-number rule)
+            "seq": snap.version + 1,
+            "buckets": buckets,
+        }
+        return self._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={
+                **self.carry_fence(),
+                "operation": "delete-keys",
+                "purged_keys": n,
+                **(summary or {}),
+            },
+            eq_deletes=[*snap.eq_deletes, entry],
+            staged=staged,
+        )
+
     def replace_buckets(
         self,
         dirty_buckets: list[int],
@@ -1075,6 +1332,22 @@ class LakeTable:
             for b, fl in snap.delete_files.items()
             if b not in dirty
         }
+        # equality-delete entries are consumed per bucket the same way: the
+        # rewrite read was net of purges (read_snap applies them) and the
+        # new files carry a NEWER sequence number, so dropping the covered
+        # buckets from each entry is a pure read-path optimization — the
+        # sequence rule keeps correctness either way
+        kept_eq = []
+        for e in snap.eq_deletes:
+            # drop rewritten buckets AND buckets left with no files at all
+            # (vacuous: any future file carries a newer sequence number)
+            rem = [
+                b
+                for b in e["buckets"]
+                if str(b) not in dirty and merged.get(str(b))
+            ]
+            if rem:
+                kept_eq.append({**e, "buckets": rem})
         return self._commit(
             parent=snap,
             schema=out_schema,
@@ -1084,6 +1357,7 @@ class LakeTable:
             files=merged,
             summary={"operation": "merge", **(summary or {})},
             delete_files=kept_dels,
+            eq_deletes=kept_eq,
             # compaction-style rewrites collapse to one version per key in
             # the rewritten buckets; with ALL buckets rewritten (or none
             # previously violating), the caller attests the invariant
@@ -1316,12 +1590,19 @@ class LakeTable:
             if target_buckets is None
             else target_buckets
         )
+        # buckets covered by an outstanding equality delete always rewrite:
+        # compaction is what MATERIALIZES a purge (physically removes the
+        # rows and consumes the entry so reads stop paying the anti-join)
+        eq_buckets = {
+            int(b) for e in snap.eq_deletes for b in e["buckets"]
+        }
         if snap.merge_mode == "mor" and not snap.mor_deletes:
             # invariant broken (blind appends): rewrite every non-empty
             # bucket — any single file may hide multiple key versions
             multi = [b for b in buckets if snap.files.get(str(b))]
         elif snap.merge_mode == "mor":
-            # any bucket with delta buildup OR outstanding position deletes
+            # any bucket with delta buildup, outstanding position deletes,
+            # or equality-delete coverage
             multi = [
                 b
                 for b in buckets
@@ -1329,6 +1610,7 @@ class LakeTable:
                 and (
                     len(snap.files[str(b)]) > 1
                     or snap.delete_files.get(str(b))
+                    or b in eq_buckets
                 )
             ]
         else:
@@ -1339,7 +1621,9 @@ class LakeTable:
             # migrating old-schema files)
             def _needs_rewrite(b: int) -> bool:
                 fl = snap.files.get(str(b), [])
-                if len(fl) > 1:
+                if not fl:
+                    return False
+                if len(fl) > 1 or b in eq_buckets:
                     return True
                 return any(
                     not _dir_compatible(
@@ -1433,6 +1717,7 @@ class LakeTable:
             files=new_files,
             summary={**self.carry_fence(), "operation": "rebucket"},
             delete_files={},  # the rewrite consumed all position deletes
+            eq_deletes=[],  # ...and every equality delete (full rewrite)
             # full-table rewrite → one version per key → invariant restored
             mor_deletes=True if snap.merge_mode == "mor" else None,
         )
@@ -1493,11 +1778,16 @@ class LakeTable:
             s = self._read_manifest(v)
             expired_files.update(s.all_files())
             expired_files.update(s.all_delete_files())
+            expired_files.update(s.all_eq_delete_files())
         keep_snaps = [self._read_manifest(v) for v in versions if v not in expire]
         live = {
             f
             for s in keep_snaps
-            for f in (*s.all_files(), *s.all_delete_files())
+            for f in (
+                *s.all_files(),
+                *s.all_delete_files(),
+                *s.all_eq_delete_files(),
+            )
         }
         # A stale staged manifest (version already taken by a published
         # commit — e.g. a crash between stage and publish/discard, then a
@@ -1512,6 +1802,7 @@ class LakeTable:
         if staged is not None:
             live |= set(staged.all_files())
             live |= set(staged.all_delete_files())
+            live |= set(staged.all_eq_delete_files())
 
         # Delete expired manifests FIRST: a crash mid-way leaves extra data
         # files (harmless, re-collected next run), never a manifest pointing

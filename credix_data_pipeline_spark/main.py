@@ -206,6 +206,35 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_purge(args) -> int:
+    """Equality-delete purge (GDPR path): commit a key-value delete WITHOUT
+    reading or rewriting any data file; `compact` later materializes it."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    if args.keys_parquet:
+        keys = spark.read.parquet(args.keys_parquet)
+        snap = t.delete_keys(keys, cols=args.cols)
+    else:
+        if not args.values:
+            raise SystemExit("one of --values/--keys-parquet is required")
+        snap = t.delete_keys(
+            [v for v in args.values.split(",") if v], cols=args.cols
+        )
+    print(
+        json.dumps(
+            {
+                "snapshot_id": snap.snapshot_id,
+                "version": snap.version,
+                "purged_keys": snap.summary.get("purged_keys", 0),
+                "operation": snap.summary.get("operation"),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_publish(args) -> int:
     """Publish the table's net changes as a replayable change feed (the
     engine's CDC-source role — downstream tables replay this feed)."""
@@ -471,6 +500,20 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    pu = sub.add_parser(
+        "purge",
+        help="equality-delete key purge: O(keys) commit, no data read",
+    )
+    pu.add_argument("--table", required=True)
+    pu.add_argument("--values", help="comma-separated key values")
+    pu.add_argument("--keys-parquet", help="parquet file of key values")
+    pu.add_argument(
+        "--cols",
+        type=lambda s: s.split(","),
+        help="purge key columns (default: the table's bucket columns)",
+    )
+    pu.set_defaults(fn=cmd_purge)
 
     pb = sub.add_parser(
         "publish", help="publish net changes as a replayable change feed"

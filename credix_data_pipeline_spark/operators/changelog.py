@@ -120,10 +120,29 @@ def read_changes(
     payload = [c for c in out_cols if c not in key]
 
     # Immutable data files ⇒ identical per-bucket file lists ⇒ no change.
-    dirty = sorted(
+    # Equality-delete commits change NO files (the purge is pure metadata +
+    # one key file), so buckets covered by entries new in the TO snapshot
+    # are dirty too — that is how a purge reaches downstream consumers as
+    # delete events.  Position-delete lists are diffed for the same reason.
+    from_eq = {tuple(e["paths"]) for e in s_from.eq_deletes}
+    new_eq_buckets = {
         int(b)
-        for b in set(s_from.files) | set(s_to.files)
-        if s_from.files.get(b) != s_to.files.get(b)
+        for e in s_to.eq_deletes
+        if tuple(e["paths"]) not in from_eq
+        for b in e["buckets"]
+    }
+    dirty = sorted(
+        {
+            int(b)
+            for b in set(s_from.files) | set(s_to.files)
+            if s_from.files.get(b) != s_to.files.get(b)
+        }
+        | {
+            int(b)
+            for b in set(s_from.delete_files) | set(s_to.delete_files)
+            if s_from.delete_files.get(b) != s_to.delete_files.get(b)
+        }
+        | new_eq_buckets
     )
     if s_from.snapshot_id == s_to.snapshot_id or not dirty:
         empty = table.spark.createDataFrame([], s_to.schema)

@@ -111,24 +111,39 @@ def _refresh(
     # back to the scan when the gold predates the snapshot-id summary or
     # the source snapshot was expired by retention.
     scan_buckets: list[int] | None = None  # None = all buckets
+    seen = None
     if src_sid is not None:
         try:
             seen = src.snapshot(src_sid)
         except KeyError:
             seen = None
-        if seen is not None:
-            scan_buckets = sorted(
-                int(b)
-                for b in set(seen.files) | set(snap.files)
-                if seen.files.get(b) != snap.files.get(b)
-            )
-            if not scan_buckets:
-                return {
-                    count_key: 0,
-                    "dirty_buckets": [],
-                    "source_lsn_hw": hw,
-                    "skipped": True,
-                }
+    # Equality-delete commits change NO files, so the manifest diff alone
+    # would miss a purge: entries new since the last-seen snapshot mark
+    # their buckets dirty and their keys must drop from gold.  With no
+    # last-seen snapshot (first refresh / expired), ALL outstanding entries
+    # are considered — re-dropping an absent gold row is a no-op.
+    seen_eq = (
+        {tuple(e["paths"]) for e in seen.eq_deletes}
+        if seen is not None
+        else set()
+    )
+    new_eq = [
+        e for e in snap.eq_deletes if tuple(e["paths"]) not in seen_eq
+    ]
+    eq_buckets = {int(b) for e in new_eq for b in e["buckets"]}
+    if seen is not None:
+        scan_buckets = sorted(
+            int(b)
+            for b in set(seen.files) | set(snap.files)
+            if seen.files.get(b) != snap.files.get(b)
+        )
+        if not scan_buckets and not new_eq:
+            return {
+                count_key: 0,
+                "dirty_buckets": [],
+                "source_lsn_hw": hw,
+                "skipped": True,
+            }
 
     # lsn_above: manifest file-stats pruning — cold files inside a changed
     # bucket (e.g. the bucket's pre-existing data next to one new delta
@@ -144,15 +159,15 @@ def _refresh(
         .agg(F.max("_lsn").alias("hi"))
         .collect()
     )
-    if not prof:
+    if not prof and not new_eq:
         return {
             count_key: 0,
             "dirty_buckets": [],
             "source_lsn_hw": hw,
             "skipped": True,
         }
-    dirty = sorted(r["_b"] for r in prof)
-    new_hw = max(r["hi"] for r in prof)
+    dirty = sorted({r["_b"] for r in prof} | eq_buckets)
+    new_hw = max((r["hi"] for r in prof), default=hw)
 
     # Join strategy left to AQE: a small delta's key list broadcasts, a
     # backfill-sized one becomes a shuffle semi-join — both keyed, never
@@ -167,6 +182,19 @@ def _refresh(
     new_rows = plan(affected)
 
     carried = gold.read(buckets=dirty).join(touched, scope_cols, "anti")
+    # purged keys produce NO delta rows (the purge is pure metadata), so
+    # their gold rows are dropped by an anti-join per entry — enforceable
+    # only when the purge key is expressible in the gold schema
+    gold_cols = {f.name for f in gold_schema.fields}
+    for e in new_eq:
+        pk = src.eq_entry_keys(e, snap=snap)
+        if not set(pk.columns) <= gold_cols:
+            raise ValueError(
+                f"source purge on {sorted(pk.columns)} cannot be applied "
+                f"to gold columns {sorted(gold_cols)}; recreate the gold "
+                "table (full refresh) to converge"
+            )
+        carried = carried.join(pk, on=list(pk.columns), how="anti")
     out = carried.unionByName(new_rows)
     gold.replace_buckets(
         dirty,

@@ -501,6 +501,97 @@ FROM rows_
 SQL_CDC_TURN_ANALYTICS_E2E = _sql_cdc_turn_analytics()
 
 
+# ---------------------------------------------------------------------------
+# gdpr_purge_e2e — equality-delete purge mid-replay, oracle-checked.
+#
+# The same 4-batch events feed replays into a fresh table, but after the
+# pre-evolution batches every user_id ≡ PURGE_REM (mod PURGE_MOD) is purged
+# with ``delete_keys`` (an O(keys) equality-delete commit — no data file
+# read or rewritten).  Batches 2-3 then merge on top: keys of purged users
+# re-appear ONLY from post-purge events.  The purge cuts those users' LSN
+# history at the purge point, so the oracle is the same LWW filter computed
+# over the feed with purged users' pre-purge (batch < 2) events REMOVED —
+# a post-purge event wins even against a higher pre-purge LSN, exactly what
+# the engine's sequence-number rule produces.  ``compact()`` runs before
+# the read, so the compare covers the MATERIALIZED purge too.
+# ---------------------------------------------------------------------------
+PURGE_MOD = 7
+PURGE_REM = 3
+
+_PURGE_TABLE: dict[str, str] = {}
+
+
+def q_gdpr_purge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete_keys (equality-delete) through the live replay path.
+
+    Reference parity: the reference's data-subject erasure is a full
+    DELETE + dbt full-refresh; this is the metadata-sized engine
+    equivalent (Iceberg v2 equality deletes)."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+
+    cache_key = os.path.abspath(sf_dir)
+    if cache_key not in _PURGE_TABLE:
+        work = os.path.join(
+            tempfile.gettempdir(),
+            f"gdpr_purge_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        table = LakeTable.create(
+            spark,
+            work,
+            _TARGET_SCHEMA,
+            key=["user_id", "event_type"],
+            num_buckets=8,
+            bucket_by=["user_id"],
+        )
+        ch = _change_feed(spark, sf_dir)
+        victims = (
+            ch.filter(F.pmod("user_id", F.lit(PURGE_MOD)) == PURGE_REM)
+            .select("user_id")
+            .distinct()
+        )
+        for b in range(N_BATCHES):
+            batch = ch.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b)
+            if b < EVOLVE_FROM_BATCH:
+                batch = batch.drop("props")
+            apply_batch(table, batch, b, collect_stats=False)
+            if b == EVOLVE_FROM_BATCH - 1:
+                table.delete_keys(victims)
+        table.compact()  # materialize: state must be unchanged
+        _PURGE_TABLE[cache_key] = work
+    return read_clean(
+        LakeTable.load(spark, _PURGE_TABLE[cache_key])
+    ).select("user_id", "event_type", "event_id", "ts", "value", "props")
+
+
+SQL_GDPR_PURGE_E2E = f"""
+WITH ch AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN event_id % {N_BATCHES} >= {EVOLVE_FROM_BATCH}
+              THEN props END AS props,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {LSN_TS_BASE} + event_id AS lsn,
+         CASE WHEN event_id % {DELETE_EVERY} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), filt AS (
+  -- the purge removes purged users' state as of the purge point: only
+  -- their post-purge (batch >= {EVOLVE_FROM_BATCH}) events can re-create keys
+  SELECT * FROM ch
+  WHERE user_id % {PURGE_MOD} <> {PURGE_REM}
+     OR event_id % {N_BATCHES} >= {EVOLVE_FROM_BATCH}
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY lsn DESC) AS rn
+  FROM filt
+)
+SELECT user_id, event_type, event_id, ts, value, props
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
     # the relay chain must land the replica on the SAME final state the
@@ -512,4 +603,5 @@ CDC_QUERIES = {
         q_cdc_turn_analytics_e2e,
         SQL_CDC_TURN_ANALYTICS_E2E,
     ),
+    "gdpr_purge_e2e": (q_gdpr_purge_e2e, SQL_GDPR_PURGE_E2E),
 }

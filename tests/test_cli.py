@@ -212,3 +212,27 @@ def test_cli_alter_rename_drop_widen(spark, tmp_path, capsys):
 
     out = _run(capsys, "alter", "--table", table, "--drop", "tool")
     assert "tool" not in json.loads(out)["columns"]
+
+def test_cli_purge(spark, tmp_path, capsys):
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    _run(capsys, "generate", "--feed", feed, "--events", "1500",
+         "--conversations", "30", "--events-per-chunk", "500")
+    _run(capsys, "replay", "--feed", feed, "--table", table,
+         "--chunks-per-batch", "3", "--buckets", "8")
+    t = LakeTable.load(spark, table)
+    victims = [
+        r.conv_id
+        for r in read_clean(t).select("conv_id").distinct().limit(2).collect()
+    ]
+    before = read_clean(t).count()
+    out = _run(capsys, "purge", "--table", table,
+               "--values", ",".join(victims))
+    rep = json.loads(out)
+    assert rep["operation"] == "delete-keys" and rep["purged_keys"] == 2
+    df = read_clean(LakeTable.load(spark, table))
+    assert df.filter(df["conv_id"].isin(victims)).count() == 0
+    assert df.count() < before
+    # compact materializes; logical state unchanged
+    _run(capsys, "compact", "--table", table)
+    assert read_clean(LakeTable.load(spark, table)).count() == df.count()

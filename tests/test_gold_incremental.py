@@ -174,3 +174,41 @@ def test_role_mix_report_single_pass(spark):
         "robot": (2, 20.0, False),
     }
     assert abs(sum(v[1] for v in rows.values()) - 100.0) < 1e-9
+
+def test_gold_refresh_converges_after_source_purge(spark, tmp_path):
+    """An equality-delete purge on the source (no file change, no new LSNs)
+    must still reach the incremental gold: purged conversations' rows drop,
+    everything else carried, and the result equals a full rebuild."""
+    feed, tablep, goldp = (
+        str(tmp_path / "feed"),
+        str(tmp_path / "table"),
+        str(tmp_path / "gold"),
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tablep, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+    src = LakeTable.load(spark, tablep)
+    refresh_conversation_summary(src, goldp)
+    refresh_turn_analytics(src, str(tmp_path / "turns"))
+    gold = LakeTable.load(spark, goldp)
+    turns = LakeTable.load(spark, str(tmp_path / "turns"))
+
+    victims = [
+        r.conv_id
+        for r in read_clean(src).select("conv_id").distinct().limit(4).collect()
+    ]
+    src.delete_keys(victims)
+
+    # a purge-only span refreshes both gold grains (no new source rows)
+    res = refresh_conversation_summary(src, goldp)
+    assert not res["skipped"]
+    assert _rows(gold.read()) == _rows(conversation_summary(read_clean(src)))
+    gdf = gold.read()
+    assert gdf.filter(gdf["conv_id"].isin(victims)).count() == 0
+
+    res_t = refresh_turn_analytics(src, str(tmp_path / "turns"))
+    assert not res_t["skipped"]
+    assert _rows(turns.read()) == _rows(turn_analytics(read_clean(src)))
+
+    # idempotent: a second refresh after the purge short-circuits
+    assert refresh_conversation_summary(src, goldp)["skipped"]
