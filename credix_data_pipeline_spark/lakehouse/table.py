@@ -110,6 +110,17 @@ class Snapshot:
     # added the file).  Files absent here predate the eq-delete feature and
     # read as seq 0 (older than every possible delete).
     file_seq: dict[str, int] = field(default_factory=dict)
+    # Table properties (Iceberg table-properties analogue): free-form
+    # string config carried forward by every commit.  Policy keys consumed
+    # by ``operators/maintenance.maintain``:
+    #   maintenance.small-files-per-bucket  compact trigger (default "4")
+    #   maintenance.min-avg-file-mb         size-aware trigger (footer scan;
+    #                                       unset = manifest-only policy)
+    #   retention.auto                      "true" => expire on maintain
+    #   retention.keep-last                 expire keep_last (default "5")
+    # Properties are TABLE-level, not snapshot-level: ``rollback_to`` keeps
+    # the current properties (the Iceberg rule — config does not time-travel).
+    properties: dict[str, str] = field(default_factory=dict)
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
@@ -209,6 +220,7 @@ class LakeTable:
         num_buckets: int = 16,
         bucket_by: list[str] | None = None,
         merge_mode: str = "cow",
+        properties: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``merge_mode`` picks the MERGE strategy per table (the Iceberg
         copy-on-write / merge-on-read axis, plus the delete-granularity
@@ -248,6 +260,7 @@ class LakeTable:
             merge_mode="mor" if merge_mode == "mor-append" else merge_mode,
             mor_deletes=merge_mode in ("mor", "mor-append"),
             mor_prefer="posdel" if merge_mode == "mor" else "append",
+            properties=properties or {},
         )
         return t
 
@@ -330,6 +343,7 @@ class LakeTable:
             or ("posdel" if m.get("mor_deletes") else "append"),
             eq_deletes=m.get("eq_deletes", []),
             file_seq=m.get("file_seq", {}),
+            properties=m.get("properties", {}),
         )
 
     def current(self) -> Snapshot:
@@ -509,6 +523,38 @@ class LakeTable:
             file_seq=dict(target.file_seq),
         )
 
+    def alter_properties(
+        self,
+        set_props: dict[str, str] | None = None,
+        unset: list[str] | None = None,
+    ) -> Snapshot:
+        """Set/unset table properties as a metadata-only commit (Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES``).  Properties steer the
+        maintenance policy (see the ``Snapshot.properties`` key list) and
+        are carried forward by every commit; rollback keeps the CURRENT
+        properties (config does not time-travel)."""
+        snap = self.current()
+        props = dict(snap.properties)
+        for k, v in (set_props or {}).items():
+            props[str(k)] = str(v)
+        for k in unset or []:
+            props.pop(k, None)
+        if props == snap.properties:
+            return snap
+        return self._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={
+                **self.carry_fence(),
+                "operation": "set-properties",
+            },
+            properties=props,
+        )
+
     def _commit(
         self,
         parent: Snapshot | None,
@@ -529,6 +575,7 @@ class LakeTable:
         mor_prefer: str | None = None,
         eq_deletes: list[dict] | None = None,
         file_seq: dict[str, int] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> Snapshot:
         version = (parent.version + 1) if parent else 1
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
@@ -639,6 +686,11 @@ class LakeTable:
                 else (list(parent.eq_deletes) if parent else [])
             ),
             "file_seq": fseq,
+            "properties": (
+                properties
+                if properties is not None
+                else (dict(parent.properties) if parent else {})
+            ),
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)

@@ -206,6 +206,22 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Policy-driven maintenance: targeted compaction + configured
+    retention from the table's own properties (Iceberg-style)."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.maintenance import maintain
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    if args.set_property:
+        t.alter_properties(
+            set_props=dict(kv.split("=", 1) for kv in args.set_property)
+        )
+    print(json.dumps(maintain(t, dry_run=args.dry_run)))
+    return 0
+
+
 def cmd_purge(args) -> int:
     """Equality-delete purge (GDPR path): commit a key-value delete WITHOUT
     reading or rewriting any data file; `compact` later materializes it."""
@@ -514,6 +530,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="purge key columns (default: the table's bucket columns)",
     )
     pu.set_defaults(fn=cmd_purge)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="policy-driven compaction + retention from table properties",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--dry-run", action="store_true")
+    mt.add_argument(
+        "--set-property",
+        action="append",
+        metavar="KEY=VALUE",
+        help="set a table property before maintaining (repeatable)",
+    )
+    mt.set_defaults(fn=cmd_maintain)
 
     pb = sub.add_parser(
         "publish", help="publish net changes as a replayable change feed"
