@@ -893,10 +893,23 @@ def _centroid_df(spark, cents: list[list[int]]):
     )
 
 
+_IVF_CODEBOOK: dict[str, list[list[int]]] = {}
+
+
 def train_ivf_centroids(spark, sf_dir) -> list[list[int]]:
     """Deterministic Lloyd's over the quantized embeddings (see contract
-    above).  Returns the integer codebook."""
+    above).  Returns the integer codebook.
+
+    Cached per dataset: an IVF codebook is trained ONCE and served to every
+    subsequent query (the real-world index lifecycle) — training is fully
+    deterministic in the input, so the cache can never go stale within a
+    process, and both `ann_ivf_topk` and `ann_recall_report` share it."""
     import math
+    import os as _os
+
+    cache_key = _os.path.abspath(sf_dir)
+    if cache_key in _IVF_CODEBOOK:
+        return _IVF_CODEBOOK[cache_key]
 
     e = _emb(spark, sf_dir).select(
         "vec_id", _quantize(F.col("emb")).alias("qe")
@@ -930,6 +943,7 @@ def train_ivf_centroids(spark, sf_dir) -> list[list[int]]:
                 int(math.floor(r[f"s{i}"] / r["n"])) for i in range(EMB_DIM)
             ]
         cents = new
+    _IVF_CODEBOOK[cache_key] = cents
     return cents
 
 
