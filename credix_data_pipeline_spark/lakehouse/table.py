@@ -1305,6 +1305,13 @@ class LakeTable:
             )
         else:
             buckets = list(range(snap.num_buckets))
+        # a bucket with NO files can never hold a covered row (any future
+        # file carries a newer sequence number), so scope the entry to
+        # buckets that exist — a purge matching nothing commits nothing
+        buckets = [b for b in buckets if snap.files.get(str(b))]
+        if not buckets:
+            shutil.rmtree(out_abs, ignore_errors=True)
+            return snap
         entry = {
             "paths": rel_paths,
             "cols": cols,

@@ -259,9 +259,18 @@ def cmd_publish(args) -> int:
 
     spark = _spark(args)
     out = publish_changes(
-        LakeTable.load(spark, args.table), args.out
+        LakeTable.load(spark, args.table), args.out,
+        rebase=getattr(args, "rebase", False),
     )
     print(json.dumps(out))
+    return 0
+
+
+def cmd_vacuum_relay(args) -> int:
+    """Drop relay chunks older than the rebase chunk (bounded feed storage)."""
+    from credix_data_pipeline_spark.operators.relay import vacuum_relay
+
+    print(json.dumps(vacuum_relay(args.out)))
     return 0
 
 
@@ -550,7 +559,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pb.add_argument("--table", required=True)
     pb.add_argument("--out", required=True, help="feed directory to append to")
+    pb.add_argument(
+        "--rebase",
+        action="store_true",
+        help="publish the full live state as a re-anchor chunk (fresh "
+        "replicas start here; vacuum-relay can then drop older chunks)",
+    )
     pb.set_defaults(fn=cmd_publish)
+
+    vr = sub.add_parser(
+        "vacuum-relay",
+        help="drop relay chunks older than the rebase chunk",
+    )
+    vr.add_argument("--out", required=True, help="relay feed directory")
+    vr.set_defaults(fn=cmd_vacuum_relay)
 
     al = sub.add_parser(
         "alter", help="column DDL: rename/drop/widen (metadata-only)"

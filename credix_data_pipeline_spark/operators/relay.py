@@ -52,6 +52,12 @@ Mechanics:
   deletes/updates that un-do the bad span downstream.
 * **O(dirty)** — the underlying snapshot-diff changelog reads only buckets
   whose file lists differ between the endpoints, never the whole table.
+* **Bounded storage (rebase + vacuum)** — ``publish_changes(rebase=True)``
+  re-anchors the feed with a full-state chunk (the Kafka compacted-topic /
+  Debezium re-snapshot idea); ``vacuum_relay`` drops all older chunks,
+  preserving ordinals, so a feed publishing every batch forever stays
+  O(state + recent diffs) on disk.  Fresh replicas bootstrap at the
+  rebase; replicas behind the vacuum horizon fail loudly.
 """
 
 from __future__ import annotations
@@ -238,6 +244,7 @@ def publish_changes(
     out_dir: str,
     to_snapshot_id: int | None = None,
     residue_grace_sec: float = 3600.0,
+    rebase: bool = False,
 ) -> dict[str, Any]:
     """Publish the table's net changes since the last publish as one feed
     chunk under ``out_dir`` (creating a new feed on first call).
@@ -247,6 +254,15 @@ def publish_changes(
     table hasn't moved).  ``bootstrap_full_state=True`` marks a first
     publish whose create commit was already expired by retention: chunk 0
     is the full current state as inserts instead of a diff.
+
+    ``rebase=True`` publishes the FULL current live state as this chunk
+    (the Kafka-compacted-topic / Debezium re-snapshot pattern) and records
+    it as the feed's ``rebase_chunk``: a fresh replica may START there
+    instead of chunk 0, and ``vacuum_relay`` may then drop every older
+    chunk — bounding relay storage for long-lived feeds.  Existing
+    replicas cross a rebase chunk safely: its rows re-upsert idempotently
+    under LWW (every pre-rebase delete already reached them as an event,
+    or they are behind the vacuum horizon and fail loudly).
     """
     spark = table.spark
     cur = (
@@ -267,7 +283,11 @@ def publish_changes(
         }
     next_chunk = len(manifest["chunks"])
     bootstrap_full = False
-    if manifest["chunks"]:
+    if rebase:
+        # full-state re-anchor: no diff base needed, never a no-op skip
+        base_id = None
+        bootstrap_full = True
+    elif manifest["chunks"]:
         spans = manifest.get("chunk_snapshots", {})
         last = manifest["chunks"][-1]
         if last not in spans:
@@ -388,6 +408,9 @@ def publish_changes(
         **manifest.get("chunk_snapshots", {}),
         chunk_rel: {"from": base_id, "to": cur.snapshot_id},
     }
+    if rebase:
+        # fresh replicas may start here; vacuum_relay may drop older chunks
+        manifest["rebase_chunk"] = next_chunk
     # chunk 0 carries no DDL even when the upstream altered columns before
     # the first publish: a fresh replica is CREATED from chunk 0's post-DDL
     # schema, so there is no pre-DDL state to migrate (and applying the
@@ -430,7 +453,7 @@ def publish_changes(
     # sweep unreferenced chunk-dir residue (crashed / OCC-losing publish
     # attempts) past an age grace — a freshly-written dir may belong to a
     # concurrent publish still racing for the next manifest version
-    referenced = {c.split(os.sep, 1)[0] for c in manifest["chunks"]}
+    referenced = {c.split(os.sep, 1)[0] for c in manifest["chunks"] if c}
     now = time.time()
     for d in os.listdir(out_dir):
         p = os.path.join(out_dir, d)
@@ -454,4 +477,66 @@ def publish_changes(
     }
 
 
-__all__ = ["publish_changes", "schema_ddl", "apply_ddl", "ENVELOPE_COLS"]
+def vacuum_relay(out_dir: str) -> dict[str, Any]:
+    """Drop every chunk OLDER than the feed's ``rebase_chunk`` (set by
+    ``publish_changes(rebase=True)``) — the bounded-storage half of the
+    compacted-topic pattern.  Chunk ORDINALS are preserved (dropped list
+    entries become ``None``), so existing replicas' checkpoints stay
+    valid: a replica at or past the rebase replays unaffected, a fresh
+    replica bootstraps at the rebase chunk, and a replica still behind it
+    fails loudly in ``runner.replay`` (its history is gone — re-bootstrap)
+    rather than silently skipping a span.
+
+    The manifest swap uses the same OCC rule as publish (version link);
+    dropped chunk directories are deleted only AFTER the manifest commit,
+    so a crash leaves sweepable residue, never a manifest pointing at
+    deleted data a consumer is entitled to.
+    """
+    manifest, man_version = _load_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no relay manifest at {out_dir}")
+    rb = manifest.get("rebase_chunk")
+    if rb is None:
+        return {"vacuumed_chunks": 0, "skipped": True,
+                "reason": "no rebase chunk published"}
+    chunks = list(manifest["chunks"])
+    drop = [c for c in chunks[:rb] if c]
+    if not drop:
+        return {"vacuumed_chunks": 0, "skipped": True,
+                "reason": "nothing older than the rebase chunk"}
+    drop_subs = {c.split(os.sep, 1)[0] for c in drop}
+    manifest2 = {
+        **manifest,
+        "chunks": [None] * rb + chunks[rb:],
+        "schemas": {
+            k: v
+            for k, v in manifest.get("schemas", {}).items()
+            if k not in drop_subs
+        },
+        "chunk_snapshots": {
+            k: v
+            for k, v in manifest.get("chunk_snapshots", {}).items()
+            if k not in set(drop)
+        },
+    }
+    if manifest.get("ddl"):
+        manifest2["ddl"] = {
+            k: v for k, v in manifest["ddl"].items() if k not in set(drop)
+        }
+    _commit_manifest(out_dir, manifest2, man_version + 1)
+    for sub in sorted(drop_subs):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    return {
+        "vacuumed_chunks": len(drop),
+        "first_live_chunk": rb,
+        "skipped": False,
+    }
+
+
+__all__ = [
+    "publish_changes",
+    "vacuum_relay",
+    "schema_ddl",
+    "apply_ddl",
+    "ENVELOPE_COLS",
+]

@@ -186,6 +186,22 @@ def replay(
     state = ckpt.load()
     pos, batch_id = state["next_chunk"], state["next_batch_id"]
 
+    # Vacuumed relay feeds keep chunk ORDINALS (dropped entries are None).
+    # A fresh replica bootstraps at the rebase chunk (full state as
+    # inserts); a replica whose checkpoint points INTO the vacuumed prefix
+    # lost history it never consumed — fail loudly, never skip a span.
+    if pos < len(chunks) and chunks[pos] is None:
+        rb = manifest.get("rebase_chunk")
+        if pos == 0 and rb is not None and chunks[rb] is not None:
+            pos = rb
+        else:
+            raise RuntimeError(
+                f"relay feed at {feed_path} was vacuumed past this "
+                f"replica's checkpoint (chunk {pos}); its un-consumed "
+                "history is gone — re-bootstrap the replica from the "
+                "rebase chunk (fresh table + checkpoint)"
+            )
+
     stats = ReplayStats()
     done = 0
     # DDL replication channel (relay feeds): a chunk with recorded DDL must

@@ -82,3 +82,74 @@ def test_engine_state_equals_dict_oracle(spark, tmp_path, events, n_batches,
         for r in read_clean(table).collect()
     }
     assert got == _dict_oracle(events)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(EVENT, min_size=1, max_size=40),
+    n_batches=st.integers(1, 4),
+    purges=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 4)),  # (after batch, conv)
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_engine_with_purges_equals_dict_oracle(spark, tmp_path, events,
+                                               n_batches, purges):
+    """Equality-delete purges interleaved at arbitrary batch boundaries:
+    the engine must equal the dict oracle where a purge removes the conv's
+    state AS OF that point and later events re-create keys — for every
+    generated sequence, purge placement, and batch split."""
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (op, lsn, base, f"c{conv}", turn,
+         None if op == "D" else "user",
+         None if op == "D" else text,
+         None, None if op == "D" else base)
+        for lsn, (conv, turn, op, text) in enumerate(events, start=1)
+    ]
+    purge_map: dict[int, list[str]] = {}
+    for after_batch, conv in purges:
+        purge_map.setdefault(after_batch, []).append(f"c{conv}")
+
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / f"t-{uuid.uuid4().hex}"),
+        target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"],
+        num_buckets=4,
+        bucket_by=["conv_id"],
+    )
+    state: dict[tuple, str] = {}
+    per = max(1, -(-len(rows) // n_batches))
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if chunk:
+            df = spark.createDataFrame(list(reversed(chunk)), CHANGE_SCHEMA)
+            apply_batch(table, df, b, collect_stats=False)
+            for op, _lsn, _ts, conv, turn, _role, text, _tool, _ts2 in chunk:
+                if op == "D":
+                    state.pop((conv, turn), None)
+                else:
+                    state[(conv, turn)] = text
+        for conv in purge_map.get(b, []):
+            table.delete_keys([conv])
+            for k in [k for k in state if k[0] == conv]:
+                state.pop(k)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_clean(table).collect()
+    }
+    assert got == state
+    # compaction materializes every outstanding purge without changing state
+    table.compact()
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_clean(LakeTable.load(spark, table.path)).collect()
+    }
+    assert got2 == state and table.current().eq_deletes == []
