@@ -135,6 +135,7 @@ def monitor(
             "error_bp": (quarantined * 10000 // total) if total else 0,
         },
         "layout": layout_health(spark, table_path),
+        "maintenance": maintenance_pressure(spark, table_path),
     }
 
 
@@ -178,6 +179,32 @@ def layout_health(spark: SparkSession, table_path: str) -> dict:
         "max_skew_bp": max(
             (p["row_count"] * 10000 // max(1, mean_rows) for p in parts),
             default=0,
+        ),
+    }
+
+
+def maintenance_pressure(spark: SparkSession, table_path: str) -> dict:
+    """What the table's own maintenance policy would do right now — the
+    manifest-only ``plan_maintenance`` dry-run (zero footers, zero data),
+    plus the purge backlog: outstanding equality-delete entries are purges
+    awaiting physical materialization (an auditor's first question)."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.maintenance import (
+        plan_maintenance,
+    )
+
+    table = LakeTable.load(spark, table_path)
+    snap = table.current()
+    plan = plan_maintenance(table)
+    return {
+        "compact_buckets": plan["compact_buckets"],
+        "reasons": plan["reasons"],
+        "pending_purges": len(snap.eq_deletes),
+        "pending_position_delete_files": sum(
+            len(fl) for fl in snap.delete_files.values()
+        ),
+        "status": (
+            "PENDING_WORK" if plan["compact_buckets"] else "HEALTHY"
         ),
     }
 

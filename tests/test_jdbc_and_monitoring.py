@@ -285,3 +285,36 @@ def test_monitor_layout_health(spark, replayed_table, tmp_path):
     hot = layout_health(spark, hot_table)
     assert hot["skewed_buckets"], hot
     assert hot["max_skew_bp"] >= 30000
+
+
+def test_monitor_maintenance_pressure(spark, tmp_path):
+    """The maintenance section is the policy dry-run plus the purge
+    backlog: MoR delta buildup reads PENDING_WORK, compaction clears it,
+    and an un-materialized equality-delete purge is counted."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner as _runner
+    from credix_data_pipeline_spark.streaming.monitoring import monitor
+
+    feed, table = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(spark, feed, FeedSpec(
+        n_events=2_000, n_conversations=40, turns_per_conversation=8,
+        events_per_chunk=250,
+    ))
+    _runner.replay(spark, feed, table, chunks_per_batch=1, num_buckets=4,
+                   merge_mode="mor", collect_stats=False)
+
+    m = monitor(spark, table)["maintenance"]
+    assert m["status"] == "PENDING_WORK", m
+    assert m["compact_buckets"], m
+
+    t = LakeTable.load(spark, table)
+    t.compact()
+    m = monitor(spark, table)["maintenance"]
+    assert m["status"] == "HEALTHY", m
+    assert m["pending_purges"] == 0
+
+    # an equality-delete purge is backlog until maintenance materializes it
+    t.delete_keys([t.read().select("conv_id").first()[0]])
+    m = monitor(spark, table)["maintenance"]
+    assert m["pending_purges"] == 1, m
