@@ -361,6 +361,28 @@ class LakeTable:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not found")
 
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot:
+        """The snapshot that was CURRENT at wall-clock time ``ts_ms``
+        (Iceberg ``FOR SYSTEM_TIME AS OF`` / Delta ``timestampAsOf``): the
+        latest retained commit with ``committed_at_ms <= ts_ms``.  Every
+        commit — including ``rollback_to``, which is itself a new commit —
+        stamps a fresh ``committed_at_ms``, so "latest" is the max version
+        among qualifying commits (ties at the same millisecond resolve to
+        the later version, which was equally current at that instant).
+
+        Raises ``KeyError`` when ``ts_ms`` predates the oldest RETAINED
+        snapshot — after ``expire_snapshots`` the answer would be a state
+        whose files may be gone, so guessing is unsafe.
+        """
+        cands = [s for s in self.history() if s.committed_at_ms <= ts_ms]
+        if not cands:
+            raise KeyError(
+                f"no snapshot at or before ts_ms={ts_ms}: the oldest "
+                "retained commit is newer (expired by retention, or the "
+                "timestamp predates the table)"
+            )
+        return max(cands, key=lambda s: s.version)
+
     # ------------------------------------------------- write-audit-publish
     def _staged_versions(self) -> list[int]:
         if not os.path.isdir(self.meta_path):
@@ -756,8 +778,12 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         lsn_above: int | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past snapshot / a bucket subset).
+
+        ``as_of_ms`` time-travels by wall clock instead of snapshot id
+        (``snapshot_as_of``); mutually exclusive with ``snapshot_id``.
 
         Files are immutable, the manifest pins the set — this is snapshot
         isolation and time travel.  ``buckets`` is the partition-pruning path
@@ -771,7 +797,14 @@ class LakeTable:
         files; surviving files can hold straddling rows.  Files without
         recorded bounds are never skipped.
         """
-        snap = self.snapshot(snapshot_id) if snapshot_id else self.current()
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        if as_of_ms is not None:
+            snap = self.snapshot_as_of(as_of_ms)
+        elif snapshot_id is not None:
+            snap = self.snapshot(snapshot_id)
+        else:
+            snap = self.current()
         return self.read_snap(snap, buckets=buckets, lsn_above=lsn_above)
 
     def _pos_cols(self, df: DataFrame) -> DataFrame:
@@ -1040,7 +1073,9 @@ class LakeTable:
             df = df.drop("_seq")
         return df
 
-    def read_keys(self, bucket_values: list) -> DataFrame:
+    def read_keys(
+        self, bucket_values: list, snap: Snapshot | None = None
+    ) -> DataFrame:
         """Key-targeted read: prune the scan to the buckets the given
         ``bucket_by`` values hash to, then filter to exactly those values.
 
@@ -1048,9 +1083,11 @@ class LakeTable:
         lookups): at 10^10 rows a conv_id lookup touches 1 of N bucket file
         sets instead of the table.  ``bucket_values`` are values of the
         table's ``bucket_by`` column (single-column bucketing; the common
-        case and this engine's default ``conv_id``).
+        case and this engine's default ``conv_id``).  ``snap`` time-travels
+        the lookup (pair with ``snapshot_as_of`` for "what did this
+        conversation look like at 9am").
         """
-        snap = self.current()
+        snap = snap or self.current()
         if len(snap.bucket_by) != 1:
             raise ValueError("read_keys supports single-column bucketing")
         col = snap.bucket_by[0]

@@ -324,12 +324,32 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def _parse_ts_ms(s: str) -> int:
+    """Epoch milliseconds from either a raw integer or an ISO-8601 string
+    (naive timestamps are taken as UTC, matching ``committed_at_ms``)."""
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def cmd_lookup(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
-    df = table.read_keys(args.conv)
+    snap = (
+        table.snapshot_as_of(_parse_ts_ms(args.as_of))
+        if args.as_of
+        else None
+    )
+    df = table.read_keys(args.conv, snap=snap)
     import pyspark.sql.functions as F
 
     df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).orderBy(
@@ -596,6 +616,8 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--conv", nargs="+", required=True,
                     help="conversation id(s) to fetch")
     lk.add_argument("--limit", type=int, default=100)
+    lk.add_argument("--as-of", default=None,
+                    help="time-travel the lookup: ISO-8601 or epoch ms")
     lk.set_defaults(fn=cmd_lookup)
 
     gr = sub.add_parser("gold-refresh", help="incremental gold materialization")

@@ -236,3 +236,32 @@ def test_cli_purge(spark, tmp_path, capsys):
     # compact materializes; logical state unchanged
     _run(capsys, "compact", "--table", table)
     assert read_clean(LakeTable.load(spark, table)).count() == df.count()
+
+
+def test_cli_lookup_as_of(spark, tmp_path, capsys):
+    """`lookup --as-of` answers "what did this conversation look like at
+    time T" — the purge is invisible at a pre-purge probe, gone at now."""
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    _run(capsys, "generate", "--feed", feed, "--events", "1500",
+         "--conversations", "30", "--events-per-chunk", "500")
+    _run(capsys, "replay", "--feed", feed, "--table", table,
+         "--chunks-per-batch", "3", "--buckets", "8")
+    t = LakeTable.load(spark, table)
+    conv = read_clean(t).select("conv_id").first()[0]
+    pre_purge_ms = t.current().committed_at_ms
+    t.delete_keys([conv])
+
+    assert cli.main(["lookup", "--table", table, "--conv", conv,
+                     "--as-of", str(pre_purge_ms)]) == 0
+    assert conv in capsys.readouterr().out  # rows shown at the old state
+    assert cli.main(["lookup", "--table", table, "--conv", conv]) == 0
+    assert conv not in capsys.readouterr().out  # purged at now
+
+    # ISO-8601 form parses too
+    from datetime import datetime, timezone
+    iso = datetime.fromtimestamp(
+        pre_purge_ms / 1000, tz=timezone.utc
+    ).isoformat()
+    assert cli.main(["lookup", "--table", table, "--conv", conv,
+                     "--as-of", iso]) == 0

@@ -172,3 +172,59 @@ def test_read_keys_prunes_to_key_buckets(spark, replayed):
         len(snap.files.get(str(b), [])) for b in buckets
     )
     assert pruned_files < total_files
+
+
+def test_as_of_timestamp_time_travel(spark, replayed):
+    """`snapshot_as_of` / `read(as_of_ms=...)` — Iceberg FOR SYSTEM_TIME
+    AS OF: the latest retained commit at or before the wall-clock probe;
+    pre-table timestamps refuse rather than guess."""
+    hist = replayed.history()
+    assert len(hist) >= 3
+    early, cur = hist[1], hist[-1]
+
+    # probing AT a commit's own timestamp returns that state (or a
+    # same-millisecond successor — equally current at that instant)
+    got = replayed.snapshot_as_of(early.committed_at_ms)
+    assert got.committed_at_ms <= early.committed_at_ms
+    assert got.version >= early.version
+    assert (
+        replayed.read(as_of_ms=early.committed_at_ms).count()
+        == replayed.read(snapshot_id=got.snapshot_id).count()
+    )
+
+    # far future -> current; the create commit predates everything kept
+    assert (
+        replayed.snapshot_as_of(cur.committed_at_ms + 10_000).snapshot_id
+        == cur.snapshot_id
+    )
+    with pytest.raises(KeyError):
+        replayed.snapshot_as_of(hist[0].committed_at_ms - 1)
+    with pytest.raises(ValueError):
+        replayed.read(snapshot_id=cur.snapshot_id, as_of_ms=1)
+
+
+def test_as_of_lookup_and_rollback_recency(spark, tmp_path):
+    """A rollback commit is NEWER by wall clock than the bad commit it
+    reverts, so an as-of probe after the rollback sees the reverted state;
+    `read_keys(snap=...)` time-travels the point lookup the same way."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("_lsn", T.LongType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"),
+                         schema, key=["conv_id", "turn_idx"], num_buckets=4)
+    t.append(spark.createDataFrame([("c1", 0, "good", 1)], schema))
+    good = t.current()
+    t.append(spark.createDataFrame([("c9", 0, "bad", 2)], schema))
+    rolled = t.rollback_to(good.snapshot_id)
+    assert rolled.committed_at_ms >= good.committed_at_ms
+
+    now = t.snapshot_as_of(rolled.committed_at_ms)
+    assert now.snapshot_id == rolled.snapshot_id
+    got = t.read_keys(["c1"], snap=now).select("text").collect()
+    assert [r.text for r in got] == ["good"]
+    assert t.read(as_of_ms=rolled.committed_at_ms).count() == 1
