@@ -45,6 +45,9 @@ Subcommands:
 
 ``replay --wap`` stages each batch and publishes only after the contracts
 pass on the staged post-image (Iceberg write-audit-publish).
+
+``lookup --as-of <iso|epoch-ms>`` time-travels the bucket-pruned key lookup
+by wall clock (Iceberg ``FOR SYSTEM_TIME AS OF``).
 """
 
 from __future__ import annotations
