@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from credix_data_pipeline_spark.lakehouse.table import LakeTable
+from credix_data_pipeline_spark.lakehouse.table import LakeTable, _commit_dir
 
 SNAPSHOTS_SCHEMA = T.StructType(
     [
@@ -130,7 +130,7 @@ def files_df(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
         return rev.get(key_id)
 
     listing = [
-        (int(b), f, _dir_key_name(f.split("/", 2)[1]))
+        (int(b), f, _dir_key_name(_commit_dir(f)))
         for b, fl in snap.files.items()
         for f in fl
     ]

@@ -132,7 +132,26 @@ class Snapshot:
         return [p for e in self.eq_deletes for p in e["paths"]]
 
     def live_dirs(self) -> set[str]:
-        return {f.split("/", 2)[1] for fl in self.files.values() for f in fl}
+        return {_commit_dir(f) for fl in self.files.values() for f in fl}
+
+
+def _file_token(p: str) -> str:
+    """Root-independent identity of a data-file path: ``data/<commit>/
+    _bucket=K/<file>`` — exactly the ``_file`` column ``_pos_cols``
+    computes from scan metadata.  Table-relative paths already have this
+    form; absolute paths recorded by zero-copy clones are stripped to
+    everything after the LAST ``/data/`` marker (commit dirs are uuid hex,
+    so the marker cannot repeat below the data root)."""
+    i = p.rfind("/" + DATA_DIR + "/")
+    return p[i + 1:] if i >= 0 else p
+
+
+def _commit_dir(p: str) -> str:
+    """The writing commit dir of a data-file path (third-from-last
+    component: ``.../<commit>/_bucket=K/<file>``) — the ``dir_schemas``
+    key; root-independent, so clone-recorded absolute paths resolve to the
+    SOURCE's commit dirs and inherit their write schemas."""
+    return p.split("/")[-3]
 
 
 def _manifest_name(version: int) -> str:
@@ -545,6 +564,108 @@ class LakeTable:
             file_seq=dict(target.file_seq),
         )
 
+    def clone_to(
+        self,
+        dest_path: str,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        pin: bool = True,
+    ) -> "LakeTable":
+        """Zero-copy table clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-ref table): a new independent table whose first snapshot
+        references the source's data files by ABSOLUTE path — no data is
+        read, copied, or rewritten, so cloning a 100 TB table is one
+        metadata commit.  Clone from a past state with ``snapshot_id`` or
+        ``as_of_ms`` (``snapshot_as_of``).
+
+        The clone is a full LakeTable: merges replace dirty buckets with
+        its OWN local files (copy-on-write divergence — untouched buckets
+        keep pointing at the source), ``compact()`` materializes everything
+        locally (the "deep-copy on demand" point), and its retention only
+        ever deletes under its own root — a clone can never delete source
+        data.  Schema, field ids, merge mode, properties, position-delete
+        files, equality-delete entries (with their source sequence numbers;
+        the clone's version space starts above them), per-file stats, and
+        the exactly-once fence all carry over — so a cloned ingest table
+        RESUMES the same feed from the same batch: the blue/green cutover
+        and the dev-against-prod-data workflow.
+
+        ``pin=True`` tags the source snapshot (``clone-…``) so source
+        retention cannot age out files the clone still references — the
+        documented way Delta shallow clones break (source VACUUM) is
+        designed out; drop the tag (``untag``) when the clone is deleted
+        or fully materialized.
+        """
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        if as_of_ms is not None:
+            snap = self.snapshot_as_of(as_of_ms)
+        elif snapshot_id is not None:
+            snap = self.snapshot(snapshot_id)
+        else:
+            snap = self.current()
+
+        dest = LakeTable(self.spark, dest_path)
+        if dest.exists():
+            raise FileExistsError(f"table already exists at {dest_path}")
+        os.makedirs(dest.meta_path, exist_ok=True)
+        os.makedirs(os.path.join(dest.path, DATA_DIR), exist_ok=True)
+
+        def _abs(p: str) -> str:
+            return (
+                p
+                if os.path.isabs(p)
+                else os.path.abspath(os.path.join(self.path, p))
+            )
+
+        files = {b: [_abs(f) for f in fl] for b, fl in snap.files.items()}
+        # legacy files with no recorded sequence must stay seq 0 (older
+        # than every purge) — _commit would otherwise mint them the NEW
+        # version, lifting them past entries they are covered by
+        file_seq = {
+            _abs(f): int(snap.file_seq.get(f, 0))
+            for fl in snap.files.values()
+            for f in fl
+        }
+        if pin:
+            self.tag(f"clone-{snap.snapshot_id}", snap.snapshot_id)
+        dest._commit(
+            parent=None,
+            version_base=snap.version + 1,
+            schema=snap.schema,
+            key=list(snap.key),
+            bucket_by=list(snap.bucket_by),
+            num_buckets=snap.num_buckets,
+            files=files,
+            # clone provenance uses its OWN keys: ``source_snapshot_id``
+            # belongs to the fence (a cloned GOLD table's incremental
+            # high-water against its upstream) and must carry untouched
+            summary={
+                **self._fence_as_of(snap.version),
+                "operation": "clone",
+                "clone_source": os.path.abspath(self.path),
+                "clone_source_snapshot_id": snap.snapshot_id,
+            },
+            merge_mode=snap.merge_mode,
+            column_ids=dict(snap.column_ids),
+            next_column_id=snap.next_column_id,
+            dir_schemas=dict(snap.dir_schemas),
+            file_stats={_abs(p): list(s) for p, s in snap.file_stats.items()},
+            delete_files={
+                b: [_abs(f) for f in fl]
+                for b, fl in snap.delete_files.items()
+            },
+            mor_deletes=snap.mor_deletes,
+            mor_prefer=snap.mor_prefer,
+            eq_deletes=[
+                {**e, "paths": [_abs(p) for p in e["paths"]]}
+                for e in snap.eq_deletes
+            ],
+            file_seq=file_seq,
+            properties=dict(snap.properties),
+        )
+        return dest
+
     def alter_properties(
         self,
         set_props: dict[str, str] | None = None,
@@ -598,8 +719,14 @@ class LakeTable:
         eq_deletes: list[dict] | None = None,
         file_seq: dict[str, int] | None = None,
         properties: dict[str, str] | None = None,
+        version_base: int | None = None,
     ) -> Snapshot:
-        version = (parent.version + 1) if parent else 1
+        # ``version_base`` starts a parentless table's version space above 1:
+        # a zero-copy clone carries the SOURCE's file sequence numbers and
+        # equality-delete entries verbatim, so the clone's own future commits
+        # must mint sequence numbers ABOVE every carried entry's — i.e. above
+        # the source version the clone was cut from.
+        version = (parent.version + 1) if parent else (version_base or 1)
         snapshot_id = int(time.time() * 1000) * 1000 + (version % 1000)
         # Field-id bookkeeping: drop ids for columns no longer in the
         # schema, mint fresh ids for new columns (never reusing a retired
@@ -628,7 +755,7 @@ class LakeTable:
             if dir_schemas is not None
             else (parent.dir_schemas if parent else {})
         )
-        live = {f.split("/", 2)[1] for fl in files.values() for f in fl}
+        live = {_commit_dir(f) for fl in files.values() for f in fl}
         dsch = {d: v for d, v in dsch.items() if d in live}
         for d in sorted(live - set(dsch)):
             dsch[d] = {"schema": schema.jsonValue(), "ids": ids}
@@ -861,7 +988,7 @@ class LakeTable:
                     s = snap.file_stats.get(f)
                     if s is not None and s[1] <= lsn_above:
                         continue  # provably no rows past the high-water
-                by_dir.setdefault(f.split("/", 2)[1], []).append(
+                by_dir.setdefault(_commit_dir(f), []).append(
                     os.path.join(self.path, f)
                 )
         if not by_dir:
@@ -941,8 +1068,11 @@ class LakeTable:
         (the bucket-pruned set), not the whole table."""
         rev = {i: n for n, i in snap.column_ids.items()}
         files = read_files if read_files is not None else snap.all_files()
+        # join key is the root-independent _file form: clone manifests
+        # record absolute source paths, but the scan's _file column is
+        # always 'data/<commit>/...' regardless of which root served it
         seq_df = self.spark.createDataFrame(
-            [(p, int(snap.file_seq.get(p, 0))) for p in files],
+            [(_file_token(p), int(snap.file_seq.get(p, 0))) for p in files],
             T.StructType(
                 [
                     T.StructField("_sq_file", T.StringType(), False),
@@ -1723,7 +1853,7 @@ class LakeTable:
                     return True
                 return any(
                     not _dir_compatible(
-                        snap, snap.dir_schemas.get(f.split("/", 2)[1])
+                        snap, snap.dir_schemas.get(_commit_dir(f))
                     )
                     for f in fl
                 )

@@ -37,6 +37,9 @@ Subcommands:
 * ``history``   — snapshot lineage / per-file footer stats (Iceberg
                   ``history`` + ``files`` metadata tables; ``--files`` runs
                   a distributed footer-only metadata scan)
+* ``clone``     — zero-copy shallow clone: one metadata commit referencing
+                  the source's files (Delta SHALLOW CLONE analogue); clone
+                  a past state with ``--snapshot`` / ``--as-of``
 * ``rollback``  — roll back to a past snapshot; the exactly-once fence rolls
                   back with the data (Iceberg rollback_to_snapshot)
 * ``expire``    — retention: expire old snapshots + collect orphan files
@@ -396,7 +399,24 @@ def cmd_changes(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
-    df = read_changes(table, args.from_snapshot, args.to_snapshot)
+    if (args.from_snapshot is None) == (args.from_ts is None) or (
+        args.to_snapshot is not None and args.to_ts is not None
+    ):
+        print("changes: pass exactly one of --from-snapshot / --from-ts "
+              "(and at most one of --to-snapshot / --to-ts)",
+              file=sys.stderr)
+        return 2
+    from_id = (
+        args.from_snapshot
+        if args.from_snapshot is not None
+        else table.snapshot_as_of(_parse_ts_ms(args.from_ts)).snapshot_id
+    )
+    to_id = (
+        table.snapshot_as_of(_parse_ts_ms(args.to_ts)).snapshot_id
+        if args.to_ts is not None
+        else args.to_snapshot
+    )
+    df = read_changes(table, from_id, to_id)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"rows": df.count(), "out": args.out}))
@@ -440,6 +460,40 @@ def cmd_tag(args) -> int:
     else:
         t.tag(args.name, snapshot_id=args.snapshot)
     print(json.dumps({"tags": t.tags()}))
+    return 0
+
+
+def cmd_clone(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    src = LakeTable.load(spark, args.table)
+    dest = src.clone_to(
+        args.dest,
+        snapshot_id=args.snapshot,
+        as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+        pin=not args.no_pin,
+    )
+    snap = dest.current()
+    print(
+        json.dumps(
+            {
+                "dest": args.dest,
+                "clone_source_snapshot_id": snap.summary[
+                    "clone_source_snapshot_id"
+                ],
+                "version": snap.version,
+                "files_referenced": sum(
+                    len(fl) for fl in snap.files.values()
+                ),
+                "pinned_tag": (
+                    None
+                    if args.no_pin
+                    else f"clone-{snap.summary['clone_source_snapshot_id']}"
+                ),
+            }
+        )
+    )
     return 0
 
 
@@ -639,8 +693,13 @@ def build_parser() -> argparse.ArgumentParser:
         "changes", help="changelog scan between two snapshots (CDF envelope)"
     )
     ch.add_argument("--table", required=True)
-    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--from-snapshot", type=int, default=None)
     ch.add_argument("--to-snapshot", type=int, default=None)
+    ch.add_argument("--from-ts", default=None,
+                    help="changes since this wall-clock time (ISO or epoch "
+                         "ms; resolved via snapshot_as_of)")
+    ch.add_argument("--to-ts", default=None,
+                    help="upper wall-clock bound (default: current)")
     ch.add_argument("--out", default=None, help="write parquet instead of show")
     ch.add_argument("--limit", type=int, default=50)
     ch.set_defaults(fn=cmd_changes)
@@ -667,6 +726,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="snapshot_id to pin (default: current)")
     tg.add_argument("--drop", action="store_true")
     tg.set_defaults(fn=cmd_tag)
+
+    cl = sub.add_parser(
+        "clone",
+        help="zero-copy shallow clone (Delta SHALLOW CLONE analogue)",
+    )
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--snapshot", type=int, default=None,
+                    help="clone a past snapshot_id (default: current)")
+    cl.add_argument("--as-of", default=None,
+                    help="clone the state at this wall-clock time "
+                         "(ISO-8601 or epoch ms)")
+    cl.add_argument("--no-pin", action="store_true",
+                    help="skip tagging the source snapshot (source "
+                         "retention may then age out referenced files)")
+    cl.set_defaults(fn=cmd_clone)
 
     ro = sub.add_parser(
         "rollback", help="roll back to a past snapshot (fence rolls back too)"

@@ -158,6 +158,19 @@ def test_cli_changes(spark, tmp_path, capsys):
     assert kinds <= {"insert", "delete", "update_before", "update_after"}
     assert "insert" in kinds or "update_after" in kinds
 
+    # the timestamp form resolves the same span via snapshot_as_of
+    out_ts = str(tmp_path / "cdf_ts")
+    rep_ts = json.loads(_run(
+        capsys, "changes", "--table", table,
+        "--from-ts", str(merges[0].committed_at_ms), "--out", out_ts,
+    ))
+    assert rep_ts["rows"] == rep["rows"]
+    # exactly one of --from-snapshot / --from-ts
+    assert cli.main(["changes", "--table", table, "--out", out_ts]) == 2
+    assert cli.main(["changes", "--table", table,
+                     "--from-snapshot", str(merges[0].snapshot_id),
+                     "--from-ts", "0", "--out", out_ts]) == 2
+
 
 def test_cli_wap_and_rollback(spark, tmp_path, capsys):
     """`replay --wap` gates each batch pre-publish; `rollback` restores a
@@ -265,3 +278,23 @@ def test_cli_lookup_as_of(spark, tmp_path, capsys):
     ).isoformat()
     assert cli.main(["lookup", "--table", table, "--conv", conv,
                      "--as-of", iso]) == 0
+
+
+def test_cli_clone(spark, tmp_path, capsys):
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    dev = str(tmp_path / "dev")
+    _run(capsys, "generate", "--feed", feed, "--events", "1200",
+         "--conversations", "25", "--events-per-chunk", "400")
+    _run(capsys, "replay", "--feed", feed, "--table", table,
+         "--chunks-per-batch", "3", "--buckets", "4")
+    rep = json.loads(_run(capsys, "clone", "--table", table, "--dest", dev))
+    assert rep["files_referenced"] > 0 and rep["pinned_tag"]
+
+    src = LakeTable.load(spark, table)
+    dst = LakeTable.load(spark, dev)
+    assert read_clean(dst).count() == read_clean(src).count()
+    assert rep["pinned_tag"] in src.tags()
+    # the clone answers lookups like any table
+    conv = read_clean(dst).select("conv_id").first()[0]
+    assert cli.main(["lookup", "--table", dev, "--conv", conv]) == 0
