@@ -237,6 +237,13 @@ td,th{{border:1px solid #999;padding:4px 10px}}.ok{{color:#070}}.bad{{color:#b00
 <table><tr><th>batch</th><th>events</th><th>deviation (bp)</th></tr>{rows}</table>
 <h2>Errors</h2>
 <p>{err['rows_quarantined']} quarantined rows ({err['error_bp']} bp)</p>
+<h2>Maintenance: <span class="{
+    'ok' if report['maintenance']['status'] == 'HEALTHY' else 'bad'}">
+{html.escape(str(report['maintenance']['status']))}</span></h2>
+<p>{len(report['maintenance']['compact_buckets'])} buckets flagged for
+compaction · {report['maintenance']['pending_purges']} purges and
+{report['maintenance']['pending_position_delete_files']} position-delete
+files awaiting materialization</p>
 </body></html>
 """
 

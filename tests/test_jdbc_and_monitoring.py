@@ -221,6 +221,7 @@ def test_publish_report_writes_html_and_json(spark, replayed_table, tmp_path):
     assert on_disk["volume"]["total_events"] == report["volume"]["total_events"]
     text = open(html_path).read()
     assert "Freshness" in text and "Volume anomalies" in text
+    assert "Maintenance" in text and "awaiting materialization" in text
 
 
 def test_cli_monitor_and_report(spark, replayed_table, tmp_path, capsys):
