@@ -118,6 +118,11 @@ class Snapshot:
     #                                       unset = manifest-only policy)
     #   retention.auto                      "true" => expire on maintain
     #   retention.keep-last                 expire keep_last (default "5")
+    # Policy keys consumed by ``operators/relay.publish_changes``:
+    #   relay.rebase-every                  escalate every Nth chunk to a
+    #                                       full-state rebase
+    #   relay.auto-vacuum                   "true" => vacuum superseded
+    #                                       chunks right after a rebase
     # Properties are TABLE-level, not snapshot-level: ``rollback_to`` keeps
     # the current properties (the Iceberg rule — config does not time-travel).
     properties: dict[str, str] = field(default_factory=dict)

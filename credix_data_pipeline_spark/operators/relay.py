@@ -57,7 +57,9 @@ Mechanics:
   Debezium re-snapshot idea); ``vacuum_relay`` drops all older chunks,
   preserving ordinals, so a feed publishing every batch forever stays
   O(state + recent diffs) on disk.  Fresh replicas bootstrap at the
-  rebase; replicas behind the vacuum horizon fail loudly.
+  rebase; replicas behind the vacuum horizon fail loudly.  The
+  ``relay.rebase-every`` / ``relay.auto-vacuum`` table properties automate
+  the cycle (set them once with ``maintain --set-property``).
 """
 
 from __future__ import annotations
@@ -263,6 +265,11 @@ def publish_changes(
     replicas cross a rebase chunk safely: its rows re-upsert idempotently
     under LWW (every pre-rebase delete already reached them as an event,
     or they are behind the vacuum horizon and fail loudly).
+
+    Table properties automate the policy: ``relay.rebase-every=N``
+    escalates every Nth chunk past the last rebase to ``rebase=True`` and
+    ``relay.auto-vacuum=true`` sweeps the superseded chunks immediately
+    after — long-lived feeds stay bounded with no operator action.
     """
     spark = table.spark
     cur = (
@@ -282,6 +289,26 @@ def publish_changes(
             "chunk_snapshots": {},
         }
     next_chunk = len(manifest["chunks"])
+    # Storage policy (table properties — set via `maintain --set-property`):
+    #   relay.rebase-every = N   escalate every Nth chunk past the last
+    #                            rebase to a full-state re-anchor
+    #   relay.auto-vacuum = true drop pre-rebase chunks right after it
+    # Together they bound relay storage with zero operator intervention —
+    # the compacted-topic retention policy, automated.  Escalation only
+    # fires on a publish that would ship data anyway: a no-movement call
+    # still takes the normal skip path.
+    auto_vacuum = (
+        cur.properties.get("relay.auto-vacuum", "").lower() == "true"
+    )
+    every = int(cur.properties.get("relay.rebase-every", "0") or 0)
+    if not rebase and every > 0 and next_chunk > 0:
+        rb = manifest.get("rebase_chunk")
+        since = next_chunk - (rb + 1) if rb is not None else next_chunk
+        spans = manifest.get("chunk_snapshots", {})
+        last = manifest["chunks"][-1]
+        moved = not (last in spans and spans[last]["to"] == cur.snapshot_id)
+        if since >= every and moved:
+            rebase = True
     bootstrap_full = False
     if rebase:
         # full-state re-anchor: no diff base needed, never a no-op skip
@@ -467,6 +494,9 @@ def publish_changes(
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 continue
+    vacuum_stats = None
+    if rebase and auto_vacuum:
+        vacuum_stats = vacuum_relay(out_dir)
     return {
         "published_rows": n,
         "chunk": next_chunk,
@@ -474,6 +504,8 @@ def publish_changes(
         "to_snapshot_id": cur.snapshot_id,
         "skipped": False,
         "bootstrap_full_state": bootstrap_full,
+        "rebase": rebase,
+        "vacuum": vacuum_stats,
     }
 
 

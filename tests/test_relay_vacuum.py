@@ -134,3 +134,43 @@ def test_cli_publish_rebase_and_vacuum(spark, tmp_path, capsys):
     assert cli.main(["vacuum-relay", "--out", relay]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["vacuumed_chunks"] == 2
+
+
+def test_policy_auto_rebase_and_vacuum(spark, tmp_path):
+    """`relay.rebase-every` + `relay.auto-vacuum` table properties bound
+    relay storage with no operator intervention: every Nth publish
+    escalates to a rebase and sweeps the pre-rebase chunks; a replica
+    bootstrapping afterwards converges; a no-movement publish never
+    triggers a spurious rebase."""
+    feed, tp, relay = (str(tmp_path / d) for d in ("feed", "t", "relay"))
+    write_feed(spark, feed, SPEC)
+    t_first = None
+    for i in range(2):
+        runner.replay(spark, feed, tp, chunks_per_batch=1, num_buckets=4,
+                      max_batches=1)
+        t = LakeTable.load(spark, tp)
+        if t_first is None:
+            t.alter_properties({"relay.rebase-every": "2",
+                                "relay.auto-vacuum": "true"})
+            t_first = t
+        res = publish_changes(t, relay)
+        assert not res["rebase"], f"publish {i} should be incremental"
+
+    # third data publish is the 2nd past chunk 0's bootstrap -> rebase
+    runner.replay(spark, feed, tp, chunks_per_batch=1, num_buckets=4,
+                  max_batches=1)
+    t = LakeTable.load(spark, tp)
+    res = publish_changes(t, relay)
+    assert res["rebase"] and res["vacuum"] is not None
+    assert res["vacuum"]["vacuumed_chunks"] == 2
+    man = json.load(open(os.path.join(relay, "_feed.json")))
+    assert man["rebase_chunk"] == 2 and man["chunks"][:2] == [None, None]
+
+    # fresh replica bootstraps at the rebase and matches upstream
+    rep = str(tmp_path / "rep")
+    runner.replay(spark, relay, rep, chunks_per_batch=8, num_buckets=4)
+    assert _state(spark, rep) == _state(spark, tp)
+
+    # no movement: the policy never fabricates a rebase out of a skip
+    res = publish_changes(t, relay)
+    assert res["skipped"] is True
