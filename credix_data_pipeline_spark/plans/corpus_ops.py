@@ -272,8 +272,9 @@ HAVING ROUND(COUNT(*) * 1.0 /
 # 100 TB-safe near-dup: candidate volume scales with bucket collisions, not
 # with n².
 # ---------------------------------------------------------------------------
-def q_dedup_minhash_lsh(spark, sf_dir):
-    sr = _shingle_rows(spark, sf_dir)
+def _minhash_bands(sr: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from shingle rows — the shared
+    signature/banding front half of the MinHash family."""
     ex = sr.select("doc_id", "n_sh", "s")
     sig = ex.groupBy("doc_id").agg(
         *[
@@ -283,7 +284,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
     r = MINHASH_BAND_ROWS
     n_bands = len(MINHASH_SEEDS) // r
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -299,22 +300,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.key") == F.col("bb.key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # verification join touches candidate pairs only (anti-n² at scale);
-    # join on the 8-byte shingle hash (engine-internal; see ngram op note)
+
+
+def _minhash_verify(sr: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs (anti-n² at
+    scale); join on the 8-byte shingle hash (engine-internal; see ngram op
+    note)."""
     exh = sr.select("doc_id", "n_sh", F.xxhash64("s").alias("s"))
     ea = exh.alias("ea")
     eb = exh.alias("eb")
@@ -342,7 +333,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _sql_minhash():
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sr = _shingle_rows(spark, sf_dir)
+    bands = _minhash_bands(sr)
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _minhash_verify(sr, cand)
+
+
+def _sql_minhash(incremental: bool = False):
     r = MINHASH_BAND_ROWS
     n_bands = len(MINHASH_SEEDS) // r
     mh_cols = ",\n         ".join(
@@ -354,6 +365,18 @@ def _sql_minhash():
         + ") AS key FROM sig"
         for bi in range(n_bands)
     )
+    if incremental:
+        cand = f"""
+  SELECT DISTINCT least(ba.doc_id, bp.doc_id) AS doc_a,
+                  greatest(ba.doc_id, bp.doc_id) AS doc_b
+  FROM bands ba JOIN bands bp
+    ON ba.band = bp.band AND ba.key = bp.key AND ba.doc_id <> bp.doc_id
+   AND substr(md5(CAST(bp.doc_id AS VARCHAR)), 1, 1) = '{ARRIVAL_HEX}'"""
+    else:
+        cand = """
+  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id"""
     return f"""
 WITH sh AS ({_SQL_SHINGLES}),
 ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
@@ -363,10 +386,7 @@ sig AS (
   FROM ex GROUP BY doc_id
 ),
 bands AS ({band_rows}),
-cand AS (
-  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
-  FROM bands ba JOIN bands bb
-    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id
+cand AS ({cand}
 )
 SELECT c.doc_a, c.doc_b,
        ROUND(COUNT(*) * 1.0 /
@@ -382,6 +402,52 @@ HAVING ROUND(COUNT(*) * 1.0 /
 
 
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_incremental — near-dup detection for an ARRIVAL batch
+# against the full corpus: the LSH index-probe pattern.  A deterministic
+# ~1/16 of documents (md5(doc_id) first hex digit) plays the "newly
+# ingested" batch; only ITS band keys probe the index, so the candidate
+# join is O(arrivals × bucket collisions) — old×old pairs are never even
+# planned.  This is how dedup stays incremental at 10^10 docs: the
+# signature/band table is the PERSISTED index (a LakeTable keyed by
+# (band, key) — here recomputed because the driver supplies static
+# parquet), each ingest batch computes signatures for its own docs only
+# and bucket-joins against it.  Result = the full dedup_minhash_lsh pair
+# set restricted to pairs touching the arrival batch (oracle-checked both
+# sides).  Reference: no equivalent (its dedup is full-corpus re-derive,
+# credix_pipeline README.md:240 "relatively small datasets").
+# ---------------------------------------------------------------------------
+ARRIVAL_HEX = "f"  # md5(doc_id) first hex digit ⇒ deterministic ~6% batch
+
+
+def q_dedup_minhash_incremental(spark, sf_dir):
+    sr = _shingle_rows(spark, sf_dir)
+    bands = _minhash_bands(sr)
+    is_arrival = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == ARRIVAL_HEX
+    )
+    ba = bands.alias("ba")
+    bp = bands.filter(is_arrival).alias("bp")  # probe side: arrivals only
+    cand = (
+        ba.join(
+            bp,
+            (F.col("ba.band") == F.col("bp.band"))
+            & (F.col("ba.key") == F.col("bp.key"))
+            & (F.col("ba.doc_id") != F.col("bp.doc_id")),
+        )
+        .select(
+            F.least("ba.doc_id", "bp.doc_id").alias("doc_a"),
+            F.greatest("ba.doc_id", "bp.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _minhash_verify(sr, cand)
+
+
+SQL_DEDUP_MINHASH_INCREMENTAL = _sql_minhash(incremental=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1913,6 +1979,10 @@ CORPUS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_incremental": (
+        q_dedup_minhash_incremental,
+        SQL_DEDUP_MINHASH_INCREMENTAL,
+    ),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_hamming": (q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -209,3 +209,36 @@ def test_multimodal_decode_stubs_raise():
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
+
+
+def test_minhash_incremental_is_arrival_slice_of_full(spark):
+    """The incremental op's pair set is exactly the full LSH dedup result
+    restricted to pairs touching the deterministic arrival batch — the
+    index-probe never invents pairs and never misses an arrival pair."""
+    from credix_data_pipeline_spark.plans.corpus_ops import ARRIVAL_HEX
+
+    full_fn, _ = CORPUS_QUERIES["dedup_minhash_lsh"]
+    inc_fn, _ = CORPUS_QUERIES["dedup_minhash_incremental"]
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in full_fn(spark, SF_DIR).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in inc_fn(spark, SF_DIR).collect()
+    }
+
+    def is_arrival(doc_id: int) -> bool:
+        import hashlib
+
+        return (
+            hashlib.md5(str(doc_id).encode()).hexdigest()[0] == ARRIVAL_HEX
+        )
+
+    expected = {
+        pair: j
+        for pair, j in full.items()
+        if is_arrival(pair[0]) or is_arrival(pair[1])
+    }
+    assert inc == expected
+    assert inc, "the sf0.001 corpus plants near-dups in the arrival slice"
