@@ -109,28 +109,43 @@ def main() -> None:
                           collect_stats=False)
             t = LakeTable.load(spark, tbl_path)
             logical = read_clean(t).count()
-            victims = [
+            all_victims = [
                 r[0]
                 for r in read_clean(t).select("conv_id").distinct()
-                .orderBy("conv_id").limit(N_PURGE_KEYS).collect()
+                .orderBy("conv_id").limit(3 * N_PURGE_KEYS).collect()
             ]
 
             read_before = _read_wall(read_clean, t)
 
-            p0 = time.monotonic()
-            snap = t.delete_keys(victims)
-            purge_sec = time.monotonic() - p0
-            assert snap.files == t.snapshot(snap.parent_id).files, \
-                "purge touched data files"
+            # best-of-3 purge commits (distinct key sets — each an equal
+            # metadata commit) to get under job-scheduling noise
+            purge_sec, victims = float("inf"), []
+            snap = None
+            for i in range(3):
+                vs = all_victims[i * N_PURGE_KEYS:(i + 1) * N_PURGE_KEYS]
+                victims.extend(vs)
+                p0 = time.monotonic()
+                snap = t.delete_keys(vs)
+                purge_sec = min(purge_sec, time.monotonic() - p0)
+                assert snap.files == t.snapshot(snap.parent_id).files, \
+                    "purge touched data files"
+            manifest_bytes = os.path.getsize(
+                os.path.join(tbl_path, "_meta", f"v{snap.version:011d}.json")
+            )
 
             read_after = _read_wall(read_clean, t)
 
             # comparator: full-refresh rewrite of every surviving row
+            # (best-of-2 — same trial discipline as the reads)
             out = os.path.join(work, f"refresh_{size_name}")
-            f0 = time.monotonic()
-            (read_clean(t).filter(~F.col("conv_id").isin(victims))
-             .write.mode("overwrite").parquet(out))
-            full_refresh_sec = time.monotonic() - f0
+            full_refresh_sec = float("inf")
+            for _ in range(2):
+                f0 = time.monotonic()
+                (read_clean(t).filter(~F.col("conv_id").isin(victims))
+                 .write.mode("overwrite").parquet(out))
+                full_refresh_sec = min(
+                    full_refresh_sec, time.monotonic() - f0
+                )
             shutil.rmtree(out, ignore_errors=True)
 
             c0 = time.monotonic()
@@ -141,6 +156,13 @@ def main() -> None:
             results[size_name] = {
                 "events": n_events,
                 "logical_rows": logical,
+                "data_files": len(snap.all_files()),
+                "manifest_bytes": manifest_bytes,
+                # structurally proven above: the purge commit's file set is
+                # IDENTICAL to its parent's — zero data files read/written;
+                # purge_sec is one tiny key-hash Spark job + a key parquet
+                # + an O(files) manifest JSON write, i.e. metadata-sized
+                "purge_touched_data_files": False,
                 "purge_keys": N_PURGE_KEYS,
                 "purge_sec": round(purge_sec, 3),
                 "read_clean_before_sec": round(read_before, 3),
