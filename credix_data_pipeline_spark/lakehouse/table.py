@@ -126,6 +126,12 @@ class Snapshot:
     # Properties are TABLE-level, not snapshot-level: ``rollback_to`` keeps
     # the current properties (the Iceberg rule — config does not time-travel).
     properties: dict[str, str] = field(default_factory=dict)
+    # True when this snapshot's ``column_ids`` were POSITIONALLY backfilled
+    # at load (pre-field-id manifest).  Backfilled ids are a valid base for
+    # future DDL but NOT comparable across two such snapshots (an add shifts
+    # positions) — snapshot-to-snapshot id alignment must not trust them.
+    # Load-time only, never persisted.
+    ids_backfilled: bool = False
 
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
@@ -157,6 +163,45 @@ def _commit_dir(p: str) -> str:
     key; root-independent, so clone-recorded absolute paths resolve to the
     SOURCE's commit dirs and inherit their write schemas."""
     return p.split("/")[-3]
+
+
+def _id_names(schema: T.StructType) -> list[str]:
+    """All id-bearing names of a schema: top-level columns plus DEPTH-1
+    struct fields as dotted paths (``tool_meta.source``).  One nesting
+    level is the engine's nested-DDL scope — the transcript tool-metadata
+    shape; deeper nesting reads/writes fine but evolves only at the
+    column level."""
+    out: list[str] = []
+    for f in schema.fields:
+        out.append(f.name)
+        if isinstance(f.dataType, T.StructType):
+            out.extend(f"{f.name}.{sf.name}" for sf in f.dataType.fields)
+    return out
+
+
+def _dotted_types(schema: T.StructType) -> dict[str, T.DataType]:
+    """name -> type for every id-bearing name (incl. dotted paths)."""
+    out: dict[str, T.DataType] = {}
+    for f in schema.fields:
+        out[f.name] = f.dataType
+        if isinstance(f.dataType, T.StructType):
+            for sf in f.dataType.fields:
+                out[f"{f.name}.{sf.name}"] = sf.dataType
+    return out
+
+
+def _replace_nested(
+    schema: T.StructType, parent: str, new_fields: list[T.StructField]
+) -> T.StructType:
+    """The schema with column ``parent``'s struct fields replaced."""
+    return T.StructType(
+        [
+            T.StructField(f.name, T.StructType(new_fields), f.nullable)
+            if f.name == parent
+            else f
+            for f in schema.fields
+        ]
+    )
 
 
 def _manifest_name(version: int) -> str:
@@ -196,30 +241,79 @@ def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
         if n is not None:
             # field id exists in the dir: name and type must match for a
             # by-name read to land the data in the right column un-cast
+            # (the FULL type compares, so any nested-field rename/widen/
+            # drop also lands the dir on the projection path)
             if n != f.name or dtypes.get(n) != f.dataType.jsonValue():
                 return False
         elif f.name in dids:
             # same NAME bound to a different id in the dir (drop + re-add,
             # or rename swap): by-name would resurrect dead data
             return False
+        if isinstance(f.dataType, T.StructType):
+            # drop + re-add of a NESTED name: the dotted name exists in the
+            # dir under a retired id — by-name would resurrect dead data
+            # even though the full struct type round-tripped to equality
+            for sf in f.dataType.fields:
+                dn = f"{f.name}.{sf.name}"
+                if dn in dids and dids[dn] != snap.column_ids.get(dn):
+                    return False
     return True
 
 
 def _project_dir(df: DataFrame, snap: Snapshot, dinfo: dict) -> DataFrame:
     """Project a write-schema read to the snapshot schema by FIELD ID:
     renamed columns re-alias, widened columns cast, columns the dir never
-    had (or whose id was dropped) read as typed NULL.  Engine position
-    columns (``_file``/``_pos``, present on ``with_pos`` reads) pass
-    through untouched."""
+    had (or whose id was dropped) read as typed NULL.  Struct columns
+    rebuild FIELD-BY-FIELD by dotted id, so nested renames/widens/drops
+    project exactly like top-level ones.  Engine position columns
+    (``_file``/``_pos``, present on ``with_pos`` reads) pass through
+    untouched."""
     rev = {i: n for n, i in dinfo["ids"].items()}
+    dir_struct_fields = {
+        f["name"]: {sf["name"] for sf in f["type"].get("fields", [])}
+        for f in dinfo["schema"]["fields"]
+        if isinstance(f["type"], dict) and f["type"].get("type") == "struct"
+    }
+    dir_has_dotted = any("." in n for n in dinfo["ids"])
     cols = []
     for f in snap.schema.fields:
         n = rev.get(snap.column_ids.get(f.name))
-        if n is not None:
-            cols.append(F.col(n).cast(f.dataType).alias(f.name))
-        else:
+        if n is None:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    for extra in ("_file", "_pos"):
+            continue
+        if not isinstance(f.dataType, T.StructType):
+            cols.append(F.col(n).cast(f.dataType).alias(f.name))
+            continue
+        # struct column: rebuild each nested field by its dotted id
+        sub = []
+        for sf in f.dataType.fields:
+            dn = rev.get(snap.column_ids.get(f"{f.name}.{sf.name}"))
+            if dn is not None and "." in dn:
+                _, old_field = dn.split(".", 1)
+                sub.append(
+                    F.col(n).getField(old_field)
+                    .cast(sf.dataType).alias(sf.name)
+                )
+            elif not dir_has_dotted and sf.name in dir_struct_fields.get(
+                n, set()
+            ):
+                # dir pinned before nested ids existed: by definition no
+                # nested DDL had happened when it was written, so by-name
+                # within the struct is correct (the flat legacy convention)
+                sub.append(
+                    F.col(n).getField(sf.name)
+                    .cast(sf.dataType).alias(sf.name)
+                )
+            else:
+                sub.append(F.lit(None).cast(sf.dataType).alias(sf.name))
+        cols.append(
+            # struct(...) of a NULL row would yield a struct of NULLs;
+            # the guard preserves NULL structs as NULL
+            F.when(F.col(n).isNotNull(), F.struct(*sub))
+            .otherwise(F.lit(None).cast(f.dataType))
+            .alias(f.name)
+        )
+    for extra in ("_file", "_pos", "_del"):
         if extra in df.columns:
             cols.append(F.col(extra))
     return df.select(*cols)
@@ -344,6 +438,7 @@ class LakeTable:
         ids = m.get("column_ids") or {
             f.name: i + 1 for i, f in enumerate(schema.fields)
         }
+        backfilled = not m.get("column_ids")
         return Snapshot(
             version=m["version"],
             snapshot_id=m["snapshot_id"],
@@ -368,6 +463,7 @@ class LakeTable:
             eq_deletes=m.get("eq_deletes", []),
             file_seq=m.get("file_seq", {}),
             properties=m.get("properties", {}),
+            ids_backfilled=backfilled,
         )
 
     def current(self) -> Snapshot:
@@ -746,7 +842,7 @@ class LakeTable:
             if next_column_id is not None
             else (parent.next_column_id if parent else 1)
         )
-        names = [f.name for f in schema.fields]
+        names = _id_names(schema)  # top-level + depth-1 struct fields
         ids = {n: i for n, i in base_ids.items() if n in set(names)}
         for n in names:
             if n not in ids:
@@ -1639,22 +1735,125 @@ class LakeTable:
             }
         return out
 
+    def _nested_ddl_base(
+        self, snap: Snapshot
+    ) -> tuple[dict[str, int], int, dict[str, dict]]:
+        """(ids, next_id, dirs) base state for a NESTED DDL commit: dotted
+        ids for the current schema minted if the manifest predates them
+        (legacy), and pre-dotted dir registrations patched with those ids.
+        The patch is sound because no mechanism could change struct
+        INTERNALS before nested DDL existed — every pre-dotted dir's
+        struct layout equals the pre-DDL current layout (still verified
+        per field against the dir's own schema below)."""
+        ids = dict(snap.column_ids)
+        nci = snap.next_column_id
+        for n in _id_names(snap.schema):
+            if n not in ids:
+                ids[n] = nci
+                nci += 1
+        dirs: dict[str, dict] = {}
+        for d, info in self._dirs_registered(snap).items():
+            dinfo_ids = dict(info["ids"])
+            if not any("." in k for k in dinfo_ids):
+                dir_fields = {
+                    f["name"]: {
+                        sf["name"] for sf in f["type"].get("fields", [])
+                    }
+                    for f in info["schema"]["fields"]
+                    if isinstance(f["type"], dict)
+                    and f["type"].get("type") == "struct"
+                }
+                for k, i in ids.items():
+                    if "." not in k or k in dinfo_ids:
+                        continue
+                    par, fld = k.split(".", 1)
+                    if (
+                        dinfo_ids.get(par) == ids.get(par)
+                        and fld in dir_fields.get(par, set())
+                    ):
+                        dinfo_ids[k] = i
+            dirs[d] = {**info, "ids": dinfo_ids}
+        return ids, nci, dirs
+
+    def _nested_parent(self, snap: Snapshot, dotted: str) -> tuple[str, str]:
+        """Validated (parent, field) of a dotted nested path."""
+        parent, field = dotted.split(".", 1)
+        if "." in field:
+            raise ValueError(
+                f"{dotted!r}: nested DDL supports one level of nesting"
+            )
+        pnames = {f.name for f in snap.schema.fields}
+        if parent not in pnames:
+            raise KeyError(f"no column {parent!r}")
+        ptype = snap.schema[parent].dataType
+        if not isinstance(ptype, T.StructType):
+            raise ValueError(f"{parent!r} is not a struct column")
+        if field not in {sf.name for sf in ptype.fields}:
+            raise KeyError(f"no field {field!r} in struct {parent!r}")
+        return parent, field
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Metadata-only column rename (Iceberg ALTER TABLE RENAME COLUMN).
 
         The column keeps its field id, so files written under the old name
         keep projecting to it — no rewrite.  Key/bucket columns may be
         renamed: bucketing hashes VALUES, so layout and pruning are
-        unaffected."""
+        unaffected.
+
+        ``old`` may be a DOTTED nested path (``tool_meta.source``) to
+        rename a field INSIDE a struct column — same id rule, same
+        metadata-only cost; ``new`` is the bare new field name (a dotted
+        ``new`` with the same parent is also accepted, the relay DDL
+        channel's form)."""
         snap = self.current()
+        if "." in old:
+            parent, field = self._nested_parent(snap, old)
+            if "." in new:
+                np, new = new.split(".", 1)
+                if np != parent:
+                    raise ValueError(
+                        f"cannot rename {old!r} across structs (to {np!r})"
+                    )
+            ptype = snap.schema[parent].dataType
+            if new in {sf.name for sf in ptype.fields}:
+                raise ValueError(
+                    f"field {new!r} already exists in {parent!r}"
+                )
+            if not new or new.startswith("_") or "." in new:
+                raise ValueError(f"invalid field name {new!r}")
+            ids, nci, dirs = self._nested_ddl_base(snap)
+            new_struct = [
+                T.StructField(new, sf.dataType, sf.nullable)
+                if sf.name == field
+                else sf
+                for sf in ptype.fields
+            ]
+            ids[f"{parent}.{new}"] = ids.pop(f"{parent}.{field}")
+            return self._commit(
+                parent=snap,
+                schema=_replace_nested(snap.schema, parent, new_struct),
+                key=snap.key,
+                bucket_by=snap.bucket_by,
+                num_buckets=snap.num_buckets,
+                files=snap.files,
+                summary={
+                    "operation": "rename-column",
+                    "from": old,
+                    "to": f"{parent}.{new}",
+                },
+                column_ids=ids,
+                next_column_id=nci,
+                dir_schemas=dirs,
+            )
         names = {f.name for f in snap.schema.fields}
         if old not in names:
             raise KeyError(f"no column {old!r}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
-        if not new or new.startswith("_"):
+        if not new or new.startswith("_") or "." in new:
             raise ValueError(
-                f"invalid name {new!r} (empty or engine-reserved '_' prefix)"
+                f"invalid name {new!r} (empty, dotted, or engine-reserved "
+                "'_' prefix)"
             )
         dirs = self._dirs_registered(snap)
         new_fields = [
@@ -1663,6 +1862,12 @@ class LakeTable:
         ]
         ids = dict(snap.column_ids)
         ids[new] = ids.pop(old)
+        # a struct column's dotted children re-key under the new parent
+        # name, KEEPING their ids — else _commit would retire + re-mint
+        # them and old files would project the children as NULL
+        for k in list(ids):
+            if k.startswith(old + "."):
+                ids[new + k[len(old):]] = ids.pop(k)
         return self._commit(
             parent=snap,
             schema=T.StructType(new_fields),
@@ -1681,8 +1886,33 @@ class LakeTable:
         The field id is retired and never reused: a later ADD COLUMN with
         the same name gets a fresh id, so old files' stale physical data
         can never resurrect under the new column (reads of mixed dirs take
-        the field-id projection path and see typed NULL)."""
+        the field-id projection path and see typed NULL).
+
+        A DOTTED path (``tool_meta.source``) drops a field INSIDE a struct
+        column — same retired-id rule at the nested level."""
         snap = self.current()
+        if "." in name:
+            parent, field = self._nested_parent(snap, name)
+            ptype = snap.schema[parent].dataType
+            if len(ptype.fields) == 1:
+                raise ValueError(
+                    f"{name!r} is the last field of {parent!r}; drop the "
+                    "column instead"
+                )
+            ids, nci, dirs = self._nested_ddl_base(snap)
+            new_struct = [sf for sf in ptype.fields if sf.name != field]
+            return self._commit(
+                parent=snap,
+                schema=_replace_nested(snap.schema, parent, new_struct),
+                key=snap.key,
+                bucket_by=snap.bucket_by,
+                num_buckets=snap.num_buckets,
+                files=snap.files,
+                summary={"operation": "drop-column", "column": name},
+                column_ids=ids,  # _commit prunes the retired dotted id
+                next_column_id=nci,
+                dir_schemas=dirs,
+            )
         if name not in {f.name for f in snap.schema.fields}:
             raise KeyError(f"no column {name!r}")
         if name in snap.key or name in snap.bucket_by:
@@ -1707,8 +1937,46 @@ class LakeTable:
         """Metadata-only type promotion (Iceberg ALTER TABLE ALTER COLUMN
         TYPE): int→long, float→double.  Old files cast on the fly via the
         field-id projection path; ``compact()`` rewrites them physically
-        widened, restoring the single-scan fast path."""
+        widened, restoring the single-scan fast path.
+
+        A DOTTED path widens a field INSIDE a struct column."""
         snap = self.current()
+        if "." in name:
+            parent, field = self._nested_parent(snap, name)
+            ptype = snap.schema[parent].dataType
+            cur_t = ptype[field].dataType
+            if cur_t == new_type:
+                return snap
+            allowed = _WIDENINGS.get(cur_t.typeName(), set())
+            if new_type.typeName() not in allowed:
+                raise ValueError(
+                    f"cannot widen {name!r} from {cur_t.simpleString()} to "
+                    f"{new_type.simpleString()}; allowed: int->long, "
+                    "float->double"
+                )
+            ids, nci, dirs = self._nested_ddl_base(snap)
+            new_struct = [
+                T.StructField(field, new_type, sf.nullable)
+                if sf.name == field
+                else sf
+                for sf in ptype.fields
+            ]
+            return self._commit(
+                parent=snap,
+                schema=_replace_nested(snap.schema, parent, new_struct),
+                key=snap.key,
+                bucket_by=snap.bucket_by,
+                num_buckets=snap.num_buckets,
+                files=snap.files,
+                summary={
+                    "operation": "widen-column",
+                    "column": name,
+                    "to": new_type.simpleString(),
+                },
+                column_ids=ids,
+                next_column_id=nci,
+                dir_schemas=dirs,
+            )
         if name not in {f.name for f in snap.schema.fields}:
             raise KeyError(f"no column {name!r}")
         if name in snap.bucket_by:

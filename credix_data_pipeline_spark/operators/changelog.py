@@ -43,20 +43,33 @@ Semantics notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from types import SimpleNamespace
 
-from credix_data_pipeline_spark.lakehouse.table import LakeTable, Snapshot
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from credix_data_pipeline_spark.lakehouse.table import (
+    LakeTable,
+    Snapshot,
+    _project_dir,
+)
 
 CHANGE_COL = "_change_type"
 
 
 def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
-                target_schema, keep_tombstones: bool = False) -> DataFrame:
-    """Rows of ``snap`` restricted to ``buckets``, aligned to
-    ``target_schema``'s columns (missing → typed NULL), with a ``_del``
-    marker.  Tombstones are dropped unless ``keep_tombstones`` (the
-    after-image delete path needs them: the tombstone row carries the
-    DELETING event's ``_lsn``)."""
+                s_to: Snapshot, keep_tombstones: bool = False) -> DataFrame:
+    """Rows of ``snap`` restricted to ``buckets``, aligned to the TO
+    snapshot's schema, with a ``_del`` marker.  Tombstones are dropped
+    unless ``keep_tombstones`` (the after-image delete path needs them:
+    the tombstone row carries the DELETING event's ``_lsn``).
+
+    Alignment across a DDL boundary is BY FIELD ID — the same projection
+    rule as the table's own evolution reads: a renamed column's before-
+    image carries its old data under the new name, a widened column casts,
+    and added/dropped ids read as typed NULL (including nested struct
+    fields, whose dotted ids project field-by-field).  Positionally-
+    backfilled legacy ids are not comparable across snapshots (an add
+    shifts positions), so legacy pairs keep the by-name alignment."""
     # one CURRENT version per key under the snapshot's merge mode (CoW
     # plain read / MoR position-delete anti-join / legacy MoR LWW collapse)
     df = table.current_versions(snap=snap, buckets=buckets)
@@ -68,12 +81,27 @@ def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
     df = df.withColumn("_del", flag)
     if not keep_tombstones:
         df = df.filter(~F.col("_del"))
+    out_fields = [
+        f for f in s_to.schema.fields if f.name not in ("_deleted", "_seq")
+    ]
+    if (
+        snap.snapshot_id != s_to.snapshot_id
+        and snap.schema != s_to.schema
+        and not (snap.ids_backfilled or s_to.ids_backfilled)
+    ):
+        dinfo = {
+            "schema": snap.schema.jsonValue(),
+            "ids": dict(snap.column_ids),
+        }
+        shim = SimpleNamespace(
+            schema=T.StructType(out_fields), column_ids=s_to.column_ids
+        )
+        return _project_dir(df, shim, dinfo)  # `_del` passes through
     have = set(df.columns)
     aligned = [
         F.col(f.name) if f.name in have
         else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in target_schema.fields
-        if f.name not in ("_deleted", "_seq")
+        for f in out_fields
     ]
     return df.select(*aligned, F.col("_del"))
 
@@ -148,9 +176,9 @@ def read_changes(
         empty = table.spark.createDataFrame([], s_to.schema)
         return empty.select(*out_cols).withColumn(CHANGE_COL, F.lit(""))
 
-    old = _live_state(table, s_from, dirty, s_to.schema)
+    old = _live_state(table, s_from, dirty, s_to)
     new = _live_state(
-        table, s_to, dirty, s_to.schema,
+        table, s_to, dirty, s_to,
         keep_tombstones=(delete_images == "after"),
     )
 

@@ -150,23 +150,69 @@ def schema_ddl(base: "Snapshot", cur: "Snapshot") -> list[dict]:
     field ids.  Events are ordered drop → rename → widen so a drop frees
     its name before a rename (or the registry's re-add) can claim it.
     """
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.lakehouse.table import _dotted_types
+
     base_rev = {i: n for n, i in base.column_ids.items()}
     cur_rev = {i: n for n, i in cur.column_ids.items()}
-    base_types = {f.name: f.dataType for f in base.schema.fields}
-    cur_types = {f.name: f.dataType for f in cur.schema.fields}
+    base_types = _dotted_types(base.schema)
+    cur_types = _dotted_types(cur.schema)
+    # top-level renames/drops, used to normalize NESTED events: a child
+    # whose only change is its parent's rename needs no event of its own,
+    # and a surviving child's event must name the POST-parent-rename path
+    # (the order the replica applies: parents first)
+    parent_renames: dict[str, str] = {}
+    dropped_parent_ids = set()
+    for i, bname in base_rev.items():
+        if "." in bname:
+            continue
+        cname = cur_rev.get(i)
+        if cname is None:
+            dropped_parent_ids.add(i)
+        elif cname != bname:
+            parent_renames[bname] = cname
     drops, renames, widens = [], [], []
     for i, bname in base_rev.items():
         cname = cur_rev.get(i)
-        if cname is None:
-            drops.append({"op": "drop", "column": bname, "field_id": i})
-            continue
-        if cname != bname:
-            renames.append(
-                {"op": "rename", "from": bname, "to": cname, "field_id": i}
-            )
+        if "." in bname:
+            bpar, bfld = bname.split(".", 1)
+            if cname is None:
+                if base.column_ids.get(bpar) in dropped_parent_ids:
+                    continue  # implied by the parent column's drop
+                eff = f"{parent_renames.get(bpar, bpar)}.{bfld}"
+                drops.append({"op": "drop", "column": eff, "field_id": i})
+                continue
+            eff_from = f"{parent_renames.get(bpar, bpar)}.{bfld}"
+            if cname != eff_from:
+                renames.append(
+                    {
+                        "op": "rename",
+                        "from": eff_from,
+                        "to": cname,
+                        "field_id": i,
+                    }
+                )
+        else:
+            if cname is None:
+                drops.append({"op": "drop", "column": bname, "field_id": i})
+                continue
+            if cname != bname:
+                renames.append(
+                    {
+                        "op": "rename",
+                        "from": bname,
+                        "to": cname,
+                        "field_id": i,
+                    }
+                )
         bt = base_types.get(bname)
         ct = cur_types.get(cname)
         if bt is not None and ct is not None and bt != ct:
+            if isinstance(bt, T.StructType) and isinstance(
+                ct, T.StructType
+            ):
+                continue  # struct column: the nested diffs carry the change
             widens.append(
                 {
                     "op": "widen",
@@ -189,8 +235,13 @@ def apply_ddl(table: LakeTable, events: list[dict]) -> int:
     """
     from pyspark.sql import types as T
 
+    from credix_data_pipeline_spark.lakehouse.table import (
+        _dotted_types,
+        _id_names,
+    )
+
     applied = 0
-    names = lambda: {f.name for f in table.current().schema.fields}  # noqa: E731
+    names = lambda: set(_id_names(table.current().schema))  # noqa: E731
 
     for ev in (e for e in events if e["op"] == "drop"):
         if ev["column"] in names():
@@ -224,7 +275,9 @@ def apply_ddl(table: LakeTable, events: list[dict]) -> int:
             tmp = f"ddltmp{uuid.uuid4().hex[:8]}"
             table.rename_column(f, tmp)
             applied += 1
-            temps.append((tmp, t))
+            # a nested source parks under a temp field INSIDE its struct
+            tmp_path = f"{f.split('.', 1)[0]}.{tmp}" if "." in f else tmp
+            temps.append((tmp_path, t))
             pending.remove((f, t))
     for tmp, t in temps:
         table.rename_column(tmp, t)
@@ -235,7 +288,7 @@ def apply_ddl(table: LakeTable, events: list[dict]) -> int:
         if col not in names():
             continue  # column arrives later via the schema registry
         want = T._parse_datatype_json_value(ev["type"])
-        if table.current().schema[col].dataType != want:
+        if _dotted_types(table.current().schema)[col] != want:
             table.widen_column(col, want)
             applied += 1
     return applied
