@@ -222,6 +222,23 @@ _WIDENINGS: dict[str, set[str]] = {
 }
 
 
+def _struct_superset_ok(f: T.StructField, dir_type) -> bool:
+    """True when a dir's struct layout is a name+type-equal SUBSET of the
+    snapshot field's — only fields ADDED since the write are missing, so a
+    by-name read is exact (the parquet reader scans missing nested fields
+    as NULL).  Drop+re-add under the same nested name is caught separately
+    by the dotted-id check in ``_dir_compatible``."""
+    if not isinstance(dir_type, dict) or dir_type.get("type") != "struct":
+        return False
+    snap_fields = {
+        sf.name: sf.dataType.jsonValue() for sf in f.dataType.fields
+    }
+    return all(
+        df["name"] in snap_fields and snap_fields[df["name"]] == df["type"]
+        for df in dir_type.get("fields", [])
+    )
+
+
 def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
     """True if a commit dir's files can be read BY NAME with the snapshot
     schema (the single-scan fast path).  A dir with no registration is
@@ -240,10 +257,19 @@ def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
         n = rev.get(i)
         if n is not None:
             # field id exists in the dir: name and type must match for a
-            # by-name read to land the data in the right column un-cast
-            # (the FULL type compares, so any nested-field rename/widen/
-            # drop also lands the dir on the projection path)
-            if n != f.name or dtypes.get(n) != f.dataType.jsonValue():
+            # by-name read to land the data in the right column un-cast.
+            # Exception: a struct whose dir layout is a name+type-equal
+            # SUBSET of the snapshot's (fields ADDED since the write) —
+            # the parquet reader resolves nested fields by name and fills
+            # missing ones with NULL, so by-name stays a single scan, just
+            # like a top-level add-column (nested rename/widen/drop still
+            # lands the dir on the projection path)
+            if n != f.name:
+                return False
+            if dtypes.get(n) != f.dataType.jsonValue() and not (
+                isinstance(f.dataType, T.StructType)
+                and _struct_superset_ok(f, dtypes.get(n))
+            ):
                 return False
         elif f.name in dids:
             # same NAME bound to a different id in the dir (drop + re-add,
@@ -1719,6 +1745,50 @@ class LakeTable:
                 "operation": "add-columns",
                 "columns": [f.name for f in new_fields],
             },
+        )
+
+    def add_struct_fields(
+        self, parent: str, fields: list[T.StructField]
+    ) -> Snapshot:
+        """Metadata-only nested ADD (Iceberg ALTER TABLE ADD COLUMN
+        parent.field): append fields to a struct column.  New fields mint
+        fresh dotted ids; files written before the add keep the by-name
+        FAST path (the parquet reader scans missing nested fields as
+        NULL), exactly like a top-level add-column."""
+        snap = self.current()
+        if parent not in {f.name for f in snap.schema.fields}:
+            raise KeyError(f"no column {parent!r}")
+        ptype = snap.schema[parent].dataType
+        if not isinstance(ptype, T.StructType):
+            raise ValueError(f"{parent!r} is not a struct column")
+        existing = {sf.name for sf in ptype.fields}
+        new_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in fields
+            if f.name not in existing
+        ]
+        if not new_fields:
+            return snap
+        for f in new_fields:
+            if not f.name or f.name.startswith("_") or "." in f.name:
+                raise ValueError(f"invalid field name {f.name!r}")
+        ids, nci, dirs = self._nested_ddl_base(snap)
+        return self._commit(
+            parent=snap,
+            schema=_replace_nested(
+                snap.schema, parent, [*ptype.fields, *new_fields]
+            ),
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            summary={
+                "operation": "add-columns",
+                "columns": [f"{parent}.{f.name}" for f in new_fields],
+            },
+            column_ids=ids,  # new dotted names mint fresh ids in _commit
+            next_column_id=nci,
+            dir_schemas=dirs,
         )
 
     def _dirs_registered(self, snap: Snapshot) -> dict[str, dict]:

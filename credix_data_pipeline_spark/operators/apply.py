@@ -133,9 +133,14 @@ def split_malformed(events: DataFrame, key: list[str]):
 def _evolve_if_needed(table: LakeTable, events: DataFrame) -> None:
     """In-flight schema evolution: payload columns present in the batch but
     absent from the target become nullable target columns (metadata-only
-    commit; old files read as NULL).  SURVEY §4 'Schema evolution' row."""
+    commit; old files read as NULL).  A struct column whose batch shape
+    carries NEW nested fields evolves the same way — the fields append to
+    the target struct with fresh dotted ids (``add_struct_fields``), and
+    old files keep the by-name fast path.  SURVEY §4 'Schema evolution'
+    row; nested adds are engine-forward (the reference only tolerates
+    missing columns, installments_assets.py:151-156)."""
     snap = table.current()
-    existing = {f.name for f in snap.schema.fields}
+    existing = {f.name: f.dataType for f in snap.schema.fields}
     new = [
         f
         for f in events.schema.fields
@@ -143,6 +148,46 @@ def _evolve_if_needed(table: LakeTable, events: DataFrame) -> None:
     ]
     if new:
         table.add_columns([T.StructField(f.name, f.dataType, True) for f in new])
+    for f in events.schema.fields:
+        cur = existing.get(f.name)
+        if (
+            isinstance(f.dataType, T.StructType)
+            and isinstance(cur, T.StructType)
+            and f.dataType != cur
+        ):
+            have = {sf.name for sf in cur.fields}
+            extra = [sf for sf in f.dataType.fields if sf.name not in have]
+            if extra:
+                table.add_struct_fields(f.name, extra)
+
+
+def _align_payload_expr(c: str, batch_type, target: T.StructField):
+    """The batch column ``c`` aligned to the target field's type.  Struct
+    columns rebuild FIELD-BY-NAME (a producer still on an older struct
+    shape sends fewer fields → typed NULL; field order never matters),
+    with a NULL guard so NULL structs stay NULL.  Non-struct columns pass
+    through untouched (top-level int/long etc. coerce in the union, the
+    long-standing flat behavior)."""
+    if (
+        isinstance(target.dataType, T.StructType)
+        and isinstance(batch_type, T.StructType)
+        and batch_type != target.dataType
+    ):
+        have = {sf.name for sf in batch_type.fields}
+        sub = [
+            (
+                F.col(c).getField(sf.name).cast(sf.dataType)
+                if sf.name in have
+                else F.lit(None).cast(sf.dataType)
+            ).alias(sf.name)
+            for sf in target.dataType.fields
+        ]
+        return (
+            F.when(F.col(c).isNotNull(), F.struct(*sub))
+            .otherwise(F.lit(None).cast(target.dataType))
+            .alias(c)
+        )
+    return F.col(c)
 
 
 def _audit_and_publish(table, staged, dirty: list[int], res: ApplyResult):
@@ -326,9 +371,14 @@ def apply_batch(
         if "commit_ts" in ev_cols
         else F.lit(0)
     )
+    ev_types = {f.name: f.dataType for f in events.schema.fields}
     ev_side = events.select(
         *[
-            (F.col(c) if c in ev_cols else F.lit(None).cast(d.dataType)).alias(c)
+            (
+                _align_payload_expr(c, ev_types[c], d)
+                if c in ev_cols
+                else F.lit(None).cast(d.dataType).alias(c)
+            )
             for c, d in zip(payload_cols, [snap.schema[c] for c in payload_cols])
         ],
         F.col("lsn"),

@@ -478,3 +478,189 @@ def test_nested_ddl_through_merge_and_time_travel(spark, tmp_path):
         for sf in t.snapshot(pre).schema["tool_meta"].dataType.fields
     ]
     assert old_fields == ["call_id", "name", "latency"]
+
+
+def test_inflight_nested_add_keeps_fast_path(spark, tmp_path):
+    """A batch whose struct column GAINS a field evolves the table in
+    flight (add_struct_fields, fresh dotted id), a later batch from an
+    OLDER producer (narrower struct) still applies with typed NULL, and
+    every pre-add dir stays on the by-name single-scan fast path — the
+    parquet reader fills missing nested fields as NULL, exactly like a
+    top-level add-column."""
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+    from credix_data_pipeline_spark.schema import (
+        CHANGE_SCHEMA,
+        target_schema_for,
+    )
+
+    two = T.StructType(
+        [
+            T.StructField("call_id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    three = T.StructType([*two.fields, T.StructField("latency",
+                                                     T.FloatType())])
+    one = T.StructType([T.StructField("call_id", T.IntegerType())])
+
+    def env(tt):
+        return T.StructType(
+            [*CHANGE_SCHEMA.fields, T.StructField("tool_meta", tt, True)]
+        )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            [("I", 1, BASE, "c0", 0, "u", "a", None, BASE, (1, "x"))],
+            env(two),
+        ),
+        0, collect_stats=False,
+    )
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            [("I", 2, BASE, "c1", 0, "u", "b", None, BASE, (2, "y", 0.5))],
+            env(three),
+        ),
+        1, collect_stats=False,
+    )
+    assert [
+        sf.name for sf in t.current().schema["tool_meta"].dataType.fields
+    ] == ["call_id", "name", "latency"]
+    assert "tool_meta.latency" in t.current().column_ids
+    # older producer still on the two-field shape — aligns by name
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            [("I", 3, BASE, "c2", 0, "u", "c", None, BASE, (3,))],
+            env(one),
+        ),
+        2, collect_stats=False,
+    )
+    got = {
+        r.conv_id: None if r.tool_meta is None else tuple(r.tool_meta)
+        for r in read_clean(t).collect()
+    }
+    assert got == {
+        "c0": (1, "x", None), "c1": (2, "y", 0.5), "c2": (3, None, None)
+    }
+    snap = t.current()
+    assert all(
+        _dir_compatible(snap, snap.dir_schemas.get(d))
+        for d in snap.live_dirs()
+    )
+
+
+def test_nested_add_relays_via_registry(spark, tmp_path):
+    """A nested ADD needs no DDL event: the chunk's registry schema
+    carries the wider struct and the replica's own in-flight evolution
+    converges — the same path as top-level adds."""
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        last_applied_batch_id,
+        read_clean,
+    )
+    from credix_data_pipeline_spark.operators.relay import (
+        publish_changes,
+        schema_ddl,
+    )
+    from credix_data_pipeline_spark.schema import (
+        CHANGE_SCHEMA,
+        target_schema_for,
+    )
+    from credix_data_pipeline_spark.streaming import runner
+
+    two = T.StructType(
+        [
+            T.StructField("call_id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    three = T.StructType([*two.fields, T.StructField("latency",
+                                                     T.FloatType())])
+
+    def env(tt):
+        return T.StructType(
+            [*CHANGE_SCHEMA.fields, T.StructField("tool_meta", tt, True)]
+        )
+
+    t1p, relay, t2p = (str(tmp_path / x) for x in ("t1", "relay", "t2"))
+    t1 = LakeTable.create(
+        spark, t1p, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    apply_batch(
+        t1,
+        spark.createDataFrame(
+            [("I", 1, BASE, "c0", 0, "u", "a", None, BASE, (1, "x"))],
+            env(two),
+        ),
+        0, collect_stats=False,
+    )
+    base = t1.current()
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=2)
+
+    apply_batch(
+        t1,
+        spark.createDataFrame(
+            [
+                ("U", 2, BASE, "c0", 0, "u", "a2", None, BASE,
+                 (9, "x2", 0.5)),
+                ("I", 3, BASE, "c1", 0, "u", "b", None, BASE,
+                 (2, "y", 1.5)),
+            ],
+            env(three),
+        ),
+        last_applied_batch_id(t1) + 1, collect_stats=False,
+    )
+    # the add emits NO DDL events (registry handles it)
+    assert schema_ddl(base, t1.current()) == []
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=2)
+    t2 = LakeTable.load(spark, t2p)
+
+    def _s(t):
+        return {
+            (r.conv_id, r.turn_idx): (
+                r.text,
+                None if r.tool_meta is None else tuple(r.tool_meta),
+            )
+            for r in read_clean(t)
+            .select("conv_id", "turn_idx", "text", "tool_meta")
+            .collect()
+        }
+
+    assert _s(t2) == _s(t1)
+    assert _s(t2)[("c0", 0)] == ("a2", (9, "x2", 0.5))
+    assert (
+        read_clean(t2).schema["tool_meta"].dataType
+        == read_clean(t1).schema["tool_meta"].dataType
+    )
+
+
+def test_add_struct_fields_validation(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    with pytest.raises(KeyError, match="no column"):
+        t.add_struct_fields("nope", [T.StructField("x", T.LongType())])
+    with pytest.raises(ValueError, match="not a struct"):
+        t.add_struct_fields("text", [T.StructField("x", T.LongType())])
+    with pytest.raises(ValueError, match="invalid field name"):
+        t.add_struct_fields(
+            "tool_meta", [T.StructField("_bad", T.LongType())]
+        )
+    # no-op on already-present names: same snapshot, no commit
+    v = t.current().version
+    assert (
+        t.add_struct_fields(
+            "tool_meta", [T.StructField("name", T.StringType())]
+        ).version
+        == v
+    )
