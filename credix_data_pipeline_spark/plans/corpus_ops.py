@@ -83,8 +83,8 @@ def _toks(col: str = "text"):
 _SQL_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
-def _shingle_rows(spark, sf_dir) -> DataFrame:
-    """Distinct ``(doc_id, n_sh, s)`` shingle ROWS, built row-wise.
+def _tri_rows(spark, sf_dir) -> DataFrame:
+    """Non-distinct ``(doc_id, s)`` trigram ROWS, built row-wise.
 
     Deliberately NOT ``explode(array_of_shingles)``: exploding a *computed*
     array re-evaluates the whole shingle expression per OUTPUT row inside
@@ -101,7 +101,7 @@ def _shingle_rows(spark, sf_dir) -> DataFrame:
     d = t(spark, sf_dir, "documents").repartition(par, "doc_id")
     tok = d.select("doc_id", F.posexplode(_toks()).alias("pos", "tk"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = tok.select(
+    return tok.select(
         "doc_id",
         # F.concat propagates NULL lead()s past the end -> trailing
         # sub-trigrams drop out in the filter (same set as the array form;
@@ -114,7 +114,11 @@ def _shingle_rows(spark, sf_dir) -> DataFrame:
             F.lead("tk", 2).over(w),
         ).alias("s"),
     ).filter(F.col("s").isNotNull())
-    dist = tri.distinct()
+
+
+def _shingle_rows(spark, sf_dir) -> DataFrame:
+    """Distinct ``(doc_id, n_sh, s)`` shingle ROWS (see ``_tri_rows``)."""
+    dist = _tri_rows(spark, sf_dir).distinct()
     wc = Window.partitionBy("doc_id")
     return dist.select(
         "doc_id", F.count(F.lit(1)).over(wc).alias("n_sh"), "s"
@@ -1937,7 +1941,7 @@ approx AS (
   FROM ({SQL_ANN_LSH_MULTIPROBE})
 )
 SELECT method, COUNT(*) AS returned,
-       SUM(COALESCE(hit, 0)) AS matched,
+       CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS matched,
        ROUND(SUM(COALESCE(hit, 0)) * 100.0 / COUNT(*), 2) AS match_pct
 FROM approx LEFT JOIN exact USING (query_id, neighbor_id)
 GROUP BY method
@@ -1968,10 +1972,197 @@ WITH exact AS (SELECT doc_a, doc_b FROM ({SQL_DEDUP_NGRAM_JACCARD})),
 approx AS (SELECT doc_a, doc_b, 1 AS m FROM ({SQL_DEDUP_MINHASH_LSH}))
 SELECT 'dedup_minhash_lsh' AS method,
        COUNT(*) AS exact_pairs,
-       SUM(COALESCE(m, 0)) AS matched,
+       CAST(SUM(COALESCE(m, 0)) AS BIGINT) AS matched,
        ROUND(SUM(COALESCE(m, 0)) * 100.0 / GREATEST(COUNT(*), 1), 2)
          AS recall_pct
 FROM exact LEFT JOIN approx USING (doc_a, doc_b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition_score — duplicate-n-gram scoring (the Gopher/MassiveText
+# repetition filters, Rae et al. 2021 §A1.1): per doc, the fraction of
+# trigram OCCURRENCES that are repeats of an earlier trigram in the same
+# doc, plus the share taken by the single most-repeated trigram.  Boiler-
+# plate, keyboard-mash and template spam score high; prose scores ~0.
+# Two hash-aggs on the same (doc_id[, s]) key prefix — partial aggregation
+# map-side, no window, no join: O(tokens) at any corpus size.
+# Reference analogue: the P7 DQ reason ladder (cnpj_ws_clean.sql:14-43)
+# flags structurally-bad rows; this is the text-corpus generalization.
+# ---------------------------------------------------------------------------
+REPETITION_NUM, REPETITION_DEN = 1, 50   # repetitive iff dup_frac > 1/50
+
+
+def q_repetition_score(spark, sf_dir):
+    tri = _tri_rows(spark, sf_dir)
+    per_gram = tri.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("c").alias("top_ngram_count"),
+    )
+    dup = F.col("total_ngrams") - F.col("distinct_ngrams")
+    return agg.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        "top_ngram_count",
+        F.round(dup * 100.0 / F.col("total_ngrams"), 2).alias("dup_ngram_pct"),
+        F.round(
+            F.col("top_ngram_count") * 100.0 / F.col("total_ngrams"), 2
+        ).alias("top_ngram_pct"),
+        # integer-exact threshold: dup/total > NUM/DEN (no float compare)
+        (dup * REPETITION_DEN > F.col("total_ngrams") * REPETITION_NUM).alias(
+            "repetitive"
+        ),
+    )
+
+
+SQL_REPETITION_SCORE = f"""
+WITH tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - {NGRAM_N - 2}),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= {NGRAM_N}
+),
+pc AS (SELECT doc_id, s, COUNT(*) AS c FROM tri GROUP BY doc_id, s),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+         COUNT(*) AS distinct_ngrams,
+         MAX(c) AS top_ngram_count
+  FROM pc GROUP BY doc_id
+)
+SELECT doc_id, total_ngrams, distinct_ngrams, top_ngram_count,
+       ROUND((total_ngrams - distinct_ngrams) * 100.0 / total_ngrams, 2)
+         AS dup_ngram_pct,
+       ROUND(top_ngram_count * 100.0 / total_ngrams, 2) AS top_ngram_pct,
+       (total_ngrams - distinct_ngrams) * {REPETITION_DEN}
+         > total_ngrams * {REPETITION_NUM} AS repetitive
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark_decontam — training-set decontamination: flag train/valid docs
+# whose content overlaps the held-out benchmark (here: the deterministic
+# 'test' split stands in for an eval set; in production the benchmark is an
+# external, *small* corpus).  The benchmark's distinct shingles form the
+# probe set; each non-test doc counts how many of ITS distinct shingles
+# appear in it, and is contaminated when ≥ half do.  The probe join is a
+# keyed equi-join on the shingle string — at 100 TB the benchmark side is
+# tiny (MBs of n-grams for any real eval suite) and broadcasts, so the
+# whole operator is one broadcast-hash pass over the corpus shingles with
+# no all-pairs risk.  GPT-3-style 13-gram decontamination is this exact
+# plan with NGRAM_N=13.
+# ---------------------------------------------------------------------------
+DECONTAM_NUM, DECONTAM_DEN = 1, 2   # contaminated iff overlap/n_sh >= 1/2
+
+
+def q_benchmark_decontam(spark, sf_dir):
+    sh = _shingle_rows(spark, sf_dir)
+    spl = q_train_test_split(spark, sf_dir).select("doc_id", "split")
+    sh = sh.join(spl, "doc_id")
+    bench = (
+        sh.filter(F.col("split") == "test")
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    nonb = sh.filter(F.col("split") != "test")
+    j = nonb.join(bench, "s", "left")
+    agg = j.groupBy("doc_id", "split", "n_sh").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("bench_overlap")
+    )
+    return agg.select(
+        "doc_id",
+        "split",
+        "n_sh",
+        "bench_overlap",
+        F.round(F.col("bench_overlap") * 100.0 / F.col("n_sh"), 2).alias(
+            "overlap_pct"
+        ),
+        (
+            F.col("bench_overlap") * DECONTAM_DEN
+            >= F.col("n_sh") * DECONTAM_NUM
+        ).alias("contaminated"),
+    )
+
+
+SQL_BENCHMARK_DECONTAM = f"""
+WITH ds AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
+  FROM ({_SQL_SHINGLES})
+),
+spl AS (SELECT doc_id, split FROM ({SQL_TRAIN_TEST_SPLIT}) x),
+tagged AS (SELECT ds.*, spl.split FROM ds JOIN spl USING (doc_id)),
+bench AS (SELECT DISTINCT s, 1 AS hit FROM tagged WHERE split = 'test'),
+agg AS (
+  SELECT doc_id, split, n_sh,
+         CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS bench_overlap
+  FROM tagged LEFT JOIN bench USING (s)
+  WHERE split <> 'test'
+  GROUP BY doc_id, split, n_sh
+)
+SELECT doc_id, split, n_sh, bench_overlap,
+       ROUND(bench_overlap * 100.0 / n_sh, 2) AS overlap_pct,
+       bench_overlap * {DECONTAM_DEN} >= n_sh * {DECONTAM_NUM}
+         AS contaminated
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — exact per-stratum quota sampling (data-mixture
+# control): within each language stratum, docs are ranked by the md5 of
+# their id (a deterministic, engine-portable shuffle) and the top
+# ceil(n/5) are sampled, so every stratum is represented at the target
+# rate regardless of corpus skew.  Stable under reruns and repartitioning.
+# Scale posture: the rank is a per-stratum window — with language-sized
+# strata (dozens) each stratum is one sort partition, the classic skew
+# hazard at 100 TB.  The scale path is documented in code: swap the exact
+# rank for the hash-threshold variant (keep iff h16 < frac·65536 — no sort,
+# quota exact to ±√n) or compute per-stratum hash cutoffs from a count
+# agg + approx quantile; the exact-rank form is kept here because quota
+# EXACTNESS is the contract under test.
+# ---------------------------------------------------------------------------
+SAMPLE_NUM, SAMPLE_DEN = 1, 5    # per-stratum quota: ceil(n / 5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    wc = Window.partitionBy("lang")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    d = d.withColumn("stratum_n", F.count(F.lit(1)).over(wc)).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    quota = F.expr(
+        f"(stratum_n * {SAMPLE_NUM} + {SAMPLE_DEN - 1}) DIV {SAMPLE_DEN}"
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "stratum_n",
+        "rk",
+        (F.col("rk") <= quota).alias("in_sample"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         COUNT(*) OVER (PARTITION BY lang) AS stratum_n,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, stratum_n, rk,
+       rk <= (stratum_n * {SAMPLE_NUM} + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+         AS in_sample
+FROM ranked
 """
 
 
@@ -2002,4 +2193,7 @@ CORPUS_QUERIES = {
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "ann_recall_report": (q_ann_recall_report, SQL_ANN_RECALL_REPORT),
     "dedup_recall_minhash": (q_dedup_recall_minhash, SQL_DEDUP_RECALL_MINHASH),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "benchmark_decontam": (q_benchmark_decontam, SQL_BENCHMARK_DECONTAM),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }

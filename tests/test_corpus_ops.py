@@ -242,3 +242,71 @@ def test_minhash_incremental_is_arrival_slice_of_full(spark):
     }
     assert inc == expected
     assert inc, "the sf0.001 corpus plants near-dups in the arrival slice"
+
+
+def test_repetition_score_flags_exactly_the_integer_rule(spark):
+    """dup/top percentages are bounded and ``repetitive`` is the exact
+    integer-arithmetic threshold (dup_frac > 1/50), not a float compare."""
+    from credix_data_pipeline_spark.plans.corpus_ops import (
+        REPETITION_DEN,
+        REPETITION_NUM,
+        q_repetition_score,
+    )
+
+    rows = q_repetition_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_ngrams <= r.total_ngrams
+        assert r.top_ngram_count <= r.total_ngrams
+        assert 0.0 <= r.dup_ngram_pct <= 100.0
+        # rounded to 2 decimals, so allow half-ulp slack below 100/total
+        assert r.top_ngram_pct >= 100.0 / r.total_ngrams - 0.005 - 1e-9
+        dup = r.total_ngrams - r.distinct_ngrams
+        assert r.repetitive == (
+            dup * REPETITION_DEN > r.total_ngrams * REPETITION_NUM
+        )
+
+
+def test_benchmark_decontam_excludes_test_split_and_bounds_overlap(spark):
+    """Decontamination scores only train/valid docs; overlap is bounded by
+    the doc's own shingle count; the contaminated flag matches the ratio."""
+    from credix_data_pipeline_spark.plans.corpus_ops import (
+        DECONTAM_DEN,
+        DECONTAM_NUM,
+        q_benchmark_decontam,
+    )
+
+    rows = q_benchmark_decontam(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.split in ("train", "valid") for r in rows)
+    for r in rows:
+        assert 0 <= r.bench_overlap <= r.n_sh
+        assert r.contaminated == (
+            r.bench_overlap * DECONTAM_DEN >= r.n_sh * DECONTAM_NUM
+        )
+
+
+def test_stratified_sample_hits_exact_quota_and_is_deterministic(spark):
+    """Every language stratum samples exactly ceil(n/DEN) docs, and two
+    independent runs pick the identical doc set (hash-ordered rank)."""
+    from credix_data_pipeline_spark.plans.corpus_ops import (
+        SAMPLE_DEN,
+        SAMPLE_NUM,
+        q_stratified_sample,
+    )
+
+    a = q_stratified_sample(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in a:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) > 1
+    for lang, rs in by_lang.items():
+        n = rs[0].stratum_n
+        assert len(rs) == n
+        quota = (n * SAMPLE_NUM + SAMPLE_DEN - 1) // SAMPLE_DEN
+        assert sum(r.in_sample for r in rs) == quota
+        assert sorted(r.rk for r in rs) == list(range(1, n + 1))
+    b = q_stratified_sample(spark, SF_DIR).collect()
+    assert {(r.doc_id) for r in a if r.in_sample} == {
+        (r.doc_id) for r in b if r.in_sample
+    }
