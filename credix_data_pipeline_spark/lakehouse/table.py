@@ -4,6 +4,8 @@ Layout::
 
     <table>/
       _meta/v00000000001.json     # snapshot manifests, monotone versions
+      _meta/seg-<sha1>.json       # per-bucket manifest segments (content-
+                                  # addressed, shared across snapshots)
       data/<commit-uuid>/_bucket=<k>/part-*.parquet
 
 Commit protocol: write the manifest to a temp file, then ``os.link`` it to its
@@ -17,12 +19,19 @@ Scale posture: manifests store per-bucket file lists, so key-targeted MERGE
 prunes to dirty buckets only (the Iceberg partition-pruning analogue); reads
 pass explicit file lists to the vectorized parquet reader with the table
 schema, so late-added columns read as NULL from old files (Iceberg-style
-evolution).  At 100 TB the manifest grows with file count — the same knee
-real Iceberg hits — mitigated by ``compact()`` (rewrite_data_files analogue).
+evolution).  The per-file state (file lists, ``_lsn`` stats, sequence
+numbers, position-delete files) is persisted as CONTENT-ADDRESSED per-bucket
+manifest SEGMENTS (the Iceberg manifest-file/manifest-list split): a commit
+touching 7 of 1024 buckets writes 7 small segment files plus a thin snapshot
+skeleton — every untouched bucket's segment hashes identically and is reused
+byte-for-byte — so commit metadata I/O is O(dirty buckets), not O(table
+files), and retention GCs segments no retained snapshot references.
+``compact()`` (rewrite_data_files analogue) bounds per-segment file counts.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -352,6 +361,49 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.meta_path = os.path.join(self.path, META_DIR)
+        # Parsed manifest segments by file name.  Segments are content-
+        # addressed and immutable, so the cache can never serve stale data;
+        # it turns history()/snapshot() walks into one read per DISTINCT
+        # segment instead of one per (snapshot × bucket).
+        self._seg_cache: dict[str, dict] = {}
+
+    # ------------------------------------------------- manifest segments
+    def _write_segment(self, seg: dict) -> str:
+        """Persist one bucket's manifest segment, content-addressed.
+
+        The canonical JSON bytes are hashed to the file name, so a bucket
+        untouched by a commit hashes to the SAME name its parent snapshot
+        references — the write is skipped and the new snapshot shares the
+        segment byte-for-byte (Iceberg's manifest-reuse rule).  Two
+        concurrent writers producing the same segment race benignly: the
+        content is identical, so the link-EEXIST loser just drops its temp
+        file."""
+        blob = json.dumps(seg, sort_keys=True).encode()
+        name = f"seg-{hashlib.sha1(blob).hexdigest()[:24]}.json"
+        final = os.path.join(self.meta_path, name)
+        if not os.path.exists(final):
+            tmp = os.path.join(
+                self.meta_path, f".tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "wb") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                pass  # same content already on disk
+            finally:
+                os.unlink(tmp)
+        return name
+
+    def _read_segment(self, name: str) -> dict:
+        seg = self._seg_cache.get(name)
+        if seg is None:
+            with open(os.path.join(self.meta_path, name)) as f:
+                seg = json.load(f)
+            self._seg_cache[name] = seg
+        return seg
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -457,6 +509,28 @@ class LakeTable:
     def _read_manifest_file(self, path: str) -> Snapshot:
         with open(path) as f:
             m = json.load(f)
+        if "segments" in m:
+            # segmented manifest: reassemble the per-file state from the
+            # content-addressed per-bucket segments (cached — immutable).
+            # Legacy manifests carry the same fields inline and skip this.
+            files: dict[str, list[str]] = {}
+            file_stats: dict[str, list[int]] = {}
+            file_seq: dict[str, int] = {}
+            delete_files: dict[str, list[str]] = {}
+            for b, name in m["segments"].items():
+                seg = self._read_segment(name)
+                if seg["files"]:
+                    files[b] = seg["files"]
+                file_stats.update(seg.get("file_stats", {}))
+                file_seq.update(
+                    {p: int(s) for p, s in seg.get("file_seq", {}).items()}
+                )
+                if seg.get("delete_files"):
+                    delete_files[b] = seg["delete_files"]
+            m["files"] = files
+            m["file_stats"] = file_stats
+            m["file_seq"] = file_seq
+            m["delete_files"] = delete_files
         schema = T.StructType.fromJson(m["schema"])
         # legacy manifests (pre field-id feature): positional ids — safe,
         # a legacy table has never renamed/dropped, so ids are only a base
@@ -924,6 +998,26 @@ class LakeTable:
                 if p in parent_files
                 else version
             )
+        dfiles = (
+            delete_files
+            if delete_files is not None
+            else (parent.delete_files if parent else {})
+        )
+        # Per-bucket manifest segments (the Iceberg manifest-file split):
+        # all O(files) state — file lists, _lsn stats, sequence numbers,
+        # position-delete files — leaves the snapshot skeleton and lands in
+        # content-addressed per-bucket files.  Unchanged buckets hash to
+        # the parent's segment and cost ZERO writes, so commit metadata I/O
+        # is O(dirty buckets) at any table size.
+        segments: dict[str, str] = {}
+        for b in sorted(set(files) | set(dfiles)):
+            bfiles = files.get(b, [])
+            segments[b] = self._write_segment({
+                "files": bfiles,
+                "file_stats": {p: stats[p] for p in bfiles if p in stats},
+                "file_seq": {p: fseq[p] for p in bfiles if p in fseq},
+                "delete_files": dfiles.get(b, []),
+            })
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -932,7 +1026,7 @@ class LakeTable:
             "key": key,
             "bucket_by": bucket_by,
             "num_buckets": num_buckets,
-            "files": files,
+            "segments": segments,
             "summary": summary,
             "committed_at_ms": int(time.time() * 1000),
             "merge_mode": merge_mode
@@ -940,12 +1034,6 @@ class LakeTable:
             "column_ids": ids,
             "next_column_id": nci,
             "dir_schemas": dsch,
-            "file_stats": stats,
-            "delete_files": (
-                delete_files
-                if delete_files is not None
-                else (parent.delete_files if parent else {})
-            ),
             "mor_deletes": (
                 mor_deletes
                 if mor_deletes is not None
@@ -961,7 +1049,6 @@ class LakeTable:
                 if eq_deletes is not None
                 else (list(parent.eq_deletes) if parent else [])
             ),
-            "file_seq": fseq,
             "properties": (
                 properties
                 if properties is not None
@@ -2379,8 +2466,42 @@ class LakeTable:
         for v in expire:
             os.unlink(os.path.join(self.meta_path, _manifest_name(v)))
 
-        files_deleted = 0
+        # Segment GC: a manifest segment lives exactly as long as some
+        # remaining manifest (published or staged) references it.  Segments
+        # never referenced by ANY manifest get the same in-flight grace as
+        # orphan data files — a concurrent commit writes its segments
+        # BEFORE linking its snapshot.
         now = time.time()
+        referenced: set[str] = set()
+        seg_names: list[str] = []
+        for name in os.listdir(self.meta_path):
+            if name.startswith("seg-") and name.endswith(".json"):
+                seg_names.append(name)
+            elif name.endswith(".json") and (
+                name.startswith("v") or name.startswith("staged-v")
+            ):
+                try:
+                    with open(os.path.join(self.meta_path, name)) as f:
+                        referenced.update(
+                            json.load(f).get("segments", {}).values()
+                        )
+                except (OSError, ValueError):
+                    continue
+        segments_deleted = 0
+        for name in seg_names:
+            if name in referenced:
+                continue
+            p = os.path.join(self.meta_path, name)
+            try:
+                if now - os.path.getmtime(p) < orphan_grace_sec:
+                    continue
+                os.unlink(p)
+            except OSError:
+                continue
+            self._seg_cache.pop(name, None)
+            segments_deleted += 1
+
+        files_deleted = 0
         data_root = os.path.join(self.path, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for fn in filenames:
@@ -2399,4 +2520,8 @@ class LakeTable:
                 files_deleted += 1
             if dirpath != data_root and not os.listdir(dirpath):
                 os.rmdir(dirpath)
-        return {"snapshots_expired": len(expire), "files_deleted": files_deleted}
+        return {
+            "snapshots_expired": len(expire),
+            "files_deleted": files_deleted,
+            "segments_deleted": segments_deleted,
+        }

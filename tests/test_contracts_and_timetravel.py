@@ -134,7 +134,8 @@ def test_expire_snapshots_retention(spark, tmp_path):
     assert res3["files_deleted"] >= 1 and not os.path.exists(stray)
     # idempotent re-run
     res4 = table.expire_snapshots(keep_last=3)
-    assert res4 == {"snapshots_expired": 0, "files_deleted": 0}
+    assert res4 == {"snapshots_expired": 0, "files_deleted": 0,
+                    "segments_deleted": 0}
 
 
 def test_read_keys_prunes_to_key_buckets(spark, replayed):
