@@ -27,6 +27,10 @@ Subcommands:
                   incremental-model analogue)
 * ``validate``  — run the data contracts (unique key, not-null, accepted
                   values) and exit non-zero on violations (dbt-test analogue)
+* ``sql``       — ad-hoc Spark SQL over the table's registered views:
+                  ``<view>`` = clean live rows, ``<view>_raw`` = versioned
+                  rows with bookkeeping; ``--as-of`` pins a past state
+                  (the dbt-model read surface for SQL consumers)
 * ``changes``   — changelog scan between two snapshots (Iceberg changelog /
                   Delta CDF analogue) for downstream incremental consumers
 * ``publish``   — CDC relay: publish the table's net changes as a
@@ -364,6 +368,26 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import register_sql_views
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    register_sql_views(
+        table,
+        args.view,
+        as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+    )
+    df = spark.sql(args.query)
+    if args.json:
+        for line in df.toJSON().toLocalIterator():
+            print(line)
+    else:
+        df.show(n=args.limit, truncate=False)
+    return 0
+
+
 def cmd_gold_refresh(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.gold_incremental import (
@@ -676,6 +700,23 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--as-of", default=None,
                     help="time-travel the lookup: ISO-8601 or epoch ms")
     lk.set_defaults(fn=cmd_lookup)
+
+    sq = sub.add_parser(
+        "sql",
+        help="ad-hoc Spark SQL over the table's clean/_raw views "
+        "(the dbt-model read surface)",
+    )
+    sq.add_argument("--table", required=True)
+    sq.add_argument("--view", default="t",
+                    help="view name the query refers to (default: t; "
+                    "<view>_raw exposes _lsn/_deleted bookkeeping)")
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--as-of", default=None,
+                    help="pin the views to a past state: ISO-8601 or epoch ms")
+    sq.add_argument("--limit", type=int, default=100)
+    sq.add_argument("--json", action="store_true",
+                    help="print JSON lines instead of a table")
+    sq.set_defaults(fn=cmd_sql)
 
     gr = sub.add_parser("gold-refresh", help="incremental gold materialization")
     gr.add_argument("--table", required=True)

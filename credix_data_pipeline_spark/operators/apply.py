@@ -570,6 +570,38 @@ def read_clean(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
 
+def register_sql_views(
+    table: LakeTable,
+    name: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Register the table as Spark SQL temp views — the dbt-model read
+    surface (the reference's consumers query silver/gold models as SQL
+    relations, e.g. ``models/gold/daily_analytics.sql``):
+
+    * ``<name>``      — clean live rows: LWW winners with tombstones and
+      purges applied (what a SQL analyst means by "the table").
+    * ``<name>_raw``  — the versioned rows including ``_lsn`` /
+      ``_deleted`` bookkeeping, for audits and debugging.
+
+    Time travel: ``snapshot_id`` or ``as_of_ms`` (FOR SYSTEM_TIME AS OF)
+    pin a past state.  Registration resolves the manifest ONCE, so every
+    query against the view reads one consistent snapshot even while
+    writers keep committing — re-register to advance.  Returns the clean
+    DataFrame."""
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of_ms, not both")
+        snapshot_id = table.snapshot_as_of(as_of_ms).snapshot_id
+    clean = read_clean(table, snapshot_id=snapshot_id)
+    clean.createOrReplaceTempView(name)
+    read_current(table, snapshot_id=snapshot_id).createOrReplaceTempView(
+        f"{name}_raw"
+    )
+    return clean
+
+
 def expire_tombstones(table: LakeTable, horizon_lsn: int) -> None:
     """Drop tombstones whose delete LSN is older than the reorder horizon
     (safe once no in-flight event can carry a lower LSN), then compact.
