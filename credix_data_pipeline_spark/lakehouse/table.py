@@ -88,6 +88,13 @@ class Snapshot:
     # Files absent here (legacy commits, tables without _lsn) are never
     # skipped.  Pruned to live files at every commit.
     file_stats: dict[str, list[int]] = field(default_factory=dict)
+    # per-file EVENT-TIME bounds (epoch ms over the non-null ``ts``
+    # values): the manifest column-stats analogue for wall-clock slices.
+    # ``read(ts_between=...)`` skips files provably outside the window —
+    # zero footer opens, zero scan tasks — when the one-live-version
+    # invariant holds (CoW / MoR position-delete mode).  Files absent
+    # here are never skipped.
+    ts_stats: dict[str, list[int]] = field(default_factory=dict)
     # Merge-on-read POSITION DELETES (Iceberg v2 position-delete files):
     # bucket id -> delete-file paths; each delete file holds (file, pos)
     # rows marking superseded ordinals in OLDER data files of the same
@@ -515,6 +522,7 @@ class LakeTable:
             # Legacy manifests carry the same fields inline and skip this.
             files: dict[str, list[str]] = {}
             file_stats: dict[str, list[int]] = {}
+            ts_stats: dict[str, list[int]] = {}
             file_seq: dict[str, int] = {}
             delete_files: dict[str, list[str]] = {}
             for b, name in m["segments"].items():
@@ -522,6 +530,7 @@ class LakeTable:
                 if seg["files"]:
                     files[b] = seg["files"]
                 file_stats.update(seg.get("file_stats", {}))
+                ts_stats.update(seg.get("ts_stats", {}))
                 file_seq.update(
                     {p: int(s) for p, s in seg.get("file_seq", {}).items()}
                 )
@@ -529,6 +538,7 @@ class LakeTable:
                     delete_files[b] = seg["delete_files"]
             m["files"] = files
             m["file_stats"] = file_stats
+            m["ts_stats"] = ts_stats
             m["file_seq"] = file_seq
             m["delete_files"] = delete_files
         schema = T.StructType.fromJson(m["schema"])
@@ -556,6 +566,7 @@ class LakeTable:
             or (max(ids.values(), default=0) + 1),
             dir_schemas=m.get("dir_schemas", {}),
             file_stats=m.get("file_stats", {}),
+            ts_stats=m.get("ts_stats", {}),
             delete_files=m.get("delete_files", {}),
             mor_deletes=m.get("mor_deletes", False),
             mor_prefer=m.get("mor_prefer")
@@ -757,6 +768,7 @@ class LakeTable:
             next_column_id=max(cur.next_column_id, target.next_column_id),
             dir_schemas=dict(target.dir_schemas),
             file_stats=dict(target.file_stats),
+            ts_stats=dict(target.ts_stats),
             delete_files=dict(target.delete_files),
             eq_deletes=list(target.eq_deletes),
             # the target's file sequence numbers must roll back WITH its
@@ -852,6 +864,7 @@ class LakeTable:
             next_column_id=snap.next_column_id,
             dir_schemas=dict(snap.dir_schemas),
             file_stats={_abs(p): list(s) for p, s in snap.file_stats.items()},
+            ts_stats={_abs(p): list(s) for p, s in snap.ts_stats.items()},
             delete_files={
                 b: [_abs(f) for f in fl]
                 for b, fl in snap.delete_files.items()
@@ -914,6 +927,7 @@ class LakeTable:
         next_column_id: int | None = None,
         dir_schemas: dict[str, dict] | None = None,
         file_stats: dict[str, list[int]] | None = None,
+        ts_stats: dict[str, list[int]] | None = None,
         delete_files: dict[str, list[str]] | None = None,
         mor_deletes: bool | None = None,
         mor_prefer: str | None = None,
@@ -979,6 +993,25 @@ class LakeTable:
                 s = self._lsn_footer_stats(rel)
                 if s is not None:
                     stats[rel] = s
+        # Event-time bounds (same footer-read rule, epoch-ms ints): carried
+        # for survivors, read once for files new in this commit.
+        tstats = {
+            p: s
+            for p, s in (
+                ts_stats
+                if ts_stats is not None
+                else (parent.ts_stats if parent else {})
+            ).items()
+            if p in live_files
+        }
+        if any(
+            f.name == "ts" and isinstance(f.dataType, T.TimestampType)
+            for f in schema.fields
+        ):
+            for rel in sorted(live_files - set(tstats)):
+                s = self._footer_stats(rel, "ts")
+                if s is not None:
+                    tstats[rel] = s
         # File sequence numbers (the Iceberg data-sequence-number rule that
         # scopes equality deletes): carried for surviving files; files NEW
         # in this commit get this commit's version; live files with no
@@ -1015,6 +1048,7 @@ class LakeTable:
             segments[b] = self._write_segment({
                 "files": bfiles,
                 "file_stats": {p: stats[p] for p in bfiles if p in stats},
+                "ts_stats": {p: tstats[p] for p in bfiles if p in tstats},
                 "file_seq": {p: fseq[p] for p in bfiles if p in fseq},
                 "delete_files": dfiles.get(b, []),
             })
@@ -1084,27 +1118,50 @@ class LakeTable:
     def _lsn_footer_stats(self, rel_path: str) -> list[int] | None:
         """[lsn_min, lsn_max] from the parquet footer, or None (missing
         column / all-null / unreadable — the file is then never skipped)."""
+        return self._footer_stats(rel_path, "_lsn")
+
+    def _footer_stats(self, rel_path: str, col: str) -> list[int] | None:
+        """[min, max] of ``col`` from the parquet footer as ints (epoch ms
+        for timestamp columns), or None (missing column / all-null /
+        unreadable — the file is then never skipped)."""
         try:
+            import datetime as _dt
+
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
             idx = None
             for i in range(md.num_columns):
-                if md.schema.column(i).name == "_lsn":
+                if md.schema.column(i).name == col:
                     idx = i
                     break
             if idx is None:
                 return None
+
+            def _ms(v):
+                if isinstance(v, _dt.datetime):
+                    if v.tzinfo is None:
+                        # parquet timestamps are UTC-adjusted; pyarrow may
+                        # surface them naive — naive means UTC here, and
+                        # .timestamp() on naive would assume LOCAL time
+                        v = v.replace(tzinfo=_dt.timezone.utc)
+                    return int(v.timestamp() * 1000)
+                return int(v)
+
             lo = hi = None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
+                    # all-null row groups carry no min/max; if the whole
+                    # group is null the file still has no usable bound
+                    if st is not None and st.num_values == 0:
+                        continue
                     return None  # partial stats: never skip this file
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
             if lo is None:
                 return None
-            return [int(lo), int(hi)]
+            return [_ms(lo), _ms(hi)]
         except Exception:
             return None
 
@@ -1120,6 +1177,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         lsn_above: int | None = None,
         as_of_ms: int | None = None,
+        ts_between: tuple[int | None, int | None] | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past snapshot / a bucket subset).
 
@@ -1137,6 +1195,16 @@ class LakeTable:
         STILL apply the row-level ``_lsn > N`` filter — stats prune whole
         files; surviving files can hold straddling rows.  Files without
         recorded bounds are never skipped.
+
+        ``ts_between=(lo_ms, hi_ms)`` returns the EVENT-TIME slice (rows
+        with non-null ``ts`` inside the inclusive window; either bound may
+        be None).  The row-level predicate is applied here, and files whose
+        manifest ``ts`` bounds prove them disjoint from the window are
+        skipped by metadata alone — the "last 7 days" analytical scan plans
+        only the warm files.  Stats-skipping engages only when the
+        one-live-version invariant holds (CoW, or MoR position-delete
+        mode): under blind-append MoR the LWW collapse must see EVERY
+        version of a key, so there the slice is filter-only.
         """
         if snapshot_id is not None and as_of_ms is not None:
             raise ValueError("pass snapshot_id OR as_of_ms, not both")
@@ -1146,7 +1214,9 @@ class LakeTable:
             snap = self.snapshot(snapshot_id)
         else:
             snap = self.current()
-        return self.read_snap(snap, buckets=buckets, lsn_above=lsn_above)
+        return self.read_snap(
+            snap, buckets=buckets, lsn_above=lsn_above, ts_between=ts_between
+        )
 
     def _pos_cols(self, df: DataFrame) -> DataFrame:
         """Attach the file-position identity of each row (``_file`` = path
@@ -1174,6 +1244,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         lsn_above: int | None = None,
         with_pos: bool = False,
+        ts_between: tuple[int | None, int | None] | None = None,
     ) -> DataFrame:
         """Read an explicit Snapshot object — also works for a staged
         (not-yet-published) snapshot, which is how the WAP audit inspects
@@ -1193,6 +1264,13 @@ class LakeTable:
         if buckets is not None:
             wanted = {str(b) for b in buckets}
             file_map = {b: fl for b, fl in file_map.items() if b in wanted}
+        # Event-time file skipping is sound only when each key has ONE
+        # live version in the data files (CoW always; MoR once position
+        # deletes arbitrate): a blind-append MoR read must LWW-collapse
+        # over every version, so pruning there could resurrect a stale
+        # in-window version whose winner sits in a pruned file.
+        ts_skip_ok = snap.merge_mode == "cow" or snap.mor_deletes
+        ts_lo, ts_hi = ts_between if ts_between is not None else (None, None)
         # group files by writing commit dir: each dir was written under ONE
         # schema, so field-id projection decisions are per-dir
         by_dir: dict[str, list[str]] = {}
@@ -1202,6 +1280,13 @@ class LakeTable:
                     s = snap.file_stats.get(f)
                     if s is not None and s[1] <= lsn_above:
                         continue  # provably no rows past the high-water
+                if ts_between is not None and ts_skip_ok:
+                    s = snap.ts_stats.get(f)
+                    if s is not None and (
+                        (ts_hi is not None and s[0] > ts_hi)
+                        or (ts_lo is not None and s[1] < ts_lo)
+                    ):
+                        continue  # provably outside the event-time window
                 by_dir.setdefault(_commit_dir(f), []).append(
                     os.path.join(self.path, f)
                 )
@@ -1248,6 +1333,20 @@ class LakeTable:
             out = self._apply_eq_deletes(out, snap, eq_entries, read_files)
             if not with_pos:
                 out = out.drop("_file", "_pos")
+        if ts_between is not None:
+            # the row-level predicate: stats pruned whole files, surviving
+            # files can hold straddling rows; Catalyst pushes this to the
+            # parquet scan so row groups prune too
+            pred = F.col("ts").isNotNull()
+            if ts_lo is not None:
+                pred = pred & (
+                    F.col("ts") >= F.timestamp_millis(F.lit(ts_lo))
+                )
+            if ts_hi is not None:
+                pred = pred & (
+                    F.col("ts") <= F.timestamp_millis(F.lit(ts_hi))
+                )
+            out = out.filter(pred)
         return out
 
     def _live_eq_entries(

@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (the legacy default) carries NO min/max column statistics;
+        # TIMESTAMP_MICROS restores footer stats so event-time file
+        # pruning (ts_stats) and row-group skipping work on `ts`
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # File-source listing parallelism for the change-feed directory scan.
