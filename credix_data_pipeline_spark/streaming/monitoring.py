@@ -92,11 +92,28 @@ def freshness(
     now = time.time() if as_of_sec is None else as_of_sec
     last = row["last_committed_at"]
     staleness = None if last is None else max(0.0, now - last.timestamp())
+    # DATA freshness, distinct from pipeline freshness: the newest event
+    # time in the table, read from the manifest ts_stats alone — zero data
+    # scans at any table size (None on pre-feature tables).
+    event_hw_ms = None
+    try:
+        from credix_data_pipeline_spark.lakehouse import LakeTable
+
+        stats = LakeTable.load(spark, table_path).current().ts_stats
+        event_hw_ms = max((s[1] for s in stats.values()), default=None)
+    except FileNotFoundError:
+        pass
     return {
         "last_batch_id": row["last_batch_id"],
         "lsn_high_water": row["lsn_high_water"],
         "last_committed_at": None if last is None else last.isoformat(),
         "staleness_sec": None if staleness is None else round(staleness, 3),
+        "event_time_high_water_ms": event_hw_ms,
+        "event_staleness_sec": (
+            None
+            if event_hw_ms is None
+            else round(max(0.0, now - event_hw_ms / 1000.0), 3)
+        ),
         "status": (
             "NO_COMMITS"
             if staleness is None

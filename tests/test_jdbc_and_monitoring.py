@@ -180,6 +180,21 @@ def test_monitor_freshness_and_volume(spark, replayed_table):
     assert vol["anomaly_count"] == 0
     assert report["errors"]["rows_quarantined"] == 0
     assert report["throughput"]["events_per_sec"] > 0
+    # DATA freshness comes from the manifest ts_stats (zero data scans)
+    # and must equal the actual max event time in the table
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import functions as F
+
+    hw = report["freshness"]["event_time_high_water_ms"]
+    assert hw is not None and report["freshness"]["event_staleness_sec"] >= 0
+    import datetime as dt
+
+    want = (
+        LakeTable.load(spark, replayed_table).read()
+        .agg(F.max("ts")).first()[0]
+        .replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    assert hw == int(want)
 
 
 def test_monitor_flags_stale_and_anomalous(spark, replayed_table):
