@@ -162,6 +162,19 @@ class Snapshot:
         return {_commit_dir(f) for fl in self.files.values() for f in fl}
 
 
+def ts_predicate(ts_between: tuple[int | None, int | None]):
+    """The row-level event-time-window predicate (non-null ``ts`` inside
+    the inclusive epoch-ms bounds; either side may be None) — the exact
+    filter ``read(ts_between=...)`` applies on top of stats skipping."""
+    lo, hi = ts_between
+    pred = F.col("ts").isNotNull()
+    if lo is not None:
+        pred = pred & (F.col("ts") >= F.timestamp_millis(F.lit(lo)))
+    if hi is not None:
+        pred = pred & (F.col("ts") <= F.timestamp_millis(F.lit(hi)))
+    return pred
+
+
 def _file_token(p: str) -> str:
     """Root-independent identity of a data-file path: ``data/<commit>/
     _bucket=K/<file>`` — exactly the ``_file`` column ``_pos_cols``
@@ -1337,16 +1350,7 @@ class LakeTable:
             # the row-level predicate: stats pruned whole files, surviving
             # files can hold straddling rows; Catalyst pushes this to the
             # parquet scan so row groups prune too
-            pred = F.col("ts").isNotNull()
-            if ts_lo is not None:
-                pred = pred & (
-                    F.col("ts") >= F.timestamp_millis(F.lit(ts_lo))
-                )
-            if ts_hi is not None:
-                pred = pred & (
-                    F.col("ts") <= F.timestamp_millis(F.lit(ts_hi))
-                )
-            out = out.filter(pred)
+            out = out.filter(ts_predicate(ts_between))
         return out
 
     def _live_eq_entries(
@@ -1476,6 +1480,7 @@ class LakeTable:
         snap: Snapshot | None = None,
         buckets: list[int] | None = None,
         with_pos: bool = False,
+        ts_between: tuple[int | None, int | None] | None = None,
     ) -> DataFrame:
         """One CURRENT row version per key (tombstones included) under the
         table's merge mode:
@@ -1489,15 +1494,26 @@ class LakeTable:
         """
         snap = snap or self.current()
         if snap.merge_mode != "mor":
-            return self.read_snap(snap, buckets=buckets, with_pos=with_pos)
+            return self.read_snap(
+                snap, buckets=buckets, with_pos=with_pos,
+                ts_between=ts_between,
+            )
         if snap.mor_deletes:
+            # one live version per key: the event-time slice can prune and
+            # filter BEFORE the position-delete anti-join (delete rows
+            # reference superseded coordinates — pruning data files never
+            # hides a winner)
             dels = self._delete_rows(snap, buckets)
             if dels is None and not with_pos:
                 # no outstanding deletes (e.g. right after compaction):
                 # a plain flat scan, same as CoW
-                df = self.read_snap(snap, buckets=buckets)
+                df = self.read_snap(
+                    snap, buckets=buckets, ts_between=ts_between
+                )
                 return df.drop("_seq") if "_seq" in df.columns else df
-            df = self.read_snap(snap, buckets=buckets, with_pos=True)
+            df = self.read_snap(
+                snap, buckets=buckets, with_pos=True, ts_between=ts_between
+            )
             if dels is not None:
                 df = df.join(
                     dels,
@@ -1510,10 +1526,14 @@ class LakeTable:
                 # the invariant: internal column, never user-visible
                 df = df.drop("_seq")
             return df if with_pos else df.drop("_file", "_pos")
+        # blind-append MoR: the LWW collapse must see EVERY version of a
+        # key, so the event-time slice applies strictly AFTER the collapse
         df = self.read_snap(snap, buckets=buckets, with_pos=with_pos)
         df = self._lww_collapse(df, snap=snap)
         if "_seq" in df.columns:
             df = df.drop("_seq")
+        if ts_between is not None:
+            df = df.filter(ts_predicate(ts_between))
         return df
 
     def read_keys(

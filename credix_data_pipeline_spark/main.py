@@ -374,10 +374,17 @@ def cmd_sql(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
+    ts_between = None
+    if args.ts_from or args.ts_to:
+        ts_between = (
+            _parse_ts_ms(args.ts_from) if args.ts_from else None,
+            _parse_ts_ms(args.ts_to) if args.ts_to else None,
+        )
     register_sql_views(
         table,
         args.view,
         as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+        ts_between=ts_between,
     )
     df = spark.sql(args.query)
     if args.json:
@@ -713,6 +720,11 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--query", required=True)
     sq.add_argument("--as-of", default=None,
                     help="pin the views to a past state: ISO-8601 or epoch ms")
+    sq.add_argument("--ts-from", default=None,
+                    help="event-time slice lower bound (ISO-8601 or epoch "
+                    "ms, inclusive) — plans only warm files")
+    sq.add_argument("--ts-to", default=None,
+                    help="event-time slice upper bound (inclusive)")
     sq.add_argument("--limit", type=int, default=100)
     sq.add_argument("--json", action="store_true",
                     help="print JSON lines instead of a table")

@@ -547,6 +547,7 @@ def read_current(
     table: LakeTable,
     snapshot_id: int | None = None,
     buckets: list[int] | None = None,
+    ts_between: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """Current row versions (tombstones still present).
 
@@ -561,12 +562,26 @@ def read_current(
     snap = (
         table.snapshot(snapshot_id) if snapshot_id else table.current()
     )
-    return table.current_versions(snap=snap, buckets=buckets)
+    return table.current_versions(
+        snap=snap, buckets=buckets, ts_between=ts_between
+    )
 
 
-def read_clean(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
-    """Public view of the target: tombstones and bookkeeping filtered out."""
-    df = read_current(table, snapshot_id=snapshot_id)
+def read_clean(
+    table: LakeTable,
+    snapshot_id: int | None = None,
+    ts_between: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """Public view of the target: tombstones and bookkeeping filtered out.
+
+    ``ts_between=(lo_ms, hi_ms)`` slices by event time with manifest-stats
+    file pruning where the merge mode allows it (see ``LakeTable.read``).
+
+    Tables without a ``_deleted`` column (created outside the CDC replay
+    path — plain warehouse loads) have no tombstones to filter."""
+    df = read_current(table, snapshot_id=snapshot_id, ts_between=ts_between)
+    if "_deleted" not in df.columns:
+        return df
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
 
@@ -575,6 +590,7 @@ def register_sql_views(
     name: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ts_between: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """Register the table as Spark SQL temp views — the dbt-model read
     surface (the reference's consumers query silver/gold models as SQL
@@ -586,19 +602,21 @@ def register_sql_views(
       ``_deleted`` bookkeeping, for audits and debugging.
 
     Time travel: ``snapshot_id`` or ``as_of_ms`` (FOR SYSTEM_TIME AS OF)
-    pin a past state.  Registration resolves the manifest ONCE, so every
-    query against the view reads one consistent snapshot even while
-    writers keep committing — re-register to advance.  Returns the clean
-    DataFrame."""
+    pin a past state.  ``ts_between=(lo_ms, hi_ms)`` scopes both views to
+    an event-time slice with manifest-stats file pruning — the analyst's
+    "last 7 days" query plans only the warm files.  Registration resolves
+    the manifest ONCE, so every query against the view reads one
+    consistent snapshot even while writers keep committing — re-register
+    to advance.  Returns the clean DataFrame."""
     if as_of_ms is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or as_of_ms, not both")
         snapshot_id = table.snapshot_as_of(as_of_ms).snapshot_id
-    clean = read_clean(table, snapshot_id=snapshot_id)
+    clean = read_clean(table, snapshot_id=snapshot_id, ts_between=ts_between)
     clean.createOrReplaceTempView(name)
-    read_current(table, snapshot_id=snapshot_id).createOrReplaceTempView(
-        f"{name}_raw"
-    )
+    read_current(
+        table, snapshot_id=snapshot_id, ts_between=ts_between
+    ).createOrReplaceTempView(f"{name}_raw")
     return clean
 
 

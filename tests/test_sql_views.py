@@ -102,3 +102,29 @@ def test_cli_sql_json(spark, table, capsys):
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and sum(got.values()) == read_clean(table).count()
+
+
+def test_cli_sql_event_time_slice(spark, table, capsys):
+    """`sql --ts-from/--ts-to` registers views over the event-time slice
+    (manifest-stats pruned) — counts match the API-side slice."""
+    import datetime as dt
+
+    lo_dt, hi_dt = read_clean(table).agg(
+        F.min("ts"), F.max("ts")
+    ).first()
+    lo = int(lo_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    hi = int(hi_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    mid = (lo + hi) // 2
+    rc = cli.main([
+        "sql", "--table", table.path, "--json",
+        "--ts-from", str(mid), "--ts-to", str(hi),
+        "--query", "SELECT COUNT(*) AS n FROM t",
+    ])
+    assert rc == 0
+    out = [
+        json.loads(x)
+        for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1]
+    want = read_clean(table, ts_between=(mid, hi)).count()
+    assert out["n"] == want and 0 < want < read_clean(table).count()

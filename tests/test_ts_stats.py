@@ -17,6 +17,7 @@ SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("ts", T.TimestampType(), True),
         T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
     ]
 )
 
@@ -30,7 +31,7 @@ def _day_rows(spark, day: int, convs, lsn0: int):
         (
             f"conv{c:04d}", i, f"d{day} {c} {i}",
             T0 + dt.timedelta(days=day, minutes=c * 10 + i),
-            lsn0 + c * 4 + i,
+            lsn0 + c * 4 + i, False,
         )
         for c in convs
         for i in range(4)
@@ -104,7 +105,7 @@ def test_mor_append_slice_is_filter_only_but_correct(spark, tmp_table):
     # LWW winner for that key is OUTSIDE a day-0 slice
     upd = spark.createDataFrame(
         [("conv0000", 0, "rewritten",
-          T0 + dt.timedelta(days=3, hours=1), 10_000)], SCHEMA
+          T0 + dt.timedelta(days=3, hours=1), 10_000, False)], SCHEMA
     )
     t.append_mor_delta(upd, None)
     lo, hi = _win(0, 1)
@@ -142,3 +143,40 @@ def test_ts_stats_survive_segments_rollback_and_compact(spark, tmp_table):
     snap = t.current()
     assert set(snap.ts_stats) == set(snap.all_files())
     assert t.read(ts_between=_win(1, 2)).count() == 80
+
+
+def test_read_clean_slice_applies_after_lww_on_mor_append(spark, tmp_table):
+    """The clean-read event-time slice on a blind-append MoR table slices
+    WINNERS, not versions: a key whose winner moved out of the window
+    must vanish from the in-window slice."""
+    from credix_data_pipeline_spark.operators.apply import read_clean
+
+    t = _mk_days(spark, tmp_table, n_days=2, merge_mode="mor-append")
+    upd = spark.createDataFrame(
+        [("conv0000", 0, "moved", T0 + dt.timedelta(days=9), 99_999,
+          False)],
+        SCHEMA,
+    )
+    t.append_mor_delta(upd, None)
+    lo, hi = _win(0, 1)
+    keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in read_clean(t, ts_between=(lo, hi)).collect()
+    }
+    assert ("conv0000", 0) not in keys
+    assert len(keys) == 79
+    # and the moved winner shows up in ITS window
+    later = read_clean(t, ts_between=(T0_MS + 9 * DAY_MS, None))
+    assert {(r["conv_id"], r["turn_idx"]) for r in later.collect()} == {
+        ("conv0000", 0)
+    }
+
+
+def test_read_clean_slice_prunes_on_cow(spark, tmp_table):
+    from credix_data_pipeline_spark.operators.apply import read_clean
+
+    t = _mk_days(spark, tmp_table)
+    lo, hi = _win(2, 3)
+    df = read_clean(t, ts_between=(lo, hi))
+    assert df.count() == 80
+    assert 0 < len(df.inputFiles()) < len(t.read().inputFiles())
