@@ -731,7 +731,7 @@ class LakeTable:
     def _fence_as_of(self, version: int) -> dict[str, Any]:
         """Fence / high-water summary keys visible at ``version`` — what
         ``carry_fence`` would have returned right after that commit."""
-        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw",
+        want = ("batch_id", "fences", "lsn_min", "lsn_max", "source_lsn_hw",
                 "source_snapshot_id")
         out: dict[str, Any] = {}
         for v in reversed([x for x in self._versions() if x <= version]):
@@ -761,6 +761,7 @@ class LakeTable:
         cur = self.current()
         fence = self._fence_as_of(target.version)
         fence.setdefault("batch_id", None)  # explicit fence reset marker
+        fence.setdefault("fences", None)  # fan-in per-source fences too
         fence.setdefault("source_lsn_hw", None)
         return self._commit(
             parent=cur,
@@ -2329,7 +2330,7 @@ class LakeTable:
         them.  Maintenance commits (compact, expire-tombstones) merge this
         into their own summary so retention can never bury the exactly-once
         fence or an incremental model's high-water (ADVICE r2)."""
-        want = ("batch_id", "lsn_min", "lsn_max", "source_lsn_hw",
+        want = ("batch_id", "fences", "lsn_min", "lsn_max", "source_lsn_hw",
                 "source_snapshot_id")
         out: dict[str, Any] = {}
         for snap in reversed(self.history()):

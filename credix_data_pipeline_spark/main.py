@@ -86,9 +86,42 @@ def cmd_generate(args) -> int:
         duplicate_pct=args.duplicate_pct,
         hot_pct=args.hot_pct,
         events_per_chunk=args.events_per_chunk,
+        n_shards=args.shards,
+        shard=args.shard,
     )
     manifest = write_feed(spark, args.feed, spec)
     print(json.dumps({"feed": args.feed, "chunks": len(manifest["chunks"])}))
+    return 0
+
+
+def cmd_replay_fanin(args) -> int:
+    from credix_data_pipeline_spark.functions.normalize import (
+        with_normalized_text,
+    )
+    from credix_data_pipeline_spark.streaming import runner
+
+    spark = _spark(args)
+    feeds: dict[str, str] = {}
+    for pair in args.feeds.split(","):
+        name, _, path = pair.partition("=")
+        if not name or not path:
+            raise SystemExit(f"--feeds entry {pair!r} is not name=path")
+        feeds[name] = path
+    stats = runner.replay_fanin(
+        spark,
+        feeds,
+        args.table,
+        chunks_per_batch=args.chunks_per_batch,
+        num_buckets=args.buckets,
+        transform=with_normalized_text if not args.no_normalize else None,
+        collect_stats=not args.fast,
+        merge_mode=args.merge_mode,
+    )
+    print(json.dumps({
+        n: {"batches": s.batches, "rows_in": s.rows_in,
+            "rows_applied": s.rows_applied, "wall_ms": s.wall_ms}
+        for n, s in stats.items()
+    }))
     return 0
 
 
@@ -573,7 +606,27 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--duplicate-pct", type=int, default=3)
     g.add_argument("--hot-pct", type=int, default=5)
     g.add_argument("--events-per-chunk", type=int, default=10_000)
+    g.add_argument("--shards", type=int, default=1,
+                   help="emit only the shard owning conv %% shards == "
+                        "--shard (sharded-upstream fan-in)")
+    g.add_argument("--shard", type=int, default=0)
     g.set_defaults(fn=cmd_generate)
+
+    rf = sub.add_parser(
+        "replay-fanin",
+        help="fan-in replay: N sharded feeds (name=path,...) into one table "
+             "with per-source exactly-once fences",
+    )
+    rf.add_argument("--feeds", required=True,
+                    help="comma-separated name=path pairs")
+    rf.add_argument("--table", required=True)
+    rf.add_argument("--buckets", type=int, default=32)
+    rf.add_argument("--chunks-per-batch", type=int, default=4)
+    rf.add_argument("--no-normalize", action="store_true")
+    rf.add_argument("--fast", action="store_true")
+    rf.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
+                    default="cow")
+    rf.set_defaults(fn=cmd_replay_fanin)
 
     for name, fn in (("replay", cmd_replay), ("stream", cmd_stream)):
         r = sub.add_parser(name)

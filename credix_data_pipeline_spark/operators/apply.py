@@ -87,18 +87,39 @@ class ContractViolation(RuntimeError):
         super().__init__(f"batch {batch_id} failed contract audit: {bad}")
 
 
-def last_applied_batch_id(table: LakeTable) -> int | None:
-    """Newest merge-commit's batch_id (the fence).  Authoritative because it
-    was written in the same atomic commit as the data.  A rollback commit
-    carries the fence AS OF its target — explicitly ``None`` when the target
-    predates the first merge — so the scan must stop at the first commit
-    that *declares* a fence, even a null one (otherwise a rollback past
-    batch 0 would resurrect the pre-rollback fence and refuse re-apply)."""
+def _fence_state(table: LakeTable) -> tuple[int | None, dict | None]:
+    """(scalar batch_id, per-source fences map) from the newest commit that
+    declares a fence.  The scan stops at the first commit carrying either
+    key, even with a null value: a rollback commit writes explicit ``None``
+    markers so pre-rollback fences can never shine through (see
+    ``LakeTable.rollback_to``).  Fan-in merge commits write BOTH keys in
+    one summary, so whichever mode the table is in, one commit answers."""
     for snap in reversed(table.history()):
-        if "batch_id" in snap.summary:
-            v = snap.summary["batch_id"]
-            return None if v is None else int(v)
-    return None
+        s = snap.summary
+        if "batch_id" in s or "fences" in s:
+            b = s.get("batch_id")
+            return (None if b is None else int(b), s.get("fences"))
+    return (None, None)
+
+
+def last_applied_batch_id(
+    table: LakeTable, source: str | None = None
+) -> int | None:
+    """Newest merge-commit's batch_id (the fence).  Authoritative because it
+    was written in the same atomic commit as the data.
+
+    With ``source`` set (fan-in ingest: N sharded upstream feeds into one
+    table), the fence is per-source: each merge commit carries the full
+    ``fences`` map ``{source: batch_id}``, merged from the previous map, so
+    the newest fence-declaring commit answers for every source and the map
+    rolls back / is retained exactly like the scalar fence."""
+    scalar, fences = _fence_state(table)
+    if source is None:
+        return scalar
+    if not fences:
+        return None
+    v = fences.get(source)
+    return None if v is None else int(v)
 
 
 def dedup_events(events: DataFrame, key: list[str]) -> DataFrame:
@@ -219,8 +240,21 @@ def apply_batch(
     write_salt: int = 4,
     collect_stats: bool = True,
     wap: bool = False,
+    source: str | None = None,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the target table.
+
+    ``source=<name>`` enables fan-in ingest: N sharded upstream feeds (each
+    with its own monotone batch-id sequence) merging into ONE table.  The
+    exactly-once fence becomes per-source — the commit summary carries the
+    full merged ``fences`` map — so a crash-redelivered batch from one
+    source is skipped without blocking the others' progress.  Sources are
+    expected to own disjoint key ranges (the sharded-OLTP layout); for
+    overlapping keys the cross-source winner is still deterministic (max
+    raw LSN) but LSN spaces from different databases are not semantically
+    comparable — that is the operator's contract to uphold.  Mixing
+    sourceless and fan-in merges on one table is refused: the two fence
+    disciplines cannot see each other's progress.
 
     ``wap=True`` turns the merge commit into a write-audit-publish gate
     (the Iceberg WAP pattern, dbt-build's test-before-promote): the batch
@@ -238,7 +272,23 @@ def apply_batch(
 
     # --- ST3 fence: streaming batch ids are monotone; a re-delivered batch
     # after crash-before-checkpoint is already in the table -> skip.
-    last = last_applied_batch_id(table)
+    scalar_fence, fences_map = _fence_state(table)
+    if source is None:
+        if fences_map:
+            raise RuntimeError(
+                "table carries per-source fan-in fences; pass source=<name> "
+                "(a sourceless merge cannot see fan-in progress)"
+            )
+        last = scalar_fence
+    else:
+        if fences_map is None and scalar_fence is not None:
+            raise RuntimeError(
+                "table carries a single-feed fence; fan-in ingest "
+                "(source=) requires a table whose merges all declare a "
+                "source"
+            )
+        v = (fences_map or {}).get(source)
+        last = None if v is None else int(v)
     if last is not None and batch_id <= last:
         res.skipped = True
         res.wall_ms = int((time.monotonic() - t0) * 1000)
@@ -491,6 +541,10 @@ def apply_batch(
         "lsn_max": res.lsn_max,
         "rows_applied": res.rows_applied,
     }
+    if source is not None:
+        # full merged map every commit: the newest fence-declaring commit
+        # answers for ALL sources (rollback/retention then work unchanged)
+        batch_summary["fences"] = {**(fences_map or {}), source: batch_id}
     t_merge = time.monotonic()
     if pos_del:
         # Iceberg v2 MERGE shape: append the event-won versions + position-

@@ -592,8 +592,94 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# cdc_fanin_e2e — fan-in ingest (N sharded upstreams → ONE table) with per-
+# source exactly-once fences.  The derived events feed is split by
+# user_id % 2 — two "source databases" each owning a disjoint key range
+# (user_id is the leading key column, so keys never cross shards) — and the
+# shards' batches interleave round-robin through the same MERGE core with
+# ``source=`` fences.  A redelivery of shard 0's first batch is injected
+# mid-stream and must be fenced out per-source.  Because shards are
+# key-disjoint, the final state is the plain LWW over the UNION of events —
+# one oracle, independent of interleaving (the claim fan-in rests on).
+# ---------------------------------------------------------------------------
+FANIN_BATCHES = 3  # per shard
+
+_FANIN_TABLE: dict[str, str] = {}
+
+
+def q_cdc_fanin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+
+    cache_key = os.path.abspath(sf_dir)
+    if cache_key not in _FANIN_TABLE:
+        work = os.path.join(
+            tempfile.gettempdir(),
+            f"cdc_fanin_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        schema = T.StructType(
+            [*_TARGET_SCHEMA.fields[:5],
+             T.StructField("props", T.StringType(), True),
+             *_TARGET_SCHEMA.fields[5:]]
+        )
+        table = LakeTable.create(
+            spark,
+            work,
+            schema,
+            key=["user_id", "event_type"],
+            num_buckets=8,
+            bucket_by=["user_id"],
+        )
+        ch = _change_feed(spark, sf_dir)  # props present from the start
+        shard_of = F.pmod("user_id", F.lit(2))
+        batch_of = F.pmod("event_id", F.lit(FANIN_BATCHES))
+        for b in range(FANIN_BATCHES):  # round-robin: s0/b, s1/b, ...
+            for s in (0, 1):
+                batch = ch.filter((shard_of == s) & (batch_of == b))
+                apply_batch(
+                    table, batch, b, source=f"s{s}", collect_stats=False
+                )
+            if b == 1:
+                # injected at-least-once redelivery: shard 0's batch 0
+                # arrives again mid-stream — the per-source fence must
+                # skip it without disturbing shard 1's progress
+                redo = ch.filter((shard_of == 0) & (batch_of == 0))
+                res = apply_batch(
+                    table, redo, 0, source="s0", collect_stats=False
+                )
+                assert res.skipped, "per-source fence failed to skip"
+        _FANIN_TABLE[cache_key] = work
+    return read_clean(LakeTable.load(spark, _FANIN_TABLE[cache_key])).select(
+        "user_id", "event_type", "event_id", "ts", "value", "props"
+    )
+
+
+# The union of key-disjoint shards is the whole feed: plain LWW, `props`
+# carried on every batch (fan-in exercises fencing, not evolution).
+SQL_CDC_FANIN_E2E = f"""
+WITH ch AS (
+  SELECT user_id, event_type, event_id, ts, value, props,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {LSN_TS_BASE} + event_id AS lsn,
+         CASE WHEN event_id % {DELETE_EVERY} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY lsn DESC) AS rn
+  FROM ch
+)
+SELECT user_id, event_type, event_id, ts, value, props
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    "cdc_fanin_e2e": (q_cdc_fanin_e2e, SQL_CDC_FANIN_E2E),
     # the relay chain must land the replica on the SAME final state the
     # upstream oracle describes — one oracle, two independent paths
     "cdc_relay_e2e": (q_cdc_relay_e2e, SQL_CDC_REPLAY_EVENTS),

@@ -84,6 +84,15 @@ class FeedSpec:
     # (spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>);
     # "parquet" is the default and always available.
     file_format: str = "parquet"
+    # Sharded-upstream fan-in (SURVEY §2.8 ST+): with n_shards > 1 the feed
+    # carries only the events whose conversation lands in `shard`
+    # (conv % n_shards == shard) — the classic sharded-OLTP layout where
+    # each source database owns a DISJOINT key range and one lake table
+    # fans the shards in.  Event ids / LSNs stay global, so the union of
+    # all shards is exactly the n_shards=1 feed and the pure-Python oracle
+    # of the unsharded spec is the oracle for the fanned-in table.
+    n_shards: int = 1
+    shard: int = 0
 
     @property
     def n_keys(self) -> int:
@@ -139,6 +148,11 @@ def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
     tool = F.when(role == "tool",
                   F.element_at(F.array(*[F.lit(t) for t in TOOLS]), (_h(e, 19) % 4 + 1).cast("int")))
     ts = F.timestamp_seconds(F.lit(BASE_EPOCH_S) + lsn)
+
+    if spec.n_shards > 1:
+        # disjoint key ownership: this shard emits only its conversations
+        # (the FINAL conv — hot-skew redirects to conv 0 stay in shard 0)
+        df = df.filter(conv % F.lit(spec.n_shards) == F.lit(spec.shard))
 
     null_s = F.lit(None).cast("string")
     null_t = F.lit(None).cast("timestamp")

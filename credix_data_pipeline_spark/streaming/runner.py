@@ -272,6 +272,141 @@ def replay(
     return stats
 
 
+def replay_fanin(
+    spark: SparkSession,
+    feeds: dict[str, str],
+    table_path: str,
+    *,
+    chunks_per_batch: int = 4,
+    num_buckets: int = 16,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    write_salt: int = 4,
+    collect_stats: bool = True,
+    max_batches: int | None = None,
+    merge_mode: str = "cow",
+    archive: bool = False,
+    fail_at: tuple[str, int] | None = None,
+) -> dict[str, ReplayStats]:
+    """Fan-in replay: N sharded upstream feeds → ONE lake table.
+
+    The sharded-OLTP ingest shape (Vitess / tenant-sharded MySQL behind N
+    Datastream/Debezium connectors): each source owns a disjoint key range
+    and publishes its own change feed with its own LSN space and chunk
+    sequence.  Each source gets its own checkpoint file
+    (``_checkpoint_fanin_<name>.json``) and its own monotone batch-id
+    sequence; the exactly-once fence is per-source (the commit summary's
+    ``fences`` map — see ``operators/apply.last_applied_batch_id``), so a
+    crash-redelivered batch from one shard is fenced out without blocking
+    the others, and a rollback restores every shard's fence together.
+
+    Scheduling is a deterministic round-robin over sorted source names —
+    one micro-batch per source per round until every feed is exhausted
+    (availableNow semantics).  Because shards own disjoint keys, the final
+    state is independent of interleaving (each key's history lives wholly
+    in one feed); the tests pin A,B vs B,A equality.
+
+    ``fail_at=(source, batch_id)`` injects a crash after that source's
+    commit but before its checkpoint advance — the worst-case window — for
+    exactly-once tests.
+
+    v1 scope: plain (non-DDL) feeds; a relay feed carrying a DDL channel is
+    refused — two upstream DDL streams converging on one table have no
+    well-defined merge order.
+    """
+    if not feeds:
+        raise ValueError("replay_fanin needs at least one feed")
+    names = sorted(feeds)
+    manifests = {n: feed_mod.read_manifest(feeds[n]) for n in names}
+    for n, man in manifests.items():
+        if man.get("ddl"):
+            raise RuntimeError(
+                f"fan-in source {n!r} carries a relay DDL channel; "
+                "replicate DDL-bearing feeds one-to-one with replay()"
+            )
+        if any(c is None for c in man["chunks"]):
+            raise RuntimeError(
+                f"fan-in source {n!r} was vacuumed; re-bootstrap replicas "
+                "of vacuumed relay feeds with replay()"
+            )
+
+    first = manifests[names[0]]
+    target_schema = _target_schema_base(
+        T.StructType.fromJson(first["schema"]), first
+    )
+    table = LakeTable.create_if_not_exists(
+        spark,
+        table_path,
+        target_schema,
+        key=["conv_id", "turn_idx"],
+        num_buckets=num_buckets,
+        bucket_by=["conv_id"],
+        merge_mode=merge_mode,
+    )
+    lineage = LineageLog(table_path)
+    dead = quarantine_writer(table_path)
+
+    state: dict[str, dict] = {}
+    for n in names:
+        ckpt = Checkpoint(
+            os.path.join(table_path, f"_checkpoint_fanin_{n}.json")
+        )
+        st = ckpt.load()
+        state[n] = {
+            "ckpt": ckpt,
+            "pos": st["next_chunk"],
+            "batch_id": st["next_batch_id"],
+            "stats": ReplayStats(),
+        }
+
+    done = 0
+    while True:
+        progressed = False
+        for n in names:
+            if max_batches is not None and done >= max_batches:
+                break
+            man, st = manifests[n], state[n]
+            chunks = man["chunks"]
+            if st["pos"] >= len(chunks):
+                continue
+            batch_chunks = chunks[st["pos"] : st["pos"] + chunks_per_batch]
+            batch_df = feed_mod.read_chunks(
+                spark,
+                feeds[n],
+                batch_chunks,
+                file_format=man.get("format", "parquet"),
+                schemas=man.get("schemas"),
+            )
+            res = apply_batch(
+                table,
+                batch_df,
+                st["batch_id"],
+                transform=transform,
+                lineage=lineage,
+                dead_letter=dead,
+                write_salt=write_salt,
+                collect_stats=collect_stats,
+                source=n,
+            )
+            st["stats"].add(res)
+            if fail_at is not None and fail_at == (n, st["batch_id"]):
+                raise RuntimeError(
+                    f"injected crash after commit of {n} batch "
+                    f"{st['batch_id']}"
+                )
+            st["pos"] += len(batch_chunks)
+            st["batch_id"] += 1
+            st["ckpt"].save(st["pos"], st["batch_id"])
+            if archive:
+                archive_chunks(feeds[n], batch_chunks)
+            progressed = True
+            done += 1
+        if not progressed:
+            break
+        if max_batches is not None and done >= max_batches:
+            break
+    return {n: state[n]["stats"] for n in names}
+
+
 def _target_schema_base(feed_schema: T.StructType, manifest: dict) -> T.StructType:
     """Initial target schema: payload of the *pre-evolution* feed schema.
 

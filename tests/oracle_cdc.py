@@ -65,6 +65,17 @@ def event_py(e: int, spec: FeedSpec) -> dict:
     return ev
 
 
+def shard_py(e: int, spec: FeedSpec) -> int:
+    """Which shard (sources/feed.FeedSpec n_shards/shard) event ``e`` lands
+    in: conv % n_shards, after the hot-skew redirect — mirrors the
+    change_events_df filter exactly."""
+    key_id = h_py(e, 1) % spec.n_keys
+    conv = key_id // spec.turns_per_conversation
+    if h_py(e, 2) % 100 < spec.hot_pct:
+        conv = 0
+    return conv % spec.n_shards
+
+
 def chunk_py(e: int, spec: FeedSpec) -> int:
     lsn = e + 1
     jitter = h_py(lsn - 1, 29) % max(1, spec.shuffle_window)
