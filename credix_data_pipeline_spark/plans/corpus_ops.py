@@ -2166,6 +2166,158 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# dup_passage_score — SUB-document duplication (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better": exact
+# substring dedup — their suffix-array 50-token spans re-expressed at
+# shingle granularity).  Whole-doc dedup (C1–C4) misses the dominant real-
+# world case: distinct pages sharing boilerplate headers/footers/templates.
+# Per doc: the fraction of its DISTINCT token spans (trigrams) that occur
+# in at least one OTHER document.  Plan: distinct (doc, span) rows → one
+# hash-agg for the span's doc-frequency → keyed equi-join back → per-doc
+# hash-agg.  No pair explosion: cost is O(distinct spans), not O(docs²) —
+# a span shared by k docs contributes k rows, never k² pairs, so corpus-
+# wide boilerplate (huge k) stays linear.  At 10^10 docs both aggs are
+# map-side-partial hash-aggs on 8-byte-hashable strings and the join is a
+# plain shuffle equi-join on the span.
+# Flag corpus-relative and integer-exact: duplicated iff the doc's dup-span
+# permille exceeds the corpus mean permille (cross-multiplied, no floats) —
+# a fixed absolute cut can't travel across corpora whose baseline overlap
+# differs (this synthetic corpus shares trigrams everywhere; real web text
+# doesn't).  The mean is a 1-row broadcast scalar, the tfidf pattern.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_passage_score(spark, sf_dir):
+    sh = _shingle_rows(spark, sf_dir)  # distinct (doc_id, n_sh, s)
+    # rows are distinct per doc -> COUNT(*) per span == its doc-frequency
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("docs_with"))
+    agg = (
+        sh.join(df_, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("docs_with") >= 2).cast("long")).alias("dup_spans"),
+        )
+        .withColumn("permille", F.expr("dup_spans * 1000 div n_spans"))
+    )
+    mean = agg.agg(
+        F.sum("permille").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return agg.join(F.broadcast(mean)).select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        F.round(F.col("dup_spans") * 100.0 / F.col("n_spans"), 2).alias(
+            "dup_span_pct"
+        ),
+        (F.col("permille") * F.col("n") > F.col("tot")).alias("duplicated"),
+    )
+
+
+SQL_DUP_PASSAGE_SCORE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM ({_SQL_SHINGLES})
+),
+df_ AS (SELECT s, COUNT(*) AS docs_with FROM sh GROUP BY s),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_spans
+  FROM sh JOIN df_ USING (s) GROUP BY doc_id
+),
+p AS (SELECT *, dup_spans * 1000 // n_spans AS permille FROM agg),
+m AS (SELECT SUM(permille) AS tot, COUNT(*) AS n FROM p)
+SELECT doc_id, n_spans, dup_spans,
+       ROUND(dup_spans * 100.0 / n_spans, 2) AS dup_span_pct,
+       permille * n > tot AS duplicated
+FROM p, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# lm_familiarity — LM-based quality scoring (the CCNet filter, Wenzek et
+# al. 2020: score each doc with a language model trained on trusted text,
+# keep the low-perplexity buckets), self-trained and integer-exact.  The
+# "LM" is a bigram count model trained ON the corpus in one hash-agg; a
+# doc's familiarity is the sum over its bigram occurrences of
+# floor(log2(corpus_count)) — an order-preserving integer proxy for the
+# log-probability sum (floor(log2 c) = len(bin(c)) - 1, exact in both
+# engines, so the oracle never fights float log/division drift; the real
+# -Σ log p differs from this by the constant Σ log2(total) and sub-ulp
+# rounding, preserving the quality ORDER the filter acts on).  Template
+# spam and in-distribution prose score high; out-of-distribution word
+# salad scores low.  Plan: two hash-aggs + one shuffle equi-join on the
+# bigram — O(tokens).  At 10^10 docs the production path prunes the
+# vocabulary to the top-K bigrams (broadcast) with an OOV default of
+# count 1 — same semantics, no big-table join.
+# familiar iff the doc's familiarity permille exceeds the corpus mean
+# (cross-multiplied integer compare — CCNet's relative perplexity buckets
+# rather than an absolute cut, which can't travel across corpus sizes:
+# counts, hence log2 scores, grow with the corpus).
+# ---------------------------------------------------------------------------
+
+
+def _bi_rows(spark, sf_dir) -> DataFrame:
+    """Non-distinct ``(doc_id, s)`` bigram rows (see ``_tri_rows``)."""
+    par = spark.sparkContext.defaultParallelism * 2
+    d = t(spark, sf_dir, "documents").repartition(par, "doc_id")
+    tok = d.select("doc_id", F.posexplode(_toks()).alias("pos", "tk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return tok.select(
+        "doc_id",
+        F.concat(F.col("tk"), F.lit(" "), F.lead("tk", 1).over(w)).alias("s"),
+    ).filter(F.col("s").isNotNull())
+
+
+def q_lm_familiarity(spark, sf_dir):
+    bi = _bi_rows(spark, sf_dir)
+    cnt = bi.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        bi.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.length(F.bin("c")) - 1).alias("familiarity"),
+        )
+    )
+    scored = scored.withColumn(
+        "permille", F.expr("familiarity * 1000 div n_bigrams")
+    )
+    mean = scored.agg(
+        F.sum("permille").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return scored.join(F.broadcast(mean)).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("familiarity").cast("long").alias("familiarity"),
+        F.col("permille").cast("long").alias("familiarity_permille"),
+        (F.col("permille") * F.col("n") > F.col("tot")).alias("familiar"),
+    )
+
+
+SQL_LM_FAMILIARITY = f"""
+WITH bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS s
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+cnt AS (SELECT s, COUNT(*) AS c FROM bi GROUP BY s),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(length(bin(c)) - 1) AS BIGINT) AS familiarity
+  FROM bi JOIN cnt USING (s) GROUP BY doc_id
+),
+p AS (SELECT *, familiarity * 1000 // n_bigrams AS permille FROM scored),
+m AS (SELECT SUM(permille) AS tot, COUNT(*) AS n FROM p)
+SELECT doc_id, n_bigrams, familiarity,
+       CAST(permille AS BIGINT) AS familiarity_permille,
+       permille * n > tot AS familiar
+FROM p, m
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2196,4 +2348,6 @@ CORPUS_QUERIES = {
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "benchmark_decontam": (q_benchmark_decontam, SQL_BENCHMARK_DECONTAM),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "dup_passage_score": (q_dup_passage_score, SQL_DUP_PASSAGE_SCORE),
+    "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
 }

@@ -310,3 +310,76 @@ def test_stratified_sample_hits_exact_quota_and_is_deterministic(spark):
     assert {(r.doc_id) for r in a if r.in_sample} == {
         (r.doc_id) for r in b if r.in_sample
     }
+
+
+def test_dup_passage_score_agrees_with_pure_python(spark):
+    """dup_spans is exactly the count of the doc's distinct trigrams seen in
+    >=2 docs (pure-Python recount over the raw corpus), and the corpus-
+    relative flag is the integer cross-multiplied mean compare."""
+    from credix_data_pipeline_spark.plans.corpus_ops import (
+        q_dup_passage_score,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    tris: dict[int, set] = {}
+    for did, text in docs.items():
+        toks = [w for w in text.lower().split(" ") if w]
+        tris[did] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    from collections import Counter
+
+    freq = Counter(s for ss in tris.values() for s in ss)
+    rows = q_dup_passage_score(spark, SF_DIR).collect()
+    assert rows and {r.doc_id for r in rows} == {
+        d for d, ss in tris.items() if ss
+    }
+    permilles = {}
+    for r in rows:
+        want_dup = sum(1 for s in tris[r.doc_id] if freq[s] >= 2)
+        assert (r.n_spans, r.dup_spans) == (len(tris[r.doc_id]), want_dup)
+        permilles[r.doc_id] = r.dup_spans * 1000 // r.n_spans
+    tot, n = sum(permilles.values()), len(permilles)
+    for r in rows:
+        assert r.duplicated == (permilles[r.doc_id] * n > tot)
+    assert 0 < sum(r.duplicated for r in rows) < len(rows)
+
+
+def test_lm_familiarity_is_the_integer_log2_bigram_model(spark):
+    """familiarity == sum of floor(log2(corpus bigram count)) over the
+    doc's bigram occurrences (pure-Python recount), and the flag is the
+    corpus-relative mean compare."""
+    from credix_data_pipeline_spark.plans.corpus_ops import q_lm_familiarity
+
+    docs = {
+        r.doc_id: [
+            w
+            for w in r.text.lower().split(" ")
+            if w
+        ]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    from collections import Counter
+
+    bis = {
+        did: [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        for did, t in docs.items()
+    }
+    cnt = Counter(b for bb in bis.values() for b in bb)
+    rows = q_lm_familiarity(spark, SF_DIR).collect()
+    assert rows and {r.doc_id for r in rows} == {
+        d for d, bb in bis.items() if bb
+    }
+    permilles = {}
+    for r in rows:
+        want = sum(cnt[b].bit_length() - 1 for b in bis[r.doc_id])
+        assert (r.n_bigrams, r.familiarity) == (len(bis[r.doc_id]), want)
+        assert r.familiarity_permille == want * 1000 // r.n_bigrams
+        permilles[r.doc_id] = r.familiarity_permille
+    tot, n = sum(permilles.values()), len(permilles)
+    for r in rows:
+        assert r.familiar == (permilles[r.doc_id] * n > tot)
+    assert 0 < sum(r.familiar for r in rows) < len(rows)
