@@ -153,7 +153,54 @@ def monitor(
         },
         "layout": layout_health(spark, table_path),
         "maintenance": maintenance_pressure(spark, table_path),
+        "fanin": fanin_progress(spark, table_path),
     }
+
+
+def fanin_progress(spark: SparkSession, table_path: str) -> dict | None:
+    """Per-source progress for fan-in tables (``runner.replay_fanin``):
+    each shard's fence (last committed batch id) and checkpointed feed
+    position, plus the batch-lag spread between the fastest and slowest
+    source — one shard silently stalling behind the others is THE fan-in
+    failure mode (a lagging Debezium connector), and it is invisible to
+    whole-table freshness because the other shards keep committing.
+    Metadata-only: one fence map read + the tiny checkpoint JSONs.
+    Returns None for single-feed tables (no ``fences`` map)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import _fence_state
+
+    table = LakeTable.load(spark, table_path)
+    _scalar, fences = _fence_state(table)
+    if not fences:
+        return None
+    ckpts = {}
+    for p in _glob.glob(
+        _os.path.join(table_path, "_checkpoint_fanin_*.json")
+    ):
+        name = _os.path.basename(p)[len("_checkpoint_fanin_"):-len(".json")]
+        with open(p) as fh:
+            ckpts[name] = _json.load(fh)
+    sources = {
+        s: {
+            "fence_batch_id": fences.get(s),
+            "next_chunk": (ckpts.get(s) or {}).get("next_chunk"),
+        }
+        for s in sorted(set(fences) | set(ckpts))
+    }
+    applied = [v for v in fences.values() if v is not None]
+    lag = (max(applied) - min(applied)) if applied else 0
+    return {
+        "sources": sources,
+        "batch_lag": lag,
+        "status": "LAGGING" if lag > FANIN_LAG_WARN_BATCHES else "BALANCED",
+    }
+
+
+FANIN_LAG_WARN_BATCHES = 2
 
 
 # layout health thresholds (per bucket)

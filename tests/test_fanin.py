@@ -260,3 +260,36 @@ def test_fanin_refuses_ddl_feeds(spark, shard_feeds, tmp_table, tmp_path):
         json.dump(man, fh)
     with pytest.raises(RuntimeError, match="DDL channel"):
         runner.replay_fanin(spark, {"s0": bad}, tmp_table)
+
+
+def test_monitor_reports_per_source_fanin_progress(spark, shard_feeds, tmp_table, tmp_path):
+    """The monitor surfaces each shard's fence + checkpoint position and
+    flags batch lag between sources (the lagging-connector failure mode);
+    single-feed tables report fanin=None."""
+    from credix_data_pipeline_spark.streaming.monitoring import monitor
+
+    f0, f1 = shard_feeds
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tmp_table,
+                        chunks_per_batch=2, num_buckets=4)
+    rep = monitor(spark, tmp_table)
+    fan = rep["fanin"]
+    assert set(fan["sources"]) == {"s0", "s1"}
+    assert fan["batch_lag"] == 0 and fan["status"] == "BALANCED"
+    for s in ("s0", "s1"):
+        assert fan["sources"][s]["fence_batch_id"] is not None
+        assert fan["sources"][s]["next_chunk"] is not None
+
+    # drive s0 ahead: redeliveries of empty batches at high ids commit
+    # nothing, so emulate a lagging s1 by applying extra s0 batches
+    t = LakeTable.load(spark, tmp_table)
+    m0 = feed_mod.read_manifest(f0)
+    df = feed_mod.read_chunks(spark, f0, m0["chunks"][:1])
+    last = last_applied_batch_id(t, "s0")
+    for b in range(last + 1, last + 4):
+        apply_batch(t, df, b, source="s0")
+    fan2 = monitor(spark, tmp_table)["fanin"]
+    assert fan2["batch_lag"] == 3 and fan2["status"] == "LAGGING"
+
+    single = str(tmp_path / "single")
+    runner.replay(spark, f0, single, chunks_per_batch=4, num_buckets=4)
+    assert monitor(spark, single)["fanin"] is None
