@@ -2190,17 +2190,27 @@ FROM ranked
 
 def q_dup_passage_score(spark, sf_dir):
     sh = _shingle_rows(spark, sf_dir)  # distinct (doc_id, n_sh, s)
-    # rows are distinct per doc -> COUNT(*) per span == its doc-frequency
-    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("docs_with"))
+    # rows are distinct per doc -> COUNT(*) over the span partition == its
+    # doc-frequency.  Window-count instead of groupBy(s)+join-back: ONE
+    # tokenization pass and one exchange on s (the join form re-evaluates
+    # the whole shingle pipeline on both sides — 2× the compute-heavy
+    # stage).  A corpus-wide mega-span makes its s-partition hot; the scale
+    # escape hatch is the two-level form (groupBy(s) partial-agg + join,
+    # AQE-skew-splittable) — same semantics, one more pass.
+    docs_with = F.count(F.lit(1)).over(Window.partitionBy("s"))
     agg = (
-        sh.join(df_, "s")
+        sh.withColumn("dup", (docs_with >= 2).cast("long"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("docs_with") >= 2).cast("long")).alias("dup_spans"),
+            F.sum("dup").alias("dup_spans"),
         )
         .withColumn("permille", F.expr("dup_spans * 1000 div n_spans"))
     )
+    # the corpus mean reads the SAME per-doc aggregate the output does —
+    # checkpoint the (tiny: one row per doc) aggregate so the mean pass
+    # reuses materialized rows instead of re-running the token pipeline
+    agg = agg.localCheckpoint(eager=True)
     mean = agg.agg(
         F.sum("permille").alias("tot"), F.count(F.lit(1)).alias("n")
     )
@@ -2272,18 +2282,23 @@ def _bi_rows(spark, sf_dir) -> DataFrame:
 
 def q_lm_familiarity(spark, sf_dir):
     bi = _bi_rows(spark, sf_dir)
-    cnt = bi.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    # corpus count per bigram as a window count over the occurrence rows:
+    # one tokenization pass, one exchange on s (see q_dup_passage_score —
+    # the groupBy+join form doubles the tokenization stage; its map-side
+    # partial agg is the documented skew escape hatch for a mega-hot
+    # bigram at extreme scale)
+    c = F.count(F.lit(1)).over(Window.partitionBy("s"))
     scored = (
-        bi.join(cnt, "s")
+        bi.withColumn("bits", F.length(F.bin(c)) - 1)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.length(F.bin("c")) - 1).alias("familiarity"),
+            F.sum("bits").alias("familiarity"),
         )
     )
     scored = scored.withColumn(
         "permille", F.expr("familiarity * 1000 div n_bigrams")
-    )
+    ).localCheckpoint(eager=True)  # see q_dup_passage_score: mean reuse
     mean = scored.agg(
         F.sum("permille").alias("tot"), F.count(F.lit(1)).alias("n")
     )
