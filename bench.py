@@ -188,6 +188,28 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
             chunks_per_batch=8, num_buckets=32, collect_stats=False,
         )
         hop_sec = publish_sec + (time.monotonic() - t0)
+
+        # Fan-in leg: the SAME event volume split across two sharded
+        # upstream feeds (disjoint key ranges), merged into one table with
+        # per-source fences — measures the fan-in scheduling + fencing
+        # overhead against the single-feed number (expected ≈ none: the
+        # fence is one manifest read per batch; the data path is identical).
+        from dataclasses import replace as _dc_replace
+        fanin_feeds = {}
+        for s in (0, 1):
+            fd = os.path.join(work, f"feed_shard{s}")
+            write_feed(spark, fd, _dc_replace(spec, n_shards=2, shard=s))
+            fanin_feeds[f"s{s}"] = fd
+        # chunks_per_batch doubled: each shard's chunk dirs hold half the
+        # events, so 16 chunks/batch gives the same events-per-commit as
+        # the single-feed leg's 8 — apples-to-apples per-batch fixed cost
+        t0 = time.monotonic()
+        runner.replay_fanin(
+            spark, fanin_feeds, os.path.join(work, "fanin"),
+            chunks_per_batch=16, num_buckets=32,
+            transform=with_normalized_text, collect_stats=False,
+        )
+        fanin_sec = time.monotonic() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)
     # duplicates ride along; throughput is counted on distinct change events
@@ -199,6 +221,8 @@ def bench_cdc_replay(spark, n_events: int) -> dict:
         "relay_rows": rep["published_rows"],
         "relay_hop_sec": round(hop_sec, 3),
         "relay_rows_per_sec": round(rep["published_rows"] / hop_sec, 1),
+        "fanin_sec": round(fanin_sec, 3),
+        "fanin_events_per_sec": round(n_events / fanin_sec, 1),
     }
 
 
