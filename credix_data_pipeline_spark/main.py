@@ -171,6 +171,25 @@ def cmd_replay(args) -> int:
     return rc
 
 
+def cmd_requeue(args) -> int:
+    from credix_data_pipeline_spark.streaming import runner
+
+    spark = _spark(args)
+    fixes: dict[str, str] = {}
+    for pair in args.set or []:
+        col, _, expr = pair.partition("=")
+        if not col or not expr:
+            raise SystemExit(f"--set entry {pair!r} is not col=sql_expr")
+        fixes[col] = expr
+    try:
+        out = runner.requeue_failed(spark, args.table, args.feed, fixes)
+    except RuntimeError as e:
+        print(json.dumps({"error": "requeue_refused", "detail": str(e)}))
+        return 1
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_stream(args) -> int:
     from credix_data_pipeline_spark.functions.normalize import with_normalized_text
     from credix_data_pipeline_spark.streaming import runner
@@ -627,6 +646,17 @@ def build_parser() -> argparse.ArgumentParser:
     rf.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
                     default="cow")
     rf.set_defaults(fn=cmd_replay_fanin)
+
+    rq = sub.add_parser(
+        "requeue",
+        help="repair quarantined (_failed/) events and re-enter them into "
+             "the feed as a tail chunk (dead-letter redrive)",
+    )
+    rq.add_argument("--table", required=True)
+    rq.add_argument("--feed", required=True)
+    rq.add_argument("--set", action="append", metavar="COL=SQL_EXPR",
+                    help="repair expression, repeatable")
+    rq.set_defaults(fn=cmd_requeue)
 
     for name, fn in (("replay", cmd_replay), ("stream", cmd_stream)):
         r = sub.add_parser(name)

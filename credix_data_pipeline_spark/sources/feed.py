@@ -296,6 +296,32 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
+def append_chunk(spark: SparkSession, path: str, df: DataFrame) -> str:
+    """Append one chunk of change events to an existing feed (the
+    dead-letter REQUEUE path: repaired events re-enter the stream as a
+    fresh chunk at the tail, so any replica tailing the feed picks them up
+    through the normal replay loop).  The chunk gets its own subdir +
+    schema-registry entry — requeued rows may carry an older feed shape
+    than the live head, and the per-subdir registry is exactly the
+    mechanism that aligns them (``read_chunks`` unionByName).  Manifest
+    update is atomic (tmp + rename)."""
+    man = read_manifest(path)
+    ordinal = len(man["chunks"])
+    sub = f"requeue{ordinal}"
+    rel = f"{sub}/chunk={ordinal}"
+    fmt = man.get("format", "parquet")
+    df.write.mode("overwrite").format(fmt).save(os.path.join(path, rel))
+    man["chunks"].append(rel)
+    man.setdefault("schemas", {})[sub] = df.schema.jsonValue()
+    tmp = os.path.join(path, f"_feed.json.tmp-{ordinal}")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(path, "_feed.json"))
+    return rel
+
+
 def read_chunks(
     spark: SparkSession,
     path: str,

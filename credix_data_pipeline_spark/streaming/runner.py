@@ -272,6 +272,66 @@ def replay(
     return stats
 
 
+def requeue_failed(
+    spark: SparkSession,
+    table_path: str,
+    feed_path: str,
+    fixes: dict[str, str] | None = None,
+) -> dict:
+    """Dead-letter requeue: repair quarantined events and re-enter them
+    into the change feed as a fresh tail chunk (the Kafka-Connect
+    DLQ-redrive / Debezium re-submit pattern).
+
+    Rows in ``<table>/_failed/`` were rejected by ``malformed_condition``
+    (null key / null lsn / unknown op).  ``fixes`` maps column -> SQL
+    expression applied before re-validation (e.g.
+    ``{"turn_idx": "coalesce(turn_idx, 0)", "op": "'U'"}``) — the repair a
+    human writes after diagnosing the upstream bug.  Every repaired row
+    must pass validation or the whole requeue refuses (no partial redrive:
+    half-fixed batches just round-trip through quarantine again).
+
+    On success the failed set moves to ``<table>/_failed_requeued/<chunk>/``
+    (audit trail) and the next ``replay``/``stream`` pass ingests the new
+    chunk through the normal exactly-once path.  Crash between the feed
+    append and the archive move re-requeues the same rows as one more
+    chunk — verbatim duplicates, collapsed by LWW (same lsn, same payload),
+    so the operation is idempotent in effect.
+    """
+    from pyspark.sql import functions as F
+
+    from credix_data_pipeline_spark.operators.apply import (
+        malformed_condition,
+    )
+
+    failed = os.path.join(os.path.abspath(table_path), FAILED_DIR)
+    if not os.path.isdir(failed) or not any(
+        f.endswith(".parquet") for f in os.listdir(failed)
+    ):
+        return {"requeued": 0, "chunk": None, "still_bad": 0}
+    df = spark.read.parquet(failed)
+    for col, expr in (fixes or {}).items():
+        df = df.withColumn(col, F.expr(expr))
+    table = LakeTable.load(spark, table_path)
+    bad = malformed_condition(table.current().key)
+    still_bad = df.filter(bad).count()
+    if still_bad:
+        raise RuntimeError(
+            f"requeue refused: {still_bad} rows still fail validation "
+            "after fixes — repair them or they will round-trip straight "
+            "back to quarantine"
+        )
+    n = df.count()
+    rel = feed_mod.append_chunk(spark, feed_path, df)
+    archive = os.path.join(
+        os.path.abspath(table_path),
+        "_failed_requeued",
+        rel.replace("/", "_"),
+    )
+    os.makedirs(os.path.dirname(archive), exist_ok=True)
+    os.rename(failed, archive)
+    return {"requeued": n, "chunk": rel, "still_bad": 0}
+
+
 def replay_fanin(
     spark: SparkSession,
     feeds: dict[str, str],

@@ -1,0 +1,128 @@
+"""Dead-letter requeue: quarantine → human repair → redrive through the
+normal feed (the Kafka-Connect DLQ-redrive pattern).
+
+Flow under test: a poisoned chunk (null key) quarantines at replay; a
+``--set`` SQL repair re-validates and re-enters the rows as a fresh tail
+chunk with its own schema-registry entry; the next replay ingests them
+through the standard exactly-once path; a half-fixed requeue is refused
+whole (no partial redrive)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.schema import CHANGE_SCHEMA
+from credix_data_pipeline_spark.sources import feed as feed_mod
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+SPEC = FeedSpec(
+    n_events=1_200,
+    n_conversations=20,
+    turns_per_conversation=6,
+    delete_pct=5,
+    duplicate_pct=3,
+    events_per_chunk=300,
+)
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _poison_rows(spark, n=3, lsn0=10_000):
+    from pyspark.sql import types as T
+
+    lax = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA]
+    )
+    rows = [
+        ("U", lsn0 + i, TS, f"convP{i}", None, "user", f"repaired {i}",
+         None, TS)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, lax)
+
+
+@pytest.fixture()
+def poisoned(spark, tmp_feed, tmp_table):
+    write_feed(spark, tmp_feed, SPEC)
+    feed_mod.append_chunk(spark, tmp_feed, _poison_rows(spark))
+    stats = runner.replay(spark, tmp_feed, tmp_table,
+                          chunks_per_batch=2, num_buckets=4)
+    assert stats.rows_in > 0
+    return tmp_feed, tmp_table
+
+
+def test_requeue_redrives_repaired_rows_through_replay(spark, poisoned):
+    feed, table = poisoned
+    failed = os.path.join(table, runner.FAILED_DIR)
+    assert spark.read.parquet(failed).count() == 3
+    before = read_clean(LakeTable.load(spark, table)).count()
+
+    out = runner.requeue_failed(
+        spark, table, feed,
+        fixes={"turn_idx": "5"},
+    )
+    assert out["requeued"] == 3 and out["chunk"].startswith("requeue")
+    # quarantine cleared, audit copy kept
+    assert not os.path.isdir(failed)
+    arch = os.path.join(table, "_failed_requeued")
+    assert os.path.isdir(arch) and os.listdir(arch)
+    # the manifest grew a tail chunk with its own schema entry
+    man = feed_mod.read_manifest(feed)
+    assert man["chunks"][-1] == out["chunk"]
+    assert out["chunk"].split("/")[0] in man["schemas"]
+
+    # the repaired rows arrive through a NORMAL incremental replay
+    runner.replay(spark, feed, table, chunks_per_batch=2, num_buckets=4)
+    t = LakeTable.load(spark, table)
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in read_clean(t)
+        .filter("conv_id like 'convP%'")
+        .collect()
+    }
+    assert got == {(f"convP{i}", 5): f"repaired {i}" for i in range(3)}
+    assert read_clean(t).count() == before + 3
+
+
+def test_requeue_refuses_half_fixed_batches(spark, poisoned):
+    feed, table = poisoned
+    man_before = feed_mod.read_manifest(feed)
+    with pytest.raises(RuntimeError, match="requeue refused"):
+        runner.requeue_failed(spark, table, feed)  # no fixes at all
+    # quarantine and manifest untouched on refusal
+    failed = os.path.join(table, runner.FAILED_DIR)
+    assert spark.read.parquet(failed).count() == 3
+    assert feed_mod.read_manifest(feed)["chunks"] == man_before["chunks"]
+
+
+def test_requeue_noop_without_quarantine(spark, tmp_feed, tmp_table):
+    write_feed(spark, tmp_feed, SPEC)
+    runner.replay(spark, tmp_feed, tmp_table,
+                  chunks_per_batch=2, num_buckets=4)
+    out = runner.requeue_failed(spark, tmp_table, tmp_feed)
+    assert out == {"requeued": 0, "chunk": None, "still_bad": 0}
+
+
+def test_requeue_cli(spark, poisoned, capsys):
+    from credix_data_pipeline_spark import main as cli
+
+    feed, table = poisoned
+    rc = cli.main([
+        "--master", "local[4]",
+        "requeue", "--table", table, "--feed", feed,
+        "--set", "turn_idx=coalesce(turn_idx, 9)",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["requeued"] == 3
+    runner.replay(spark, feed, table, chunks_per_batch=2, num_buckets=4)
+    got = read_clean(LakeTable.load(spark, table)).filter(
+        "conv_id like 'convP%' and turn_idx = 9"
+    )
+    assert got.count() == 3
