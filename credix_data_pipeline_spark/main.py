@@ -116,6 +116,7 @@ def cmd_replay_fanin(args) -> int:
         transform=with_normalized_text if not args.no_normalize else None,
         collect_stats=not args.fast,
         merge_mode=args.merge_mode,
+        occ_retries=args.occ_retries,
     )
     print(json.dumps({
         n: {"batches": s.batches, "rows_in": s.rows_in,
@@ -144,6 +145,7 @@ def cmd_replay(args) -> int:
             merge_mode=args.merge_mode,
             wap=args.wap,
             publish_to=args.publish_to,
+            occ_retries=args.occ_retries,
         )
     except ContractViolation as e:
         # staged snapshot discarded; published table unchanged; checkpoint
@@ -207,6 +209,7 @@ def cmd_stream(args) -> int:
         merge_mode=args.merge_mode,
         wap=args.wap,
         publish_to=args.publish_to,
+        occ_retries=args.occ_retries,
     )
     q.awaitTermination()
     return 0
@@ -645,6 +648,7 @@ def build_parser() -> argparse.ArgumentParser:
     rf.add_argument("--fast", action="store_true")
     rf.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
                     default="cow")
+    rf.add_argument("--occ-retries", type=int, default=0)
     rf.set_defaults(fn=cmd_replay_fanin)
 
     rq = sub.add_parser(
@@ -666,6 +670,9 @@ def build_parser() -> argparse.ArgumentParser:
         r.add_argument("--no-normalize", action="store_true")
         r.add_argument("--fast", action="store_true",
                        help="skip per-batch stats collection")
+        r.add_argument("--occ-retries", type=int, default=0,
+                       help="re-run merges that lose an optimistic-"
+                            "concurrency race (concurrent writers)")
         r.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
                        default="cow",
                        help="cow: rewrite dirty buckets (read-optimized); "

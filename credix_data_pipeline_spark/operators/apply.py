@@ -241,8 +241,19 @@ def apply_batch(
     collect_stats: bool = True,
     wap: bool = False,
     source: str | None = None,
+    occ_retries: int = 0,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the target table.
+
+    ``occ_retries=N`` makes the merge self-healing under concurrent
+    writers: a ``CommitConflict`` (another commit landed between this
+    merge's snapshot read and its publish — the base-snapshot OCC rule)
+    re-runs the WHOLE apply, which re-reads the fence and the new current
+    snapshot and re-merges against it — the Iceberg commit-retry loop.
+    The fence re-check makes retries safe even when the interloper was a
+    redelivery of this very batch.  Default 0: single-writer replays fail
+    fast, because an unexpected conflict there means a misconfigured
+    second writer, not a race to paper over.
 
     ``source=<name>`` enables fan-in ingest: N sharded upstream feeds (each
     with its own monotone batch-id sequence) merging into ONE table.  The
@@ -266,6 +277,22 @@ def apply_batch(
     ``ContractViolation`` so the runner halts with the feed position still
     pointing at the bad chunk.
     """
+    if occ_retries:
+        from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+
+        last_err: Exception | None = None
+        for _attempt in range(occ_retries + 1):
+            try:
+                return apply_batch(
+                    table, batch_df, batch_id,
+                    transform=transform, lineage=lineage,
+                    dead_letter=dead_letter, write_salt=write_salt,
+                    collect_stats=collect_stats, wap=wap, source=source,
+                )
+            except CommitConflict as e:
+                last_err = e  # re-read state + fence and re-merge
+        raise last_err
+
     t0 = time.monotonic()
     spark = batch_df.sparkSession
     res = ApplyResult(batch_id=batch_id)

@@ -133,8 +133,14 @@ def replay(
     merge_mode: str = "cow",
     wap: bool = False,
     publish_to: str | None = None,
+    occ_retries: int = 0,
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
+
+    ``occ_retries=N`` re-runs a merge that loses an optimistic-concurrency
+    race against another writer on the same table (compaction loop, a
+    second ingest job): the retry re-reads the fence and current snapshot
+    and re-merges — the Iceberg commit-retry loop (see apply_batch).
 
     ``publish_to=<dir>`` relays this table's net changes as a downstream
     change feed after every checkpoint advance (operators/relay.py) —
@@ -244,6 +250,7 @@ def replay(
             write_salt=write_salt,
             collect_stats=collect_stats,
             wap=wap,
+            occ_retries=occ_retries,
         )
         stats.add(res)
         if fail_at_batch is not None and batch_id == fail_at_batch:
@@ -346,6 +353,7 @@ def replay_fanin(
     merge_mode: str = "cow",
     archive: bool = False,
     fail_at: tuple[str, int] | None = None,
+    occ_retries: int = 0,
 ) -> dict[str, ReplayStats]:
     """Fan-in replay: N sharded upstream feeds → ONE lake table.
 
@@ -446,6 +454,7 @@ def replay_fanin(
                 write_salt=write_salt,
                 collect_stats=collect_stats,
                 source=n,
+                occ_retries=occ_retries,
             )
             st["stats"].add(res)
             if fail_at is not None and fail_at == (n, st["batch_id"]):
@@ -499,6 +508,7 @@ def stream(
     merge_mode: str = "cow",
     wap: bool = False,
     publish_to: str | None = None,
+    occ_retries: int = 0,
 ):
     """Structured Streaming mode: readStream file source → foreachBatch MERGE.
 
@@ -566,6 +576,7 @@ def stream(
             write_salt=write_salt,
             collect_stats=collect_stats,
             wap=wap,
+            occ_retries=occ_retries,
         )
         if publish_to:
             # relay inside foreachBatch, AFTER the fenced commit: an SS

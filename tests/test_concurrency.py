@@ -219,3 +219,42 @@ def test_two_staged_writers_publish_race(spark, tmp_path):
         read_clean(LakeTable.load(spark, tp))
         .filter(F.col("conv_id") == "conv-race").collect()
     )] == ["writer-two"]
+
+
+def test_occ_retries_self_heal_mid_merge_conflict(spark, tmp_path):
+    """Same deterministic mid-merge interloper, but with ``occ_retries=1``
+    the losing merge re-reads state + fence and re-merges — ONE replay
+    call converges with the interloper's row intact (the Iceberg
+    commit-retry loop as a first-class knob)."""
+    import datetime
+
+    feed, tp, ref = (str(tmp_path / d) for d in ("feed", "t", "ref"))
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, ref, chunks_per_batch=2, num_buckets=4)
+    want = _state(ref, spark)
+
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4,
+                  max_batches=2)
+    t2 = LakeTable.load(spark, tp)
+    hits = {"n": 0}
+    ts = datetime.datetime(2025, 1, 1)
+
+    def interloper(df):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            t2.append(
+                spark.createDataFrame(
+                    [("conv-interloper", 0, "user", "survive", None, ts,
+                      55_000_000, False)],
+                    t2.current().schema,
+                )
+            )
+        return df
+
+    # no exception: the conflicted batch retries and lands
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4,
+                  transform=interloper, occ_retries=1)
+    assert hits["n"] == 1  # the race actually happened
+    got = _state(tp, spark)
+    assert got.pop(("conv-interloper", 0)) == ("user", "survive")
+    assert got == want
