@@ -501,9 +501,15 @@ class LakeTable:
         t = cls(spark, path)
         if t.exists():
             return t
-        return cls.create(
-            spark, path, schema, key, num_buckets, bucket_by, merge_mode
-        )
+        try:
+            return cls.create(
+                spark, path, schema, key, num_buckets, bucket_by, merge_mode
+            )
+        except CommitConflict:
+            # two writers raced the create (concurrent fan-in jobs): the
+            # loser's "not exists" check was stale — the table now exists,
+            # which is exactly this constructor's contract
+            return cls(spark, path)
 
     def exists(self) -> bool:
         return os.path.isdir(self.meta_path) and bool(self._versions())

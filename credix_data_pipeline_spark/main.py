@@ -146,6 +146,7 @@ def cmd_replay(args) -> int:
             wap=args.wap,
             publish_to=args.publish_to,
             occ_retries=args.occ_retries,
+            source=args.source,
         )
     except ContractViolation as e:
         # staged snapshot discarded; published table unchanged; checkpoint
@@ -693,6 +694,10 @@ def build_parser() -> argparse.ArgumentParser:
             r.add_argument("--publish-to", default=None,
                            help="relay this table's net changes to a "
                                 "downstream change feed after every batch")
+            r.add_argument("--source", default=None,
+                           help="join a fan-in table as this named shard "
+                                "(per-source fence; pair with "
+                                "--occ-retries for concurrent jobs)")
         else:
             r.add_argument("--continuous", action="store_true")
             r.add_argument("--trigger", default="10 seconds")

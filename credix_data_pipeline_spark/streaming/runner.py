@@ -134,6 +134,7 @@ def replay(
     wap: bool = False,
     publish_to: str | None = None,
     occ_retries: int = 0,
+    source: str | None = None,
 ) -> ReplayStats:
     """Replay the feed to exhaustion (availableNow semantics), resumable.
 
@@ -141,6 +142,17 @@ def replay(
     race against another writer on the same table (compaction loop, a
     second ingest job): the retry re-reads the fence and current snapshot
     and re-merges — the Iceberg commit-retry loop (see apply_batch).
+
+    ``source=<name>`` joins this replay to a FAN-IN table as one named
+    shard: the fence becomes per-source and the default checkpoint moves
+    to ``_checkpoint_fanin_<name>.json`` (the same files replay_fanin and
+    the monitor use).  N INDEPENDENT replay jobs — separate spark-submits,
+    one per upstream connector — can then ingest one table concurrently:
+    their commits race under base-snapshot OCC, so pair ``source=`` with
+    ``occ_retries`` (losers re-read and re-merge; one writer always wins
+    each round, so progress is guaranteed).  replay_fanin() is the
+    single-process round-robin convenience over the same machinery —
+    strictly less commit contention, same final state.
 
     ``publish_to=<dir>`` relays this table's net changes as a downstream
     change feed after every checkpoint advance (operators/relay.py) —
@@ -188,7 +200,10 @@ def replay(
     )
     lineage = LineageLog(table_path)
     dead = quarantine_writer(table_path)
-    ckpt = Checkpoint(checkpoint_path or os.path.join(table_path, "_checkpoint.json"))
+    default_ckpt = (
+        f"_checkpoint_fanin_{source}.json" if source else "_checkpoint.json"
+    )
+    ckpt = Checkpoint(checkpoint_path or os.path.join(table_path, default_ckpt))
     state = ckpt.load()
     pos, batch_id = state["next_chunk"], state["next_batch_id"]
 
@@ -251,6 +266,7 @@ def replay(
             collect_stats=collect_stats,
             wap=wap,
             occ_retries=occ_retries,
+            source=source,
         )
         stats.add(res)
         if fail_at_batch is not None and batch_id == fail_at_batch:

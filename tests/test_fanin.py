@@ -293,3 +293,43 @@ def test_monitor_reports_per_source_fanin_progress(spark, shard_feeds, tmp_table
     single = str(tmp_path / "single")
     runner.replay(spark, f0, single, chunks_per_batch=4, num_buckets=4)
     assert monitor(spark, single)["fanin"] is None
+
+
+def test_two_concurrent_replay_jobs_fanin_one_table(spark, shard_feeds, tmp_table):
+    """The independent-process deployment: one `replay(source=...)` job per
+    upstream connector, racing on ONE table.  Base-snapshot OCC makes
+    simultaneous commits conflict; occ_retries re-merges losers; the final
+    state must equal the union oracle with both fences complete."""
+    import threading
+
+    f0, f1 = shard_feeds
+    errors: list[BaseException] = []
+
+    def job(name, feed):
+        try:
+            runner.replay(
+                spark, feed, tmp_table,
+                chunks_per_batch=2, num_buckets=4,
+                source=name, occ_retries=16,
+            )
+        except BaseException as e:  # pragma: no cover - surface below
+            errors.append(e)
+
+    ts = [threading.Thread(target=job, args=(n, f))
+          for n, f in (("s0", f0), ("s1", f1))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert _final(spark, tmp_table) == [
+        (c, t_, x) for c, t_, x in oracle_sorted_rows(FULL, normalize=False)
+    ]
+    t = LakeTable.load(spark, tmp_table)
+    fences = t.current().summary.get("fences")
+    assert set(fences) == {"s0", "s1"}
+    # the fan-in monitor reads the same artifacts these jobs wrote
+    from credix_data_pipeline_spark.streaming.monitoring import monitor
+
+    fan = monitor(spark, tmp_table)["fanin"]
+    assert set(fan["sources"]) == {"s0", "s1"}
