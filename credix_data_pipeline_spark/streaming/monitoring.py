@@ -308,8 +308,26 @@ td,th{{border:1px solid #999;padding:4px 10px}}.ok{{color:#070}}.bad{{color:#b00
 compaction · {report['maintenance']['pending_purges']} purges and
 {report['maintenance']['pending_position_delete_files']} position-delete
 files awaiting materialization</p>
-</body></html>
+{_render_fanin(report.get('fanin'))}</body></html>
 """
+
+
+def _render_fanin(fan: dict | None) -> str:
+    if not fan:
+        return ""
+    rows = "".join(
+        f"<tr><td>{html.escape(s)}</td><td>{v['fence_batch_id']}</td>"
+        f"<td>{v['next_chunk']}</td></tr>"
+        for s, v in fan["sources"].items()
+    )
+    cls = "ok" if fan["status"] == "BALANCED" else "bad"
+    return (
+        f'<h2>Fan-in sources: <span class="{cls}">'
+        f"{html.escape(str(fan['status']))}</span>"
+        f" (batch lag {fan['batch_lag']})</h2>"
+        f"<table><tr><th>source</th><th>fence batch</th>"
+        f"<th>next chunk</th></tr>{rows}</table>"
+    )
 
 
 def publish_report(
