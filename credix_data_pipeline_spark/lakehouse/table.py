@@ -1587,6 +1587,7 @@ class LakeTable:
         df: DataFrame,
         snap: Snapshot,
         sort_keys: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df (already carrying BUCKET_COL) under a fresh commit dir.
 
@@ -1607,6 +1608,10 @@ class LakeTable:
         if sort_keys:
             out = out.sortWithinPartitions(BUCKET_COL, *sort_keys)
         writer = out.write.partitionBy(BUCKET_COL).mode("append")
+        if max_records_per_file:
+            # write.target-file-size analogue: with a sort order, the split
+            # files carry DISJOINT stat ranges — the file-pruning substrate
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         # Parquet bloom filter on the bucket column (Iceberg write.
         # parquet.bloom-filter-enabled analogue), MAINTENANCE writes only
         # (``sort_keys`` marks the compact/rebucket path): point lookups
@@ -1855,6 +1860,7 @@ class LakeTable:
         staged: bool = False,
         restore_mor_invariant: bool = False,
         base: Snapshot | None = None,
+        max_records_per_file: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: swap the file sets of ``dirty_buckets`` for
         the files of ``new_df`` (which must contain exactly those buckets'
@@ -1886,7 +1892,12 @@ class LakeTable:
             committed_at_ms=snap.committed_at_ms,
         )
         bucketed = new_df.withColumn(BUCKET_COL, self.bucket_expr(snap))
-        new_files = self._write_files(bucketed, write_snap, sort_keys=sort_keys)
+        new_files = self._write_files(
+            bucketed,
+            write_snap,
+            sort_keys=sort_keys,
+            max_records_per_file=max_records_per_file,
+        )
         dirty = {str(b) for b in dirty_buckets}
         merged = {b: list(fl) for b, fl in snap.files.items() if b not in dirty}
         for b, fl in new_files.items():
@@ -2365,6 +2376,21 @@ class LakeTable:
         (``read_keys``, the dirty-bucket MERGE scan) skips row groups
         instead of scanning the bucket.  Ingest never sorts (hot path cost);
         maintenance rewrites do.
+
+        Two table properties refine the rewrite (Iceberg ``sort-order`` +
+        ``write.target-file-size`` analogues):
+
+        * ``compaction.sort-order`` — comma-separated columns replacing the
+          default key sort (e.g. ``ts`` or ``ts,conv_id``): an event-time
+          sort clusters each file's rows by ``ts``, and with file splitting
+          the per-file ts bounds become disjoint slices, so
+          ``read(ts_between=…)`` (the "last 7 days" slice) prunes FILES, not
+          just row groups.  Trade-off is explicit: ordering not led by the
+          key gives up key-sorted row-group skipping for ``read_keys`` —
+          lead with the key (``conv_id,ts``) to keep both at coarser grain.
+        * ``compaction.target-file-rows`` — max rows per written file
+          (``maxRecordsPerFile``): bounds file size at 100 TB and is what
+          turns a sort order into multiple stat-disjoint files per bucket.
         """
         snap = self.current()
         buckets = (
@@ -2431,11 +2457,27 @@ class LakeTable:
         # compaction exists to remove.  Hash-partitioned on the bucket id,
         # each bucket's rows land in one task → one file set per bucket.
         df = df.repartition(max(1, len(multi)), self.bucket_expr(snap))
+        sort_keys = None
+        if sort:
+            order = snap.properties.get("compaction.sort-order")
+            if order:
+                sort_keys = [c.strip() for c in order.split(",") if c.strip()]
+                names = {f.name for f in snap.schema.fields}
+                missing = [c for c in sort_keys if c not in names]
+                if missing:
+                    raise ValueError(
+                        f"compaction.sort-order references unknown "
+                        f"column(s) {missing}"
+                    )
+            else:
+                sort_keys = snap.key
+        target_rows = snap.properties.get("compaction.target-file-rows")
         return self.replace_buckets(
             multi,
             df,
             summary={**self.carry_fence(), "operation": "compact"},
-            sort_keys=snap.key if sort else None,
+            sort_keys=sort_keys,
+            max_records_per_file=int(target_rows) if target_rows else None,
             # a FULL MoR compaction collapses every bucket to one version
             # per key — the position-delete invariant holds again, so reads
             # drop back to the cheap scan + anti-join path

@@ -180,3 +180,55 @@ def test_read_clean_slice_prunes_on_cow(spark, tmp_table):
     df = read_clean(t, ts_between=(lo, hi))
     assert df.count() == 80
     assert 0 < len(df.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_compaction_sort_order_ts_restores_file_pruning(spark, tmp_table):
+    """After compaction, each bucket holds one file spanning ALL days —
+    ts_between degrades to row-group pruning only.  With the
+    ``compaction.sort-order=ts`` + ``compaction.target-file-rows``
+    properties, the rewrite lays each bucket down as several ts-DISJOINT
+    files, so the one-day slice prunes files again (the Iceberg
+    sort-order + target-file-size pair)."""
+    t = _mk_days(spark, tmp_table, n_days=4)
+
+    # key-sorted default compaction: one fat file per bucket -> the slice
+    # must scan every file (pruning lost), though results stay exact
+    t.compact()
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.read().filter(
+            F.col("ts").between(
+                F.timestamp_millis(F.lit(_win(1, 2)[0])),
+                F.timestamp_millis(F.lit(_win(1, 2)[1])),
+            )
+        ).collect()
+    )
+    baseline = t.read(ts_between=_win(1, 2))
+    assert len(baseline.inputFiles()) == len(t.read().inputFiles())
+
+    # ts sort order + file splitting: re-compact rewrites every bucket
+    # into ts-sliced files and the same slice now plans strictly fewer
+    t.alter_properties({
+        "compaction.sort-order": "ts",
+        "compaction.target-file-rows": "40",
+    })
+    # force a rewrite (compact skips single-file buckets): append one more
+    # day so each bucket has 2+ files again
+    t.append(_day_rows(spark, 4, range(80, 100), lsn0=1 + 4 * 100))
+    t.compact()
+    t2 = LakeTable.load(spark, tmp_table)
+    sliced = t2.read(ts_between=_win(1, 2))
+    assert 0 < len(sliced.inputFiles()) < len(t2.read().inputFiles())
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in sliced.collect()
+    )
+    assert got == want
+
+
+def test_compaction_sort_order_unknown_column_refused(spark, tmp_table):
+    import pytest
+
+    t = _mk_days(spark, tmp_table, n_days=2)
+    t.alter_properties({"compaction.sort-order": "nope"})
+    with pytest.raises(ValueError, match="unknown"):
+        t.compact()
