@@ -211,6 +211,7 @@ def cmd_stream(args) -> int:
         wap=args.wap,
         publish_to=args.publish_to,
         occ_retries=args.occ_retries,
+        source=args.source,
     )
     q.awaitTermination()
     return 0
@@ -708,6 +709,8 @@ def build_parser() -> argparse.ArgumentParser:
             r.add_argument("--publish-to", default=None,
                            help="relay net changes to a downstream change "
                                 "feed inside each foreachBatch")
+            r.add_argument("--source", default=None,
+                           help="join a fan-in table as this named shard")
         r.set_defaults(fn=fn)
 
     for name, fn in (("metrics", cmd_metrics), ("gold", cmd_gold)):

@@ -56,6 +56,7 @@ VALID_OPS = ("I", "U", "D")
 @dataclass
 class ApplyResult:
     batch_id: int
+    source: str | None = None  # fan-in shard name (None for single-feed)
     skipped: bool = False
     snapshot_id: int | None = None
     lsn_min: int | None = None
@@ -295,7 +296,7 @@ def apply_batch(
 
     t0 = time.monotonic()
     spark = batch_df.sparkSession
-    res = ApplyResult(batch_id=batch_id)
+    res = ApplyResult(batch_id=batch_id, source=source)
 
     # --- ST3 fence: streaming batch ids are monotone; a re-delivered batch
     # after crash-before-checkpoint is already in the table -> skip.

@@ -33,6 +33,7 @@ LINEAGE_DIR = "_lineage"
 _ARROW_SCHEMA = pa.schema(
     [
         ("batch_id", pa.int64()),
+        ("source", pa.string()),  # fan-in shard name; NULL for single-feed
         ("rows_in", pa.int64()),
         ("lsn_min", pa.int64()),
         ("lsn_max", pa.int64()),
@@ -56,6 +57,7 @@ class LineageLog:
     def record(self, res: "ApplyResult", note: str | None = None) -> None:
         row = {
             "batch_id": res.batch_id,
+            "source": res.source,
             "rows_in": res.rows_in,
             "lsn_min": res.lsn_min,
             "lsn_max": res.lsn_max,
@@ -77,7 +79,9 @@ class LineageLog:
         os.rename(tmp, final)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.dir)
+        # mergeSchema: tables written before the `source` column existed
+        # mix footer shapes with post-upgrade rows
+        return spark.read.option("mergeSchema", "true").parquet(self.dir)
 
     def throughput(self, spark: SparkSession) -> dict:
         """Aggregate events/sec across recorded batches.

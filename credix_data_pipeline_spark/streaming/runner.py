@@ -525,8 +525,14 @@ def stream(
     wap: bool = False,
     publish_to: str | None = None,
     occ_retries: int = 0,
+    source: str | None = None,
 ):
     """Structured Streaming mode: readStream file source → foreachBatch MERGE.
+
+    ``source=<name>`` joins a fan-in table as one named shard, exactly as
+    in ``replay`` — per-source fence, and the default SS checkpoint moves
+    to ``_ss_checkpoint_<name>`` so each shard's stream tracks its own
+    offsets.  Pair with ``occ_retries`` when shards stream concurrently.
 
     The classic exactly-once pattern: SS checkpoint gives offset tracking and
     monotone batch ids; the fence inside apply_batch de-duplicates the
@@ -593,6 +599,7 @@ def stream(
             collect_stats=collect_stats,
             wap=wap,
             occ_retries=occ_retries,
+            source=source,
         )
         if publish_to:
             # relay inside foreachBatch, AFTER the fenced commit: an SS
@@ -604,9 +611,10 @@ def stream(
 
             publish_changes(table, publish_to)
 
+    default_ss = f"_ss_checkpoint_{source}" if source else "_ss_checkpoint"
     writer = src.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",
-        checkpoint_dir or os.path.join(table_path, "_ss_checkpoint"),
+        checkpoint_dir or os.path.join(table_path, default_ss),
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -333,3 +333,28 @@ def test_two_concurrent_replay_jobs_fanin_one_table(spark, shard_feeds, tmp_tabl
 
     fan = monitor(spark, tmp_table)["fanin"]
     assert set(fan["sources"]) == {"s0", "s1"}
+
+
+def test_stream_mode_fanin_sources(spark, shard_feeds, tmp_table):
+    """Genuine Structured Streaming fan-in: one stream() per shard (its own
+    SS checkpoint under _ss_checkpoint_<name>), per-source fences, lineage
+    rows tagged with the shard name."""
+    from credix_data_pipeline_spark.streaming.lineage import LineageLog
+
+    f0, f1 = shard_feeds
+    for name, feed in (("s0", f0), ("s1", f1)):
+        q = runner.stream(spark, feed, tmp_table, num_buckets=4,
+                          transform=None, source=name)
+        q.awaitTermination()
+    assert _final(spark, tmp_table) == [
+        (c, t, x) for c, t, x in oracle_sorted_rows(FULL, normalize=False)
+    ]
+    t = LakeTable.load(spark, tmp_table)
+    fences = t.current().summary.get("fences")
+    assert set(fences) == {"s0", "s1"}
+    assert os.path.isdir(os.path.join(tmp_table, "_ss_checkpoint_s0"))
+    srcs = {
+        r.source
+        for r in LineageLog(tmp_table).read(spark).select("source").collect()
+    }
+    assert srcs == {"s0", "s1"}
