@@ -358,3 +358,21 @@ def test_stream_mode_fanin_sources(spark, shard_feeds, tmp_table):
         for r in LineageLog(tmp_table).read(spark).select("source").collect()
     }
     assert srcs == {"s0", "s1"}
+
+
+def test_fanin_table_relays_to_replica(spark, shard_feeds, tmp_table, tmp_path):
+    """Composition: a fan-in table is a normal relay SOURCE — its net
+    changes publish and a downstream replica (single-feed, scalar fence)
+    converges to the same clean state.  Proves the per-source fence map is
+    invisible to the changelog/relay machinery."""
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+
+    f0, f1 = shard_feeds
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tmp_table,
+                        chunks_per_batch=2, num_buckets=4)
+    relay_dir = str(tmp_path / "relay")
+    replica = str(tmp_path / "replica")
+    publish_changes(LakeTable.load(spark, tmp_table), relay_dir)
+    runner.replay(spark, relay_dir, replica, chunks_per_batch=4,
+                  num_buckets=4)
+    assert _final(spark, replica) == _final(spark, tmp_table)
