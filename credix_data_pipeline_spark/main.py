@@ -174,6 +174,28 @@ def cmd_replay(args) -> int:
     return rc
 
 
+def cmd_bootstrap(args) -> int:
+    from credix_data_pipeline_spark.streaming import runner
+
+    spark = _spark(args)
+    try:
+        out = runner.bootstrap(
+            spark,
+            args.src,
+            args.table,
+            key=args.key.split(",") if args.key else None,
+            num_buckets=args.buckets,
+            lsn_col=args.lsn_col,
+            src_format=args.format,
+            merge_mode=args.merge_mode,
+        )
+    except RuntimeError as e:
+        print(json.dumps({"error": "bootstrap_refused", "detail": str(e)}))
+        return 1
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_requeue(args) -> int:
     from credix_data_pipeline_spark.streaming import runner
 
@@ -652,6 +674,24 @@ def build_parser() -> argparse.ArgumentParser:
                     default="cow")
     rf.add_argument("--occ-retries", type=int, default=0)
     rf.set_defaults(fn=cmd_replay_fanin)
+
+    bs = sub.add_parser(
+        "bootstrap",
+        help="seed a fresh table from an existing dataset (initial "
+             "snapshot; Datastream backfill_all analogue), then replay "
+             "the change feed on top",
+    )
+    bs.add_argument("--src", required=True, help="source dataset path")
+    bs.add_argument("--table", required=True)
+    bs.add_argument("--key", default=None, help="comma-separated key cols")
+    bs.add_argument("--buckets", type=int, default=32)
+    bs.add_argument("--lsn-col", default=None,
+                    help="column carrying the snapshot LSN (events above "
+                         "it supersede seeded rows)")
+    bs.add_argument("--format", default="parquet")
+    bs.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
+                    default="cow")
+    bs.set_defaults(fn=cmd_bootstrap)
 
     rq = sub.add_parser(
         "requeue",

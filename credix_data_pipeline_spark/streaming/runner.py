@@ -295,6 +295,102 @@ def replay(
     return stats
 
 
+def bootstrap(
+    spark: SparkSession,
+    src_path: str,
+    table_path: str,
+    *,
+    key: list[str] | None = None,
+    num_buckets: int = 16,
+    bucket_by: list[str] | None = None,
+    lsn_col: str | None = None,
+    src_format: str = "parquet",
+    merge_mode: str = "cow",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict:
+    """Initial-snapshot load (SURVEY §2.8 ST4 — Datastream
+    ``backfill_all``): seed a FRESH table from an existing dataset, then
+    let ``replay``/``stream`` apply the change feed incrementally on top.
+
+    LWW semantics of the seam: bootstrap rows carry ``_lsn`` from
+    ``lsn_col`` (the snapshot's consistent LSN — the Debezium "snapshot at
+    position X, stream from X" contract) or 0 without one, so any feed
+    event for the same key supersedes the seeded row.  Duplicate keys in
+    the source collapse to the highest-LSN row when ``lsn_col`` is given
+    and are refused otherwise (a keyed snapshot must be unique — silently
+    keeping an arbitrary duplicate would seed wrong state).  Null keys are
+    refused outright: a snapshot is curated input, not a stream to
+    quarantine.  Refuses a non-empty existing table (bootstrap is not an
+    upsert; replay is).
+    """
+    from pyspark.sql import functions as F
+
+    key = list(key or ["conv_id", "turn_idx"])
+    t_probe = LakeTable(spark, table_path)
+    if t_probe.exists():
+        raise RuntimeError(
+            f"table at {table_path} already exists — bootstrap seeds "
+            "fresh tables only; use replay for incremental loads"
+        )
+    df = spark.read.format(src_format).load(src_path)
+    if transform is not None:
+        df = transform(df)
+    missing = [k for k in key if k not in df.columns]
+    if missing:
+        raise RuntimeError(f"bootstrap source lacks key column(s) {missing}")
+    n_null = df.filter(
+        " OR ".join(f"{k} IS NULL" for k in key)
+    ).count()
+    if n_null:
+        raise RuntimeError(
+            f"bootstrap refused: {n_null} source rows have null key "
+            "column(s) — a snapshot must be complete"
+        )
+    lsn = (
+        F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
+    )
+    payload = [c for c in df.columns]
+    out = df.select(
+        *payload,
+        lsn.alias("_lsn"),
+        F.lit(False).alias("_deleted"),
+    )
+    dup = (
+        out.groupBy(*key).count().filter(F.col("count") > 1).count()
+    )
+    if dup:
+        if not lsn_col:
+            raise RuntimeError(
+                f"bootstrap refused: {dup} duplicate key(s) in the source "
+                "and no lsn_col to arbitrate — a keyed snapshot must be "
+                "unique"
+            )
+        row = F.struct(*[F.col(c) for c in out.columns])
+        out = (
+            out.groupBy(*key)
+            .agg(F.max_by(row, F.col("_lsn")).alias("_w"))
+            .select("_w.*")
+        )
+    from pyspark.sql import types as T_
+
+    schema = T_.StructType(
+        [*df.schema.fields,
+         T_.StructField("_lsn", T_.LongType(), True),
+         T_.StructField("_deleted", T_.BooleanType(), True)]
+    )
+    table = LakeTable.create(
+        spark, table_path, schema, key=key, num_buckets=num_buckets,
+        bucket_by=bucket_by or [key[0]], merge_mode=merge_mode,
+    )
+    n = out.count()
+    table.append(out, summary={"operation": "bootstrap"})
+    if merge_mode == "cow":
+        # a CoW bootstrap is unique-per-key by construction (checked /
+        # collapsed above) — compact restores the sorted one-file layout
+        table.compact()
+    return {"rows": n, "table": table_path}
+
+
 def requeue_failed(
     spark: SparkSession,
     table_path: str,
