@@ -207,7 +207,8 @@ def cmd_requeue(args) -> int:
             raise SystemExit(f"--set entry {pair!r} is not col=sql_expr")
         fixes[col] = expr
     try:
-        out = runner.requeue_failed(spark, args.table, args.feed, fixes)
+        out = runner.requeue_failed(spark, args.table, args.feed, fixes,
+                                    source=args.source)
     except RuntimeError as e:
         print(json.dumps({"error": "requeue_refused", "detail": str(e)}))
         return 1
@@ -702,6 +703,9 @@ def build_parser() -> argparse.ArgumentParser:
     rq.add_argument("--feed", required=True)
     rq.add_argument("--set", action="append", metavar="COL=SQL_EXPR",
                     help="repair expression, repeatable")
+    rq.add_argument("--source", default=None,
+                    help="fan-in tables: redrive only this shard's rows "
+                         "into its own feed")
     rq.set_defaults(fn=cmd_requeue)
 
     for name, fn in (("replay", cmd_replay), ("stream", cmd_stream)):

@@ -366,7 +366,13 @@ def apply_batch(
 
     events = batch_df.filter(~bad)
     if res.rows_quarantined and dead_letter is not None:
-        dead_letter(batch_df.filter(bad))
+        q = batch_df.filter(bad)
+        if source is not None:
+            # fan-in: tag quarantined rows with their shard so a requeue
+            # can redrive each shard's rows into ITS OWN feed (key
+            # ownership stays with the shard that produced the row)
+            q = q.withColumn("_source", F.lit(source))
+        dead_letter(q)
     if not dirty:
         res.wall_ms = int((time.monotonic() - t0) * 1000)
         if lineage:

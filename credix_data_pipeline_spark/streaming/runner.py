@@ -396,6 +396,7 @@ def requeue_failed(
     table_path: str,
     feed_path: str,
     fixes: dict[str, str] | None = None,
+    source: str | None = None,
 ) -> dict:
     """Dead-letter requeue: repair quarantined events and re-enter them
     into the change feed as a fresh tail chunk (the Kafka-Connect
@@ -427,7 +428,23 @@ def requeue_failed(
         f.endswith(".parquet") for f in os.listdir(failed)
     ):
         return {"requeued": 0, "chunk": None, "still_bad": 0}
-    df = spark.read.parquet(failed)
+    df = spark.read.option("mergeSchema", "true").parquet(failed)
+    remaining = None
+    if source is not None:
+        # fan-in: redrive only this shard's rows into ITS feed; the other
+        # shards' quarantined rows stay parked for their own requeues
+        if "_source" not in df.columns:
+            raise RuntimeError(
+                "requeue --source on a quarantine with no _source tags "
+                "(written by a sourceless replay) — requeue without "
+                "--source instead"
+            )
+        remaining = df.filter(
+            (F.col("_source") != source) | F.col("_source").isNull()
+        )
+        df = df.filter(F.col("_source") == source)
+    if "_source" in df.columns:
+        df = df.drop("_source")
     for col, expr in (fixes or {}).items():
         df = df.withColumn(col, F.expr(expr))
     table = LakeTable.load(spark, table_path)
@@ -440,14 +457,28 @@ def requeue_failed(
             "back to quarantine"
         )
     n = df.count()
+    if n == 0:
+        return {"requeued": 0, "chunk": None, "still_bad": 0}
     rel = feed_mod.append_chunk(spark, feed_path, df)
+    # park the OTHER shards' rows durably BEFORE the quarantine moves —
+    # a lazily-planned write after the rename would re-read moved files.
+    # NB: no leading underscore (Spark's file listing hides such paths).
+    park = None
+    if remaining is not None and remaining.count():
+        park = os.path.join(
+            os.path.abspath(table_path), f"failed-park-{uuid.uuid4().hex}"
+        )
+        remaining.write.parquet(park)
     archive = os.path.join(
         os.path.abspath(table_path),
         "_failed_requeued",
-        rel.replace("/", "_"),
+        # per-shard requeues of the same poisoned span archive separately
+        f"{rel.replace('/', '_')}-{uuid.uuid4().hex[:8]}",
     )
     os.makedirs(os.path.dirname(archive), exist_ok=True)
     os.rename(failed, archive)
+    if park is not None:
+        os.rename(park, failed)
     return {"requeued": n, "chunk": rel, "still_bad": 0}
 
 

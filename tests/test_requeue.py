@@ -126,3 +126,51 @@ def test_requeue_cli(spark, poisoned, capsys):
         "conv_id like 'convP%' and turn_idx = 9"
     )
     assert got.count() == 3
+
+
+def test_fanin_requeue_per_shard(spark, tmp_path):
+    """On a fan-in table, quarantined rows are tagged with their shard;
+    --source redrives each shard's rows into ITS OWN feed and leaves the
+    other shard's rows parked."""
+    from dataclasses import replace as dc_replace
+
+    from credix_data_pipeline_spark.operators.apply import apply_batch
+
+    full = FeedSpec(n_events=1_200, n_conversations=20,
+                    turns_per_conversation=6, events_per_chunk=300)
+    f0, f1, tp = (str(tmp_path / d) for d in ("f0", "f1", "t"))
+    write_feed(spark, f0, dc_replace(full, n_shards=2, shard=0))
+    write_feed(spark, f1, dc_replace(full, n_shards=2, shard=1))
+    # poison each shard's feed with shard-owned null-turn rows
+    feed_mod.append_chunk(spark, f0, _poison_rows(spark, n=2, lsn0=20_000))
+    feed_mod.append_chunk(spark, f1, _poison_rows(spark, n=3, lsn0=30_000))
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    failed = os.path.join(tp, runner.FAILED_DIR)
+    qdf = spark.read.parquet(failed)
+    assert qdf.count() == 5
+    assert {r._source for r in qdf.select("_source").collect()} == {"s0", "s1"}
+
+    out = runner.requeue_failed(spark, tp, f0,
+                                fixes={"turn_idx": "1"}, source="s0")
+    assert out["requeued"] == 2
+    # s1's rows stay parked with their tags
+    left = spark.read.parquet(failed)
+    assert left.count() == 3
+    assert {r._source for r in left.select("_source").collect()} == {"s1"}
+    out1 = runner.requeue_failed(spark, tp, f1,
+                                 fixes={"turn_idx": "2"}, source="s1")
+    assert out1["requeued"] == 3
+    assert not os.path.isdir(failed)
+
+    # the redriven rows arrive through the shards' OWN feeds
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    t = LakeTable.load(spark, tp)
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in read_clean(t).filter("conv_id like 'convP%'").collect()
+    }
+    assert got == {(f"convP{i}", 1) for i in range(2)} | {
+        (f"convP{i}", 2) for i in range(3)
+    }
