@@ -504,6 +504,16 @@ def cmd_validate(args) -> int:
     return 0 if report["passed"] else 1
 
 
+def cmd_fsck(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.lakehouse.fsck import fsck
+
+    spark = _spark(args)
+    report = fsck(LakeTable.load(spark, args.table), deep=args.deep)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def cmd_changes(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.changelog import read_changes
@@ -528,6 +538,19 @@ def cmd_changes(args) -> int:
         else args.to_snapshot
     )
     df = read_changes(table, from_id, to_id)
+    if args.summary:
+        from pyspark.sql import functions as F
+
+        rows = (
+            df.groupBy("_change_type").agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        print(json.dumps(
+            {"from": from_id, "to": to_id,
+             "changes": {r["_change_type"]: r["rows"] for r in rows}},
+            sort_keys=True,
+        ))
+        return 0
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"rows": df.count(), "out": args.out}))
@@ -693,6 +716,16 @@ def build_parser() -> argparse.ArgumentParser:
     bs.add_argument("--merge-mode", choices=["cow", "mor", "mor-append"],
                     default="cow")
     bs.set_defaults(fn=cmd_bootstrap)
+
+    fk = sub.add_parser(
+        "fsck",
+        help="table integrity audit: referenced files exist, manifests/"
+             "segments load, fences coherent, orphans reported; --deep "
+             "re-hashes bucket placement row-by-row",
+    )
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--deep", action="store_true")
+    fk.set_defaults(fn=cmd_fsck)
 
     rq = sub.add_parser(
         "requeue",
@@ -897,6 +930,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="upper wall-clock bound (default: current)")
     ch.add_argument("--out", default=None, help="write parquet instead of show")
     ch.add_argument("--limit", type=int, default=50)
+    ch.add_argument("--summary", action="store_true",
+                    help="print per-change-type row counts as JSON instead "
+                         "of the row images (the diff-at-a-glance view)")
     ch.set_defaults(fn=cmd_changes)
 
     hi = sub.add_parser(
