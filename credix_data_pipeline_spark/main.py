@@ -49,6 +49,18 @@ Subcommands:
 * ``expire``    — retention: expire old snapshots + collect orphan files
                   (Iceberg expire_snapshots / the reference's GCS lifecycle
                   deletes)
+* ``replay-fanin`` — fan-in: N sharded feeds (name=path,…) into one table
+                  with per-source exactly-once fences; single jobs can
+                  also join a fan-in table via ``replay/stream --source``
+* ``bootstrap`` — initial-snapshot load (Datastream backfill_all): seed a
+                  fresh table from an existing dataset, LWW seam at the
+                  snapshot LSN (``--lsn-col``)
+* ``requeue``   — dead-letter redrive: repair quarantined events
+                  (``--set col=sql_expr``) and re-enter them as a feed
+                  tail chunk; ``--source`` scopes to one fan-in shard
+* ``fsck``      — metadata-first integrity audit (files exist, manifests
+                  load, fences coherent, orphans reported); ``--deep``
+                  re-checks bucket placement row-by-row
 
 ``replay --wap`` stages each batch and publishes only after the contracts
 pass on the staged post-image (Iceberg write-audit-publish).
