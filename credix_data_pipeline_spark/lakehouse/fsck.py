@@ -8,9 +8,9 @@ so they cost O(files) stat calls at any table size:
   RETAINED snapshot exists and is non-empty;
 * every retained manifest loads (segment references resolve — a GC'd
   segment would fail here, not at 3 a.m. in a reader);
-* fence coherence: the newest fence-declaring commit is single-feed XOR
-  fan-in (both a live scalar fence and a live fences map is the
-  mixed-mode corruption the apply guards refuse to create);
+* fence well-formedness: the newest fence-declaring commit's ``fences``
+  map (if any) maps string source names to integer batch ids — fan-in
+  commits carry the scalar ``batch_id`` AND the map together by design;
 * orphan report: files under ``data/`` referenced by NO retained manifest
   (crash residue awaiting ``expire_snapshots`` collection — a warning,
   not an error);
@@ -74,15 +74,26 @@ def fsck(table: LakeTable, deep: bool = False) -> dict:
                         f"{kind} file empty (v{s.version}): {p}"
                     )
 
-    # 3) fence coherence on the newest fence-declaring commit
+    # 3) fence well-formedness on the newest fence-declaring commit.
+    # NB: fan-in merge commits legitimately carry BOTH the scalar batch_id
+    # and the fences map in one summary (operators/apply.py writes them
+    # together so retention protection rides the same key) — that is the
+    # normal fan-in shape, not corruption.  What fsck checks is the map's
+    # SHAPE: string source names to integer batch ids.
     for s in reversed(snaps):
         summ = s.summary
         if "batch_id" in summ or "fences" in summ:
-            if summ.get("batch_id") is not None and summ.get("fences"):
+            fences = summ.get("fences")
+            if fences is not None and (
+                not isinstance(fences, dict)
+                or any(
+                    not isinstance(k, str)
+                    or (v is not None and not isinstance(v, int))
+                    for k, v in fences.items()
+                )
+            ):
                 errors.append(
-                    f"mixed fences at v{s.version}: scalar batch_id "
-                    f"{summ['batch_id']} AND fan-in map "
-                    f"{sorted(summ['fences'])} both live"
+                    f"malformed fences map at v{s.version}: {fences!r}"
                 )
             break
 
@@ -106,22 +117,38 @@ def fsck(table: LakeTable, deep: bool = False) -> dict:
         )
 
     # 5) deep: recomputed bucket hash == the bucket each row is stored
-    # under.  Per-bucket reads (the engine's own pruning path) rather than
-    # input_file_name(): the read plan may be a multi-source join when
-    # purges are outstanding, where file-introspection expressions are
-    # unsupported — and this way the check exercises the same path
-    # readers use.
+    # under.  Built from per-bucket reads (the engine's own pruning path —
+    # the read plan may be a multi-source join when purges are
+    # outstanding, where file-introspection expressions like
+    # input_file_name() are unsupported), lazily UNIONED and aggregated in
+    # ONE distributed job.
     if deep:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         cur = table.current()
-        for b in sorted(cur.files, key=int):
-            if not cur.files[b]:
-                continue
-            df = table.read(buckets=[int(b)])
-            bad = df.filter(table.bucket_expr(cur) != int(b)).count()
-            if bad:
+        parts = [
+            table.read(buckets=[int(b)]).select(
+                F.lit(int(b)).alias("_stored_bucket"),
+                table.bucket_expr(cur).alias("_hash_bucket"),
+            )
+            for b in sorted(cur.files, key=int)
+            if cur.files[b]
+        ]
+        if parts:
+            bad_rows = (
+                reduce(lambda a, b: a.unionByName(b), parts)
+                .filter(F.col("_stored_bucket") != F.col("_hash_bucket"))
+                .groupBy("_stored_bucket")
+                .count()
+                .collect()
+            )
+            for r in bad_rows:
                 errors.append(
-                    f"{bad} live row(s) stored under bucket {b} hash to "
-                    "a different bucket (files moved by hand?)"
+                    f"{r['count']} live row(s) stored under bucket "
+                    f"{r['_stored_bucket']} hash to a different bucket "
+                    "(files moved by hand?)"
                 )
 
     return {

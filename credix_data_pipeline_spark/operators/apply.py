@@ -287,7 +287,11 @@ def apply_batch(
                 return apply_batch(
                     table, batch_df, batch_id,
                     transform=transform, lineage=lineage,
-                    dead_letter=dead_letter, write_salt=write_salt,
+                    # quarantine writes happen BEFORE the commit, so a
+                    # conflicted attempt already parked the bad rows —
+                    # retries must not append duplicate copies
+                    dead_letter=dead_letter if _attempt == 0 else None,
+                    write_salt=write_salt,
                     collect_stats=collect_stats, wap=wap, source=source,
                 )
             except CommitConflict as e:
@@ -576,9 +580,18 @@ def apply_batch(
         "rows_applied": res.rows_applied,
     }
     if source is not None:
-        # full merged map every commit: the newest fence-declaring commit
-        # answers for ALL sources (rollback/retention then work unchanged)
-        batch_summary["fences"] = {**(fences_map or {}), source: batch_id}
+        # Full merged map every commit: the newest fence-declaring commit
+        # answers for ALL sources (rollback/retention then work unchanged).
+        # RE-READ the map here, AFTER the OCC base snapshot (`snap`) was
+        # taken — a concurrent source's fence advance landing between the
+        # early fence check and this commit must not be erased.  Ordering
+        # argument: any commit that lands after `snap` makes THIS commit
+        # lose the version race (base pinning), so a map read after the
+        # base read can never be older than what the winning commit chain
+        # sees — the early `fences_map` (read before the profile job, a
+        # seconds-wide window) could be.
+        _, fences_now = _fence_state(table)
+        batch_summary["fences"] = {**(fences_now or {}), source: batch_id}
     t_merge = time.monotonic()
     if pos_del:
         # Iceberg v2 MERGE shape: append the event-won versions + position-

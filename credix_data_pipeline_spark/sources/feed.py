@@ -305,21 +305,42 @@ def append_chunk(spark: SparkSession, path: str, df: DataFrame) -> str:
     than the live head, and the per-subdir registry is exactly the
     mechanism that aligns them (``read_chunks`` unionByName).  Manifest
     update is atomic (tmp + rename)."""
-    man = read_manifest(path)
-    ordinal = len(man["chunks"])
-    sub = f"requeue{ordinal}"
-    rel = f"{sub}/chunk={ordinal}"
-    fmt = man.get("format", "parquet")
-    df.write.mode("overwrite").format(fmt).save(os.path.join(path, rel))
-    man["chunks"].append(rel)
-    man.setdefault("schemas", {})[sub] = df.schema.jsonValue()
-    tmp = os.path.join(path, f"_feed.json.tmp-{ordinal}")
-    with open(tmp, "w") as f:
-        json.dump(man, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(path, "_feed.json"))
-    return rel
+    import uuid as _uuid
+
+    # Exclusive append lock (O_EXCL create is atomic on a local/posix fs):
+    # the manifest update is read-modify-write, so two concurrent appends
+    # would compute the same ordinal and the losing rename would drop the
+    # winner's chunk entry — refuse loudly instead of losing data.
+    lock = os.path.join(path, "_feed.lock")
+    try:
+        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another append to the feed at {path} is in progress "
+            "(_feed.lock exists); retry when it completes — or remove a "
+            "stale lock left by a crash"
+        ) from None
+    try:
+        man = read_manifest(path)
+        ordinal = len(man["chunks"])
+        # uuid dir: even a crashed/raced append can never overwrite
+        # another append's already-written chunk files
+        sub = f"requeue-{_uuid.uuid4().hex[:12]}"
+        rel = f"{sub}/chunk={ordinal}"
+        fmt = man.get("format", "parquet")
+        df.write.mode("overwrite").format(fmt).save(os.path.join(path, rel))
+        man["chunks"].append(rel)
+        man.setdefault("schemas", {})[sub] = df.schema.jsonValue()
+        tmp = os.path.join(path, f"_feed.json.tmp-{ordinal}")
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(path, "_feed.json"))
+        return rel
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock)
 
 
 def read_chunks(

@@ -338,6 +338,13 @@ def bootstrap(
     missing = [k for k in key if k not in df.columns]
     if missing:
         raise RuntimeError(f"bootstrap source lacks key column(s) {missing}")
+    reserved = [c for c in ("_lsn", "_deleted") if c in df.columns]
+    if reserved:
+        raise RuntimeError(
+            f"bootstrap source carries engine column(s) {reserved} "
+            "(exported from another lake table?) — drop or rename them; "
+            "to seed LSNs from such a column, rename it and pass lsn_col"
+        )
     n_null = df.filter(
         " OR ".join(f"{k} IS NULL" for k in key)
     ).count()
@@ -423,7 +430,18 @@ def requeue_failed(
         malformed_condition,
     )
 
-    failed = os.path.join(os.path.abspath(table_path), FAILED_DIR)
+    tbl_root = os.path.abspath(table_path)
+    failed = os.path.join(tbl_root, FAILED_DIR)
+    # crash recovery: a previous per-shard requeue that died between the
+    # archive move and the park rename left the other shards' rows in a
+    # failed-park-<hex> dir — restore the newest one as the quarantine
+    if not os.path.isdir(failed):
+        parks = sorted(
+            p for p in os.listdir(tbl_root)
+            if p.startswith("failed-park-")
+        ) if os.path.isdir(tbl_root) else []
+        if parks:
+            os.rename(os.path.join(tbl_root, parks[-1]), failed)
     if not os.path.isdir(failed) or not any(
         f.endswith(".parquet") for f in os.listdir(failed)
     ):
@@ -443,6 +461,13 @@ def requeue_failed(
             (F.col("_source") != source) | F.col("_source").isNull()
         )
         df = df.filter(F.col("_source") == source)
+    elif "_source" in df.columns:
+        raise RuntimeError(
+            "requeue without --source on a fan-in quarantine (rows carry "
+            "_source tags): redriving every shard's rows into one feed "
+            "would break per-shard key ownership — requeue each shard "
+            "into its own feed with --source"
+        )
     if "_source" in df.columns:
         df = df.drop("_source")
     for col, expr in (fixes or {}).items():

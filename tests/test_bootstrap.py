@@ -147,3 +147,10 @@ def test_bootstrap_cli(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 40
     assert read_clean(LakeTable.load(spark, tp)).count() == 40
+
+
+def test_bootstrap_refuses_reserved_engine_columns(spark, tmp_path):
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    _seed_df(spark).withColumnRenamed("src_lsn", "_lsn").write.parquet(src)
+    with pytest.raises(RuntimeError, match="engine column"):
+        runner.bootstrap(spark, src, tp, num_buckets=4)

@@ -117,3 +117,19 @@ def test_changes_summary_cli(spark, tmp_feed, tmp_table, capsys):
         "insert", "delete", "update_before", "update_after"
     }
     assert sum(out["changes"].values()) > 0
+
+
+def test_fsck_passes_on_fanin_table(spark, tmp_path):
+    """Fan-in merge commits carry BOTH the scalar batch_id and the fences
+    map by design — fsck must not call that corruption (review finding)."""
+    from dataclasses import replace as dc_replace
+
+    full = FeedSpec(n_events=1_200, n_conversations=20,
+                    turns_per_conversation=6, events_per_chunk=300)
+    f0, f1, tp = (str(tmp_path / d) for d in ("f0", "f1", "t"))
+    write_feed(spark, f0, dc_replace(full, n_shards=2, shard=0))
+    write_feed(spark, f1, dc_replace(full, n_shards=2, shard=1))
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    rep = fsck(LakeTable.load(spark, tp), deep=True)
+    assert rep["ok"], rep

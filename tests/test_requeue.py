@@ -174,3 +174,59 @@ def test_fanin_requeue_per_shard(spark, tmp_path):
     assert got == {(f"convP{i}", 1) for i in range(2)} | {
         (f"convP{i}", 2) for i in range(3)
     }
+
+
+def test_requeue_sourceless_on_tagged_quarantine_refused(spark, tmp_path):
+    """Redriving EVERY shard's rows into one feed would break per-shard
+    key ownership — must refuse (review finding)."""
+    from dataclasses import replace as dc_replace
+
+    full = FeedSpec(n_events=1_200, n_conversations=20,
+                    turns_per_conversation=6, events_per_chunk=300)
+    f0, f1, tp = (str(tmp_path / d) for d in ("f0", "f1", "t"))
+    write_feed(spark, f0, dc_replace(full, n_shards=2, shard=0))
+    write_feed(spark, f1, dc_replace(full, n_shards=2, shard=1))
+    feed_mod.append_chunk(spark, f0, _poison_rows(spark, n=1, lsn0=20_000))
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    with pytest.raises(RuntimeError, match="without --source"):
+        runner.requeue_failed(spark, tp, f0, fixes={"turn_idx": "1"})
+
+
+def test_requeue_recovers_stranded_park_dir(spark, tmp_path):
+    """Crash between archive move and park rename leaves failed-park-<hex>;
+    the next requeue restores it as the quarantine (review finding)."""
+    from dataclasses import replace as dc_replace
+
+    full = FeedSpec(n_events=1_200, n_conversations=20,
+                    turns_per_conversation=6, events_per_chunk=300)
+    f0, f1, tp = (str(tmp_path / d) for d in ("f0", "f1", "t"))
+    write_feed(spark, f0, dc_replace(full, n_shards=2, shard=0))
+    write_feed(spark, f1, dc_replace(full, n_shards=2, shard=1))
+    feed_mod.append_chunk(spark, f0, _poison_rows(spark, n=1, lsn0=20_000))
+    feed_mod.append_chunk(spark, f1, _poison_rows(spark, n=2, lsn0=30_000))
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    runner.requeue_failed(spark, tp, f0, fixes={"turn_idx": "1"},
+                          source="s0")
+    # simulate the crash window: park restored already happened in the
+    # healthy path — recreate it by moving _failed to a park name
+    failed = os.path.join(tp, runner.FAILED_DIR)
+    park = os.path.join(tp, "failed-park-deadbeef")
+    os.rename(failed, park)
+    out = runner.requeue_failed(spark, tp, f1, fixes={"turn_idx": "2"},
+                                source="s1")
+    assert out["requeued"] == 2
+    assert not os.path.isdir(park)
+
+
+def test_append_chunk_lock_refuses_concurrent_append(spark, tmp_feed):
+    write_feed(spark, tmp_feed, SPEC)
+    lock = os.path.join(tmp_feed, "_feed.lock")
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="in progress"):
+        feed_mod.append_chunk(spark, tmp_feed, _poison_rows(spark))
+    os.remove(lock)
+    rel = feed_mod.append_chunk(spark, tmp_feed, _poison_rows(spark))
+    assert not os.path.exists(lock)  # released after success
+    assert feed_mod.read_manifest(tmp_feed)["chunks"][-1] == rel
