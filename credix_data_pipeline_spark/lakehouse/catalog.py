@@ -1,0 +1,387 @@
+"""Atomic multi-table catalog: consistent cross-table snapshots.
+
+A CDC pipeline is a chain of tables (bronze transcripts → silver clean →
+gold summaries).  Each ``LakeTable`` commit is atomic, but a consumer
+reading silver AND gold mid-refresh can see a gold state computed from a
+NEWER silver than the silver it reads beside it — the classic multi-table
+consistency gap.  Iceberg solves it one layer up (catalog-level commits /
+Nessie); this module is that layer for the engine.
+
+Reference parity: the reference rebuilds its marts in one ``dbt run``
+invocation but the warehouse offers no cross-table atomicity — a dashboard
+refreshing mid-run reads mixed generations of the gold models
+(credix_pipeline dbt gold models, dbt/business_case/models/gold/*.sql).
+The catalog gives consumers the stronger guarantee those models assume.
+
+Design — file-system OCC, the exact protocol LakeTable commits use:
+
+* ``<root>/vN.json`` — immutable catalog versions.  Commit = temp write +
+  ``os.link`` to the next ordinal; EEXIST ⇒ ``CommitConflict`` (the loser
+  re-reads and re-merges).  A catalog version maps table NAME →
+  ``{path, snapshot_id}``; ``publish()`` merges the current mapping with
+  its updates and commits ONE new version, so readers resolving that
+  version see every table at exactly the snapshots the publisher grouped
+  together.
+* Retention safety: each newly-pinned snapshot is TAGGED on its own table
+  (``catalog-<cid>-v<N>-<name>``) so table-side ``expire_snapshots`` cannot age
+  out a state the catalog still serves; ``expire(keep_last=K)`` drops old
+  catalog versions and their tags together, after which the table's own
+  retention collects the files normally.  (Zero-copy clones use the same
+  tag-the-source rule — ``lakehouse/table.py clone_to``.)
+* Wall-clock time travel: ``as_of(ts_ms)`` resolves the catalog version
+  live at an instant — a consistent PIPELINE-WIDE historical view, the
+  multi-table analogue of ``LakeTable.snapshot_as_of``.
+
+Scale posture: a catalog version is one tiny JSON file naming N tables —
+publish cost is O(N) stat calls + one link, independent of data size; no
+Spark job runs.  At 100 TB the catalog is the cheapest commit in the
+pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from credix_data_pipeline_spark.lakehouse.table import (
+    CommitConflict,
+    LakeTable,
+)
+
+
+@dataclass(frozen=True)
+class CatalogVersion:
+    version: int
+    ts_ms: int
+    # name -> {"path": str, "snapshot_id": int}
+    tables: dict = field(default_factory=dict)
+    summary: dict = field(default_factory=dict)
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class Catalog:
+    """Versioned name → (table path, snapshot id) mapping with atomic,
+    optimistically-concurrent publishes."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    @property
+    def cid(self) -> str:
+        """Short stable catalog id — namespaces this catalog's tags so two
+        catalogs pinning the same table never sweep each other's pins."""
+        with open(os.path.join(self.root, "_cid")) as f:
+            return f.read().strip()
+
+    def _tag_name(self, version: int, name: str) -> str:
+        return f"catalog-{self.cid}-v{version}-{name}"
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, root: str) -> "Catalog":
+        cat = cls(root)
+        os.makedirs(cat.root, exist_ok=True)
+        if cat._versions():
+            raise FileExistsError(f"catalog already exists at {root}")
+        with open(os.path.join(cat.root, "_cid"), "w") as f:
+            f.write(uuid.uuid4().hex[:8])
+        cat._commit(CatalogVersion(1, _now_ms(), {}, {"operation": "create"}))
+        return cat
+
+    @classmethod
+    def load(cls, root: str) -> "Catalog":
+        cat = cls(root)
+        if not cat._versions():
+            raise FileNotFoundError(f"no catalog at {root}")
+        return cat
+
+    @classmethod
+    def create_if_not_exists(cls, root: str) -> "Catalog":
+        try:
+            return cls.create(root)
+        except FileExistsError:
+            return cls.load(root)
+
+    # ------------------------------------------------------------- internals
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for fn in os.listdir(self.root):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    out.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read(self, version: int) -> CatalogVersion:
+        p = os.path.join(self.root, f"v{version}.json")
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise KeyError(
+                f"catalog version {version} not found (expired?)"
+            ) from None
+        return CatalogVersion(
+            m["version"], m["ts_ms"], m.get("tables", {}), m.get("summary", {})
+        )
+
+    def _commit(self, cv: CatalogVersion) -> None:
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.root, f"v{cv.version}.json")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": cv.version,
+                    "ts_ms": cv.ts_ms,
+                    "tables": cv.tables,
+                    "summary": cv.summary,
+                },
+                f,
+                indent=1,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"catalog version {cv.version} was committed concurrently; "
+                "re-read and retry"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # ----------------------------------------------------------------- reads
+    def current(self) -> CatalogVersion:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no catalog at {self.root}")
+        return self._read(vs[-1])
+
+    def history(self) -> list[CatalogVersion]:
+        return [self._read(v) for v in reversed(self._versions())]
+
+    def as_of(self, ts_ms: int) -> CatalogVersion:
+        """The catalog version live at a wall-clock instant.  Refuses
+        probes before the oldest retained version (mirror of
+        ``LakeTable.snapshot_as_of`` — expired versions may have lost
+        their tag protection, so guessing would serve broken pins)."""
+        best = None
+        for v in self._versions():
+            cv = self._read(v)
+            if cv.ts_ms <= ts_ms and (best is None or cv.version > best.version):
+                best = cv
+        if best is None:
+            raise KeyError(
+                f"no retained catalog version at or before ts_ms={ts_ms} "
+                "(probe predates retention?)"
+            )
+        return best
+
+    # --------------------------------------------------------------- publish
+    def publish(
+        self,
+        updates: dict,
+        summary: dict | None = None,
+        drop: list[str] | None = None,
+        retries: int = 0,
+    ) -> CatalogVersion:
+        """Atomically publish a new catalog version.
+
+        ``updates`` maps table name → ``LakeTable`` (pin its CURRENT
+        snapshot) or ``(LakeTable, snapshot_id)`` (pin a specific one).
+        Unmentioned names carry over from the current version; ``drop``
+        removes names.  All updates land in ONE version or none.
+
+        Each newly-pinned snapshot is tagged ``catalog-<cid>-v<N>-<name>`` on its
+        table so table retention can't expire it while the catalog serves
+        it; a lost OCC race removes the loser's tags before retrying
+        (``retries`` > 0) or re-raising ``CommitConflict``.
+        """
+        if not updates and not drop:
+            raise ValueError("publish needs updates and/or drop")
+        for attempt in range(retries + 1):
+            cur = self.current()
+            tables = dict(cur.tables)
+            for name in drop or []:
+                if name not in tables:
+                    raise KeyError(f"catalog has no table {name!r}")
+                del tables[name]
+            next_v = cur.version + 1
+            # tags we CREATED this attempt — a lost race must clean only
+            # these, and only when the winner didn't pin the same state
+            created: list[tuple[LakeTable, str, str, int]] = []
+            for name, spec in updates.items():
+                if isinstance(spec, tuple):
+                    t, sid = spec
+                else:
+                    t, sid = spec, spec.current().snapshot_id
+                sid = int(sid)
+                t.snapshot(sid)  # must exist NOW (publish-time validation)
+                tables[name] = {"path": t.path, "snapshot_id": sid}
+                tag = self._tag_name(next_v, name)
+                try:
+                    t.tag(tag, snapshot_id=sid)
+                    created.append((t, tag, name, sid))
+                except CommitConflict:
+                    # a concurrent publisher racing at this same ordinal
+                    # tagged the name first; if it pinned the SAME snapshot
+                    # the tag serves both, otherwise we are about to lose
+                    # the version link anyway and will retry
+                    if t.tags().get(tag) != sid:
+                        pass
+            cv = CatalogVersion(
+                next_v,
+                _now_ms(),
+                tables,
+                {**(summary or {}), "operation": "publish"},
+            )
+            try:
+                self._commit(cv)
+                return cv
+            except CommitConflict:
+                try:
+                    winner = self._read(next_v)
+                except KeyError:
+                    winner = None
+                for t, tag, name, sid in created:
+                    w = winner.tables.get(name) if winner else None
+                    if w and w["path"] == t.path and int(w["snapshot_id"]) == sid:
+                        continue  # winner pins the same state; tag is theirs
+                    try:
+                        t.untag(tag)
+                    except KeyError:
+                        pass
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    # --------------------------------------------------------------- resolve
+    def resolve(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> tuple[LakeTable, int]:
+        """The (table, snapshot_id) a catalog version pins for ``name``."""
+        if version is not None and as_of_ms is not None:
+            raise ValueError("pass version or as_of_ms, not both")
+        if as_of_ms is not None:
+            cv = self.as_of(as_of_ms)
+        elif version is not None:
+            cv = self._read(version)
+        else:
+            cv = self.current()
+        ent = cv.tables.get(name)
+        if ent is None:
+            raise KeyError(
+                f"catalog v{cv.version} has no table {name!r} "
+                f"(has {sorted(cv.tables)})"
+            )
+        return LakeTable.load(spark, ent["path"]), int(ent["snapshot_id"])
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        """Clean rows of ``name`` at the cataloged snapshot (LWW winners,
+        tombstones/purges applied)."""
+        from credix_data_pipeline_spark.operators.apply import read_clean
+
+        t, sid = self.resolve(spark, name, version=version, as_of_ms=as_of_ms)
+        return read_clean(t, snapshot_id=sid)
+
+    def register_views(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> list[str]:
+        """Register every cataloged table as SQL views pinned at its
+        cataloged snapshot (``<name>`` clean + ``<name>_raw``) — the
+        consumer's one-call consistent read surface."""
+        from credix_data_pipeline_spark.operators.apply import (
+            register_sql_views,
+        )
+
+        if version is not None and as_of_ms is not None:
+            raise ValueError("pass version or as_of_ms, not both")
+        if as_of_ms is not None:
+            cv = self.as_of(as_of_ms)
+        elif version is not None:
+            cv = self._read(version)
+        else:
+            cv = self.current()
+        names = []
+        for name, ent in sorted(cv.tables.items()):
+            t = LakeTable.load(spark, ent["path"])
+            register_sql_views(t, name, snapshot_id=int(ent["snapshot_id"]))
+            names.append(name)
+        return names
+
+    # -------------------------------------------------------------- retention
+    def expire(self, keep_last: int = 5) -> dict:
+        """Drop catalog versions older than the newest ``keep_last`` and
+        untag their pins (the tables' own ``expire_snapshots`` then ages
+        the underlying states normally).  A pin CARRIED into a retained
+        version keeps its tag even though the tag's name references an
+        expired version — tags protect states, and the state is still
+        served.  O(versions) stat cost, no Spark job."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self._versions()
+        doomed = vs[:-keep_last] if len(vs) > keep_last else []
+        retained = set(vs[-keep_last:])
+        paths: set[str] = set()
+        still_pinned: set[tuple[str, int]] = set()
+        for v in vs[-keep_last:]:
+            for ent in self._read(v).tables.values():
+                paths.add(ent["path"])
+                still_pinned.add((ent["path"], int(ent["snapshot_id"])))
+        for v in doomed:
+            paths.update(e["path"] for e in self._read(v).tables.values())
+        for v in doomed:
+            os.unlink(os.path.join(self.root, f"v{v}.json"))
+        # Sweep this catalog's tags on every table it has ever mentioned:
+        # a tag survives iff its version is retained OR its exact state is
+        # still pinned by a retained version (a CARRIED pin keeps its old-
+        # named tag — tags protect states, and the state is still served).
+        dropped_tags = 0
+        prefix = f"tag-catalog-{self.cid}-v"
+        for path in sorted(paths):
+            meta_dir = os.path.join(path, "_meta")
+            if not os.path.isdir(meta_dir):
+                continue
+            for fn in os.listdir(meta_dir):
+                if not (fn.startswith(prefix) and fn.endswith(".json")):
+                    continue
+                body = fn[len(prefix):-len(".json")]
+                ver_s, _, _name = body.partition("-")
+                try:
+                    ver = int(ver_s)
+                except ValueError:
+                    continue
+                if ver in retained:
+                    continue
+                with open(os.path.join(meta_dir, fn)) as f:
+                    sid = int(json.load(f)["snapshot_id"])
+                if (path, sid) in still_pinned:
+                    continue
+                os.unlink(os.path.join(meta_dir, fn))
+                dropped_tags += 1
+        return {"expired_versions": doomed, "dropped_tags": dropped_tags}

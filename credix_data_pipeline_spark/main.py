@@ -61,6 +61,14 @@ Subcommands:
 * ``fsck``      — metadata-first integrity audit (files exist, manifests
                   load, fences coherent, orphans reported); ``--deep``
                   re-checks bucket placement row-by-row
+* ``catalog-publish`` — atomically pin N tables' snapshots as ONE catalog
+                  version (consistent multi-table snapshot; Nessie /
+                  catalog-level-commit analogue); pins are tag-protected
+                  from table retention
+* ``catalog-show``   — print a catalog version (``--history``, ``--as-of``)
+* ``catalog-sql``    — SQL over every cataloged table pinned at one
+                  consistent catalog version
+* ``catalog-expire`` — drop old catalog versions and release their pins
 
 ``replay --wap`` stages each batch and publishes only after the contracts
 pass on the staged post-image (Iceberg write-audit-publish).
@@ -484,6 +492,76 @@ def cmd_sql(args) -> int:
             print(line)
     else:
         df.show(n=args.limit, truncate=False)
+    return 0
+
+
+def _load_catalog(args):
+    from credix_data_pipeline_spark.lakehouse.catalog import Catalog
+
+    return Catalog.load(args.catalog)
+
+
+def cmd_catalog_publish(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.lakehouse.catalog import Catalog
+
+    spark = _spark(args)
+    cat = Catalog.create_if_not_exists(args.catalog)
+    updates = {}
+    for pin in args.pin or []:
+        name, _, spec = pin.partition("=")
+        if not name or not spec:
+            raise SystemExit(f"--pin wants name=path[@snapshot], got {pin!r}")
+        path, _, sid = spec.partition("@")
+        t = LakeTable.load(spark, path)
+        updates[name] = (t, int(sid)) if sid else t
+    cv = cat.publish(updates, drop=args.drop or None, retries=args.retries)
+    print(json.dumps({"version": cv.version, "ts_ms": cv.ts_ms,
+                      "tables": cv.tables}))
+    return 0
+
+
+def cmd_catalog_show(args) -> int:
+    cat = _load_catalog(args)
+    if args.history:
+        out = [
+            {"version": cv.version, "ts_ms": cv.ts_ms, "tables": cv.tables,
+             "summary": cv.summary}
+            for cv in cat.history()
+        ]
+        print(json.dumps(out, indent=1))
+        return 0
+    if args.as_of:
+        cv = cat.as_of(_parse_ts_ms(args.as_of))
+    elif args.version is not None:
+        cv = cat._read(args.version)
+    else:
+        cv = cat.current()
+    print(json.dumps({"version": cv.version, "ts_ms": cv.ts_ms,
+                      "tables": cv.tables, "summary": cv.summary}))
+    return 0
+
+
+def cmd_catalog_sql(args) -> int:
+    spark = _spark(args)
+    cat = _load_catalog(args)
+    cat.register_views(
+        spark,
+        version=args.version,
+        as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+    )
+    df = spark.sql(args.query)
+    if args.json:
+        for line in df.toJSON().toLocalIterator():
+            print(line)
+    else:
+        df.show(n=args.limit, truncate=False)
+    return 0
+
+
+def cmd_catalog_expire(args) -> int:
+    cat = _load_catalog(args)
+    print(json.dumps(cat.expire(keep_last=args.keep_last)))
     return 0
 
 
@@ -999,6 +1077,51 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--keep-last", type=int, default=5)
     e.add_argument("--older-than-ms", type=int, default=None)
     e.set_defaults(fn=cmd_expire)
+
+    cp = sub.add_parser(
+        "catalog-publish",
+        help="atomically pin N tables' snapshots as one catalog version "
+             "(consistent multi-table snapshot)",
+    )
+    cp.add_argument("--catalog", required=True, help="catalog root dir")
+    cp.add_argument("--pin", action="append",
+                    help="name=table_path[@snapshot_id]; repeatable — all "
+                         "pins land in ONE atomic version")
+    cp.add_argument("--drop", action="append",
+                    help="remove a name from the catalog; repeatable")
+    cp.add_argument("--retries", type=int, default=0,
+                    help="OCC retries on a concurrent publish")
+    cp.set_defaults(fn=cmd_catalog_publish)
+
+    cs = sub.add_parser("catalog-show", help="print a catalog version")
+    cs.add_argument("--catalog", required=True)
+    cs.add_argument("--version", type=int, default=None)
+    cs.add_argument("--as-of", default=None,
+                    help="resolve the version live at this wall-clock time "
+                         "(ISO-8601 or epoch ms)")
+    cs.add_argument("--history", action="store_true")
+    cs.set_defaults(fn=cmd_catalog_show)
+
+    cq = sub.add_parser(
+        "catalog-sql",
+        help="run SQL over every cataloged table pinned at ONE consistent "
+             "catalog version",
+    )
+    cq.add_argument("--catalog", required=True)
+    cq.add_argument("--query", required=True)
+    cq.add_argument("--version", type=int, default=None)
+    cq.add_argument("--as-of", default=None)
+    cq.add_argument("--json", action="store_true")
+    cq.add_argument("--limit", type=int, default=20)
+    cq.set_defaults(fn=cmd_catalog_sql)
+
+    ce = sub.add_parser(
+        "catalog-expire",
+        help="drop old catalog versions and release their retention pins",
+    )
+    ce.add_argument("--catalog", required=True)
+    ce.add_argument("--keep-last", type=int, default=5)
+    ce.set_defaults(fn=cmd_catalog_expire)
     return p
 
 

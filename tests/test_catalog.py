@@ -1,0 +1,256 @@
+"""Atomic multi-table catalog: consistent cross-table snapshots
+(lakehouse/catalog.py — the Nessie / catalog-level-commit analogue).
+
+The guarantee under test: a consumer resolving ONE catalog version sees
+silver AND gold at exactly the snapshots one publisher grouped together,
+no matter how far the tables have advanced since — and table retention
+cannot age out a state the catalog still serves."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.lakehouse.catalog import Catalog
+from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+from credix_data_pipeline_spark.main import main as cli_main
+from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.operators.gold_incremental import (
+    refresh_conversation_summary,
+)
+from credix_data_pipeline_spark.plans.gold import conversation_summary
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+SPEC = FeedSpec(
+    n_events=3_000,
+    n_conversations=40,
+    turns_per_conversation=8,
+    delete_pct=8,
+    duplicate_pct=3,
+    shuffle_window=32,
+    events_per_chunk=500,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _pipeline(spark, tmp_path, max_batches=2):
+    """feed -> silver (replay) -> gold (incremental refresh)."""
+    feed, silverp, goldp = (
+        str(tmp_path / d) for d in ("feed", "silver", "gold")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, silverp, chunks_per_batch=2, num_buckets=8,
+                  max_batches=max_batches, collect_stats=False)
+    silver = LakeTable.load(spark, silverp)
+    refresh_conversation_summary(silver, goldp)
+    gold = LakeTable.load(spark, goldp)
+    return feed, silver, gold
+
+
+def test_publish_pins_consistent_pair(spark, tmp_path):
+    feed, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    # pin silver at the snapshot gold was computed FROM (recorded by the
+    # refresh), gold at its current — the consistent pair
+    src_sid = gold.current().summary["source_snapshot_id"]
+    cv = cat.publish({"silver": (silver, src_sid), "gold": gold},
+                     summary={"note": "first consistent publish"})
+    assert cv.version == 2 and set(cv.tables) == {"silver", "gold"}
+
+    pinned_silver = _rows(cat.read(spark, "silver"))
+    pinned_gold = _rows(cat.read(spark, "gold"))
+
+    # advance silver well past the pin WITHOUT republishing
+    runner.replay(spark, feed, silver.path, chunks_per_batch=2,
+                  num_buckets=8, collect_stats=False)
+    silver = LakeTable.load(spark, silver.path)
+    assert _rows(read_clean(silver)) != pinned_silver  # it really moved
+
+    # the catalog still serves the OLD consistent pair
+    assert _rows(cat.read(spark, "silver")) == pinned_silver
+    assert _rows(cat.read(spark, "gold")) == pinned_gold
+    # and gold is exactly the summary OF the pinned silver state
+    assert pinned_gold == _rows(
+        conversation_summary(read_clean(silver, snapshot_id=src_sid))
+    )
+
+
+def test_register_views_consistent_sql_join(spark, tmp_path):
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    src_sid = gold.current().summary["source_snapshot_id"]
+    cat.publish({"silver": (silver, src_sid), "gold": gold})
+    names = cat.register_views(spark)
+    assert names == ["gold", "silver"]
+    # every gold conversation must exist in the pinned silver — the very
+    # invariant that breaks when the two tables are read at mixed versions
+    orphans = spark.sql(
+        "SELECT g.conv_id FROM gold g LEFT ANTI JOIN "
+        "(SELECT DISTINCT conv_id FROM silver) s ON g.conv_id = s.conv_id"
+    ).count()
+    assert orphans == 0
+    assert spark.sql("SELECT count(*) c FROM silver_raw").first()["c"] > 0
+
+
+def test_retention_cannot_expire_a_cataloged_snapshot(spark, tmp_path):
+    feed, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    pin_sid = silver.current().snapshot_id
+    cat.publish({"silver": silver})
+    pinned = _rows(cat.read(spark, "silver"))
+
+    # push many commits past the pin, then aggressive retention
+    runner.replay(spark, feed, silver.path, chunks_per_batch=1,
+                  num_buckets=8, collect_stats=False)
+    silver = LakeTable.load(spark, silver.path)
+    silver.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+
+    # the pinned snapshot survived (tag exemption) and reads byte-equal
+    assert _rows(cat.read(spark, "silver")) == pinned
+    assert pin_sid in {s.snapshot_id for s in silver.history()}
+
+    # release the pin: expire the catalog down to the NEW current version
+    cat.publish({"silver": silver})
+    rep = cat.expire(keep_last=1)
+    assert rep["dropped_tags"] == 1
+    silver.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert pin_sid not in {s.snapshot_id for s in silver.history()}
+
+
+def test_carried_pin_keeps_protection_across_catalog_expire(spark, tmp_path):
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    cat.publish({"silver": silver})            # v2 pins silver@s
+    pinned = _rows(cat.read(spark, "silver"))
+    cat.publish({"gold": gold})                # v3 CARRIES silver@s
+    rep = cat.expire(keep_last=1)              # drops v1+v2
+    assert rep["expired_versions"] == [1, 2]
+    assert rep["dropped_tags"] == 0            # carried pin keeps its tag
+    # retention on the table still can't take the carried state
+    silver_reloaded = LakeTable.load(spark, silver.path)
+    silver_reloaded.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert _rows(cat.read(spark, "silver")) == pinned
+
+
+def test_concurrent_publishers_both_land(spark, tmp_path):
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def pub(name, t):
+        try:
+            barrier.wait()
+            cat.publish({name: t}, retries=16)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=pub, args=("silver", silver)),
+          threading.Thread(target=pub, args=("gold", gold))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    cur = cat.current()
+    assert set(cur.tables) == {"silver", "gold"}
+    assert cur.version == 3  # two publishes, serialized by OCC
+    # every tag referenced by a retained version exists; loser-cleaned tags
+    # are gone (no orphan pins)
+    for cv in cat.history():
+        for name, ent in cv.tables.items():
+            t = LakeTable.load(spark, ent["path"])
+            live = set(t.tags().values())
+            assert int(ent["snapshot_id"]) in live
+
+
+def test_publish_without_retries_raises_on_race(spark, tmp_path, monkeypatch):
+    from credix_data_pipeline_spark.lakehouse.catalog import CatalogVersion
+
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    # deterministic race: an interloper commits the SAME ordinal between
+    # publish's current() read and its _commit
+    orig = Catalog._commit
+    fired = {"done": False}
+
+    def racy(self, cv):
+        if not fired["done"]:
+            fired["done"] = True
+            orig(self, CatalogVersion(cv.version, cv.ts_ms, {},
+                                      {"operation": "interloper"}))
+        return orig(self, cv)
+
+    monkeypatch.setattr(Catalog, "_commit", racy)
+    with pytest.raises(CommitConflict):
+        cat.publish({"silver": silver})
+    # the loser cleaned its tag (the winner pinned nothing)
+    assert not any(
+        k.startswith("catalog-") for k in LakeTable.load(
+            spark, silver.path).tags()
+    )
+    # with retries the same race self-heals
+    fired["done"] = False
+    cv = cat.publish({"silver": silver}, retries=2)
+    assert cv.tables["silver"]["snapshot_id"] == silver.current().snapshot_id
+
+
+def test_as_of_and_errors(spark, tmp_path):
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    v2 = cat.publish({"silver": silver})
+    v3 = cat.publish({"gold": gold})
+    assert cat.as_of(v2.ts_ms).version == 2
+    assert cat.as_of(v3.ts_ms + 10_000).version == 3
+    with pytest.raises(KeyError, match="retention"):
+        cat.as_of(0)
+    with pytest.raises(KeyError, match="no table"):
+        cat.resolve(spark, "nope")
+    with pytest.raises(ValueError):
+        cat.publish({})
+    cat.publish({}, drop=["gold"])
+    assert set(cat.current().tables) == {"silver"}
+    with pytest.raises(KeyError):
+        cat.publish({}, drop=["gold"])
+
+
+def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
+    import json as _json
+
+    _, silver, gold = _pipeline(spark, tmp_path)
+    croot = str(tmp_path / "cat")
+    src_sid = gold.current().summary["source_snapshot_id"]
+    rc = cli_main([
+        "catalog-publish", "--catalog", croot,
+        "--pin", f"silver={silver.path}@{src_sid}",
+        "--pin", f"gold={gold.path}",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 2 and set(out["tables"]) == {"silver", "gold"}
+
+    rc = cli_main(["catalog-show", "--catalog", croot])
+    assert rc == 0
+    shown = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shown["tables"]["silver"]["snapshot_id"] == src_sid
+
+    rc = cli_main([
+        "catalog-sql", "--catalog", croot, "--json", "--query",
+        "SELECT count(*) AS n FROM gold",
+    ])
+    assert rc == 0
+    n = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n"]
+    assert n == gold.read().count()
+
+    rc = cli_main(["catalog-expire", "--catalog", croot, "--keep-last", "1"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["expired_versions"] == [1]
