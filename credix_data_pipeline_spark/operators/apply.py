@@ -146,6 +146,61 @@ def malformed_condition(key: list[str]):
     return bad_cond
 
 
+def table_checks(snap) -> list[tuple[str, str]]:
+    """CHECK constraints carried by the table itself: every
+    ``contracts.check.<name> = <SQL boolean expr>`` table property
+    (Delta ``ALTER TABLE ADD CONSTRAINT CHECK`` analogue).  Declared once
+    with ``alter_properties``/``maintain --set-property``, they then bind
+    EVERY writer — replay, stream, fan-in, requeue — instead of relying on
+    each job wiring the same validation flag."""
+    pfx = "contracts.check."
+    return sorted(
+        (k[len(pfx):], v)
+        for k, v in snap.properties.items()
+        if k.startswith(pfx) and v
+    )
+
+
+def rejection_condition(snap, key: list[str]):
+    """The full dead-letter predicate: structurally malformed events
+    (``malformed_condition``) OR any table CHECK constraint failing.
+
+    Check semantics: evaluated on the incoming EVENT payload; a NULL
+    result counts as a violation (wrap with ``coalesce`` in the expression
+    to accept nulls); delete events are exempt — they carry no payload to
+    validate, only a key to remove."""
+    bad = malformed_condition(key)
+    checks = table_checks(snap)
+    if checks:
+        # F.expr defers parsing to analysis; validate each expression NOW
+        # so a broken constraint names itself instead of surfacing as a
+        # bare ParseException deep inside the profile job
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        parser = (
+            sess._jsparkSession.sessionState().sqlParser()
+            if sess is not None
+            else None
+        )
+    for name, expr_s in checks:
+        try:
+            if parser is not None:
+                parser.parseExpression(expr_s)
+            c = F.expr(expr_s)
+        except Exception as e:  # parse errors fail loud, at the writer
+            raise ValueError(
+                f"contracts.check.{name} is not a valid SQL expression: "
+                f"{expr_s!r}: {e}"
+            ) from e
+        ok = (
+            F.when(F.col("op") == "D", F.lit(True))
+            .otherwise(F.coalesce(c, F.lit(False)))
+        )
+        bad = bad | ~ok
+    return bad
+
+
 def split_malformed(events: DataFrame, key: list[str]):
     """ST6: dead-letter side vs applicable side."""
     bad = malformed_condition(key)
@@ -332,7 +387,10 @@ def apply_batch(
     key = snap0.key
     merge_mode = snap0.merge_mode
     bexpr = table.bucket_expr()
-    bad = malformed_condition(key)
+    # structural malformedness + the table's own CHECK constraints
+    # (contracts.check.* properties) — violations dead-letter exactly like
+    # null-key events, whichever writer carried the batch
+    bad = rejection_condition(snap0, key)
 
     # --- single profiling pass over the raw batch: dirty buckets (the
     # copy-on-write pruning set), malformed count, batch size, and the raw

@@ -409,8 +409,9 @@ def requeue_failed(
     into the change feed as a fresh tail chunk (the Kafka-Connect
     DLQ-redrive / Debezium re-submit pattern).
 
-    Rows in ``<table>/_failed/`` were rejected by ``malformed_condition``
-    (null key / null lsn / unknown op).  ``fixes`` maps column -> SQL
+    Rows in ``<table>/_failed/`` were rejected by ``rejection_condition``
+    (null key / null lsn / unknown op, or a ``contracts.check.*`` table
+    CHECK constraint).  ``fixes`` maps column -> SQL
     expression applied before re-validation (e.g.
     ``{"turn_idx": "coalesce(turn_idx, 0)", "op": "'U'"}``) — the repair a
     human writes after diagnosing the upstream bug.  Every repaired row
@@ -427,7 +428,7 @@ def requeue_failed(
     from pyspark.sql import functions as F
 
     from credix_data_pipeline_spark.operators.apply import (
-        malformed_condition,
+        rejection_condition,
     )
 
     tbl_root = os.path.abspath(table_path)
@@ -473,7 +474,11 @@ def requeue_failed(
     for col, expr in (fixes or {}).items():
         df = df.withColumn(col, F.expr(expr))
     table = LakeTable.load(spark, table_path)
-    bad = malformed_condition(table.current().key)
+    snap = table.current()
+    # re-validate against the FULL rejection predicate (structural +
+    # contracts.check.* table properties) — a repair that satisfies the
+    # shape but still violates a CHECK would round-trip to quarantine
+    bad = rejection_condition(snap, snap.key)
     still_bad = df.filter(bad).count()
     if still_bad:
         raise RuntimeError(
