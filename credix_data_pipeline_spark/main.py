@@ -579,7 +579,27 @@ def cmd_gold_refresh(args) -> int:
         if args.model == "turns"
         else refresh_conversation_summary
     )
-    print(json.dumps(refresh(src, args.gold)))
+    out = refresh(src, args.gold)
+    if args.catalog:
+        # publish the CONSISTENT pair atomically: the source pinned at the
+        # exact snapshot this refresh read (recorded in the gold summary),
+        # gold at the state it just produced — downstream SQL through the
+        # catalog can never see mixed generations
+        from credix_data_pipeline_spark.lakehouse.catalog import Catalog
+
+        cat = Catalog.create_if_not_exists(args.catalog)
+        gold = LakeTable.load(spark, args.gold)
+        src_sid = gold.current().summary["source_snapshot_id"]
+        cv = cat.publish(
+            {
+                args.catalog_source: (src, src_sid),
+                args.catalog_gold: gold,
+            },
+            summary={"operation": "gold-refresh"},
+            retries=args.catalog_retries,
+        )
+        out["catalog_version"] = cv.version
+    print(json.dumps(out))
     return 0
 
 
@@ -1001,6 +1021,17 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--model", choices=["summary", "turns"], default="summary",
                     help="aggregate-grain summary or fact-grain turn "
                          "analytics (payment_analytics_detailed analogue)")
+    gr.add_argument("--catalog", default=None,
+                    help="after the refresh, atomically publish the "
+                         "(source@refresh-snapshot, gold@current) pair as "
+                         "one catalog version — the consistent read "
+                         "surface for downstream SQL")
+    gr.add_argument("--catalog-source", default="silver",
+                    help="catalog name for the source table")
+    gr.add_argument("--catalog-gold", default="gold",
+                    help="catalog name for the gold table")
+    gr.add_argument("--catalog-retries", type=int, default=4,
+                    help="OCC retries on a concurrent catalog publish")
     gr.set_defaults(fn=cmd_gold_refresh)
 
     v = sub.add_parser("validate", help="run data contracts (dbt-test analogue)")

@@ -254,3 +254,42 @@ def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["expired_versions"] == [1]
+
+
+def test_gold_refresh_publishes_catalog(spark, tmp_path, capsys):
+    import json as _json
+
+    feed, silverp, goldp, croot = (
+        str(tmp_path / d) for d in ("feed", "silver", "gold", "cat")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, silverp, chunks_per_batch=2, num_buckets=8,
+                  max_batches=2, collect_stats=False)
+    rc = cli_main(["gold-refresh", "--table", silverp, "--gold", goldp,
+                   "--catalog", croot])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["catalog_version"] == 2
+
+    cat = Catalog.load(croot)
+    gold = LakeTable.load(spark, goldp)
+    cv = cat.current()
+    # the pinned pair is the CONSISTENT one: silver at the snapshot the
+    # refresh read, gold at the state it produced
+    assert cv.tables["silver"]["snapshot_id"] == (
+        gold.current().summary["source_snapshot_id"]
+    )
+    assert cv.tables["gold"]["snapshot_id"] == gold.current().snapshot_id
+
+    # advance silver and refresh again: one new atomic version, both moved
+    runner.replay(spark, feed, silverp, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+    rc = cli_main(["gold-refresh", "--table", silverp, "--gold", goldp,
+                   "--catalog", croot])
+    assert rc == 0
+    capsys.readouterr()
+    cv2 = Catalog.load(croot).current()
+    assert cv2.version == 3
+    assert cv2.tables["silver"]["snapshot_id"] > (
+        cv.tables["silver"]["snapshot_id"]
+    )
