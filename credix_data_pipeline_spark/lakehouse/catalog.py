@@ -23,7 +23,7 @@ Design — file-system OCC, the exact protocol LakeTable commits use:
   version see every table at exactly the snapshots the publisher grouped
   together.
 * Retention safety: each newly-pinned snapshot is TAGGED on its own table
-  (``catalog-<cid>-v<N>-<name>``) so table-side ``expire_snapshots`` cannot age
+  (``catalog-<cid>-v<N>-<name>-<nonce>``) so table-side ``expire_snapshots`` cannot age
   out a state the catalog still serves; ``expire(keep_last=K)`` drops old
   catalog versions and their tags together, after which the table's own
   retention collects the files normally.  (Zero-copy clones use the same
@@ -82,7 +82,11 @@ class Catalog:
             return f.read().strip()
 
     def _tag_name(self, version: int, name: str) -> str:
-        return f"catalog-{self.cid}-v{version}-{name}"
+        # per-attempt nonce: two publishers racing at the same ordinal (or
+        # a crashed attempt's residue) can never collide on a tag name, so
+        # a winner's pin is always protected by ITS OWN tag and a loser
+        # cleans only its own
+        return f"catalog-{self.cid}-v{version}-{name}-{uuid.uuid4().hex[:8]}"
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -91,9 +95,24 @@ class Catalog:
         os.makedirs(cat.root, exist_ok=True)
         if cat._versions():
             raise FileExistsError(f"catalog already exists at {root}")
-        with open(os.path.join(cat.root, "_cid"), "w") as f:
-            f.write(uuid.uuid4().hex[:8])
-        cat._commit(CatalogVersion(1, _now_ms(), {}, {"operation": "create"}))
+        # O_EXCL: a concurrent creator must never overwrite the winner's id
+        # (tags already written under the old id would escape the sweep)
+        try:
+            fd = os.open(
+                os.path.join(cat.root, "_cid"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as f:
+                f.write(uuid.uuid4().hex[:8])
+        except FileExistsError:
+            pass  # a concurrent creator won the id; share it
+        try:
+            cat._commit(
+                CatalogVersion(1, _now_ms(), {}, {"operation": "create"})
+            )
+        except CommitConflict as e:
+            # the concurrent creator also won v1 — the catalog exists
+            raise FileExistsError(f"catalog already exists at {root}") from e
         return cat
 
     @classmethod
@@ -204,13 +223,22 @@ class Catalog:
         Unmentioned names carry over from the current version; ``drop``
         removes names.  All updates land in ONE version or none.
 
-        Each newly-pinned snapshot is tagged ``catalog-<cid>-v<N>-<name>`` on its
+        Each newly-pinned snapshot is tagged ``catalog-<cid>-v<N>-<name>-<nonce>`` on its
         table so table retention can't expire it while the catalog serves
         it; a lost OCC race removes the loser's tags before retrying
         (``retries`` > 0) or re-raising ``CommitConflict``.
         """
         if not updates and not drop:
             raise ValueError("publish needs updates and/or drop")
+        bad_names = [
+            n for n in updates
+            if not n or not all(c.isalnum() or c in "._-" for c in n)
+        ]
+        if bad_names:
+            raise ValueError(
+                f"invalid catalog table name(s) {bad_names}: use "
+                "alphanumerics, dot, underscore, dash"
+            )
         for attempt in range(retries + 1):
             cur = self.current()
             tables = dict(cur.tables)
@@ -219,52 +247,41 @@ class Catalog:
                     raise KeyError(f"catalog has no table {name!r}")
                 del tables[name]
             next_v = cur.version + 1
-            # tags we CREATED this attempt — a lost race must clean only
-            # these, and only when the winner didn't pin the same state
-            created: list[tuple[LakeTable, str, str, int]] = []
-            for name, spec in updates.items():
-                if isinstance(spec, tuple):
-                    t, sid = spec
-                else:
-                    t, sid = spec, spec.current().snapshot_id
-                sid = int(sid)
-                t.snapshot(sid)  # must exist NOW (publish-time validation)
-                tables[name] = {"path": t.path, "snapshot_id": sid}
-                tag = self._tag_name(next_v, name)
-                try:
-                    t.tag(tag, snapshot_id=sid)
-                    created.append((t, tag, name, sid))
-                except CommitConflict:
-                    # a concurrent publisher racing at this same ordinal
-                    # tagged the name first; if it pinned the SAME snapshot
-                    # the tag serves both, otherwise we are about to lose
-                    # the version link anyway and will retry
-                    if t.tags().get(tag) != sid:
-                        pass
-            cv = CatalogVersion(
-                next_v,
-                _now_ms(),
-                tables,
-                {**(summary or {}), "operation": "publish"},
-            )
+            # tags we CREATED this attempt — any failure (lost OCC race,
+            # invalid name, vanished snapshot) must clean exactly these;
+            # nonce names mean they are OURS alone, never a winner's pin
+            created: list[tuple[LakeTable, str]] = []
             try:
+                for name, spec in updates.items():
+                    if isinstance(spec, tuple):
+                        t, sid = spec
+                    else:
+                        t, sid = spec, spec.current().snapshot_id
+                    sid = int(sid)
+                    t.snapshot(sid)  # must exist NOW (publish-time check)
+                    tag = self._tag_name(next_v, name)
+                    t.tag(tag, snapshot_id=sid)
+                    created.append((t, tag))
+                    tables[name] = {
+                        "path": t.path, "snapshot_id": sid, "tag": tag,
+                    }
+                cv = CatalogVersion(
+                    next_v,
+                    _now_ms(),
+                    tables,
+                    {**(summary or {}), "operation": "publish"},
+                )
                 self._commit(cv)
                 return cv
-            except CommitConflict:
-                try:
-                    winner = self._read(next_v)
-                except KeyError:
-                    winner = None
-                for t, tag, name, sid in created:
-                    w = winner.tables.get(name) if winner else None
-                    if w and w["path"] == t.path and int(w["snapshot_id"]) == sid:
-                        continue  # winner pins the same state; tag is theirs
+            except BaseException as e:
+                for t, tag in created:
                     try:
                         t.untag(tag)
                     except KeyError:
                         pass
-                if attempt == retries:
-                    raise
+                if isinstance(e, CommitConflict) and attempt < retries:
+                    continue
+                raise
         raise AssertionError("unreachable")
 
     # --------------------------------------------------------------- resolve
@@ -335,18 +352,21 @@ class Catalog:
         return names
 
     # -------------------------------------------------------------- retention
-    def expire(self, keep_last: int = 5) -> dict:
+    def expire(self, keep_last: int = 5, grace_ms: int = 900_000) -> dict:
         """Drop catalog versions older than the newest ``keep_last`` and
-        untag their pins (the tables' own ``expire_snapshots`` then ages
-        the underlying states normally).  A pin CARRIED into a retained
-        version keeps its tag even though the tag's name references an
-        expired version — tags protect states, and the state is still
-        served.  O(versions) stat cost, no Spark job."""
+        sweep this catalog's tags whose pinned STATE no longer appears in
+        any retained version (the tables' own ``expire_snapshots`` then
+        ages the underlying files normally).  Sweeping by state, not by
+        tag name, means a pin CARRIED across versions keeps its
+        protection, and crash residue from failed publishes is collected
+        too.  ``grace_ms`` spares tags younger than the window — an
+        IN-FLIGHT publish tags before it commits, so a concurrent expire
+        must not sweep a pin whose version is milliseconds from landing.
+        O(versions + tags) stat cost, no Spark job."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self._versions()
         doomed = vs[:-keep_last] if len(vs) > keep_last else []
-        retained = set(vs[-keep_last:])
         paths: set[str] = set()
         still_pinned: set[tuple[str, int]] = set()
         for v in vs[-keep_last:]:
@@ -357,31 +377,24 @@ class Catalog:
             paths.update(e["path"] for e in self._read(v).tables.values())
         for v in doomed:
             os.unlink(os.path.join(self.root, f"v{v}.json"))
-        # Sweep this catalog's tags on every table it has ever mentioned:
-        # a tag survives iff its version is retained OR its exact state is
-        # still pinned by a retained version (a CARRIED pin keeps its old-
-        # named tag — tags protect states, and the state is still served).
+        from credix_data_pipeline_spark.lakehouse.table import META_DIR
+
+        now = _now_ms()
+        prefix = f"tag-catalog-{self.cid}-"
         dropped_tags = 0
-        prefix = f"tag-catalog-{self.cid}-v"
         for path in sorted(paths):
-            meta_dir = os.path.join(path, "_meta")
+            meta_dir = os.path.join(path, META_DIR)
             if not os.path.isdir(meta_dir):
                 continue
             for fn in os.listdir(meta_dir):
                 if not (fn.startswith(prefix) and fn.endswith(".json")):
                     continue
-                body = fn[len(prefix):-len(".json")]
-                ver_s, _, _name = body.partition("-")
-                try:
-                    ver = int(ver_s)
-                except ValueError:
-                    continue
-                if ver in retained:
-                    continue
                 with open(os.path.join(meta_dir, fn)) as f:
-                    sid = int(json.load(f)["snapshot_id"])
-                if (path, sid) in still_pinned:
+                    m = json.load(f)
+                if (path, int(m["snapshot_id"])) in still_pinned:
                     continue
+                if now - int(m.get("created_at_ms", 0)) < grace_ms:
+                    continue  # possibly an in-flight publish's pin
                 os.unlink(os.path.join(meta_dir, fn))
                 dropped_tags += 1
         return {"expired_versions": doomed, "dropped_tags": dropped_tags}

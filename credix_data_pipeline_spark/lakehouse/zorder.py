@@ -11,7 +11,9 @@ analogue).
 
 Mechanics — entirely JVM-side expressions (whole-stage codegen, no UDF):
 
-* each dimension is normalized to 16 bits:
+* each dimension is normalized to 16 bits (15 at 4 dims — the
+  interleave must stay inside the long's 63 value bits or the sign bit
+  would flip the sort across the curve's halves):
   - numeric / timestamp / date: min-max scaled against the REWRITE SET's
     own bounds (one tiny agg job per compaction — maintenance cost, never
     ingest); range locality preserved.
@@ -35,7 +37,6 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 BITS = 16
 MAX_DIMS = 4
-_CELLS = (1 << BITS) - 1  # 65535
 
 
 def parse_zorder(order: str) -> list[str] | None:
@@ -78,6 +79,13 @@ def zorder_expr(df: DataFrame, cols: list[str], schema: T.StructType) -> Column:
     if unknown:
         raise ValueError(f"zorder references unknown column(s) {unknown}")
 
+    # keep the interleave inside the long's 63 value bits: at 4 dims the
+    # 16th bit of the last word would land on the SIGN bit, flipping the
+    # signed sort order across the curve's two halves — 15 bits per dim
+    # instead (32768 cells) costs nothing perceptible and stays positive
+    bits = min(BITS, 63 // len(cols))
+    cells = (1 << bits) - 1
+
     rangeable = [c for c in cols if _is_rangeable(by_name[c])]
     bounds: dict[str, tuple[float, float]] = {}
     if rangeable:
@@ -102,21 +110,21 @@ def zorder_expr(df: DataFrame, cols: list[str], schema: T.StructType) -> Column:
             lo, hi = b
             scaled = F.round(
                 (F.col(c).cast("double") - F.lit(lo))
-                / F.lit(hi - lo) * F.lit(float(_CELLS))
+                / F.lit(hi - lo) * F.lit(float(cells))
             ).cast("long")
             clamped = F.greatest(
                 F.lit(0).cast("long"),
-                F.least(F.lit(_CELLS).cast("long"), scaled),
+                F.least(F.lit(cells).cast("long"), scaled),
             )
             words.append(F.coalesce(clamped, F.lit(0).cast("long")))
         else:
             words.append(
-                F.pmod(F.xxhash64(F.col(c)), F.lit(1 << BITS)).cast("long")
+                F.pmod(F.xxhash64(F.col(c)), F.lit(cells + 1)).cast("long")
             )
 
     n = len(words)
     z = F.lit(0).cast("long")
-    for bit in range(BITS):
+    for bit in range(bits):
         for i, w in enumerate(words):
             z = z.bitwiseOR(
                 F.shiftleft(

@@ -589,7 +589,12 @@ def cmd_gold_refresh(args) -> int:
 
         cat = Catalog.create_if_not_exists(args.catalog)
         gold = LakeTable.load(spark, args.gold)
-        src_sid = gold.current().summary["source_snapshot_id"]
+        # a refresh that skipped on a NEVER-refreshed gold (empty source)
+        # has no recorded source snapshot — the empty pair at current is
+        # the consistent state
+        src_sid = gold.current().summary.get(
+            "source_snapshot_id", src.current().snapshot_id
+        )
         cv = cat.publish(
             {
                 args.catalog_source: (src, src_sid),

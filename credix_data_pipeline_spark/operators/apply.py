@@ -201,6 +201,23 @@ def rejection_condition(snap, key: list[str]):
     return bad
 
 
+def align_for_checks(df: DataFrame, snap) -> DataFrame:
+    """A batch sourced from pre-evolution chunks may lack a recently-added
+    table column a CHECK constraint references; Delta evaluates CHECKs on
+    the written post-image where such a column exists as NULL — mirror
+    that by adding missing table payload columns as typed NULLs, so the
+    constraint filters rows instead of halting the replay with an
+    unresolved-column error.  No-op without declared checks."""
+    if not table_checks(snap):
+        return df
+    have = set(df.columns)
+    for f in snap.schema.fields:
+        if f.name in have or f.name.startswith("_"):
+            continue
+        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def split_malformed(events: DataFrame, key: list[str]):
     """ST6: dead-letter side vs applicable side."""
     bad = malformed_condition(key)
@@ -389,7 +406,10 @@ def apply_batch(
     bexpr = table.bucket_expr()
     # structural malformedness + the table's own CHECK constraints
     # (contracts.check.* properties) — violations dead-letter exactly like
-    # null-key events, whichever writer carried the batch
+    # null-key events, whichever writer carried the batch; the batch first
+    # aligns to the table schema so a check referencing a column this
+    # batch's chunks predate sees NULL, not an unresolved column
+    batch_df = align_for_checks(batch_df, snap0)
     bad = rejection_condition(snap0, key)
 
     # --- single profiling pass over the raw batch: dirty buckets (the

@@ -428,21 +428,31 @@ def requeue_failed(
     from pyspark.sql import functions as F
 
     from credix_data_pipeline_spark.operators.apply import (
+        align_for_checks,
         rejection_condition,
     )
 
     tbl_root = os.path.abspath(table_path)
     failed = os.path.join(tbl_root, FAILED_DIR)
-    # crash recovery: a previous per-shard requeue that died between the
-    # archive move and the park rename left the other shards' rows in a
-    # failed-park-<hex> dir — restore the newest one as the quarantine
-    if not os.path.isdir(failed):
-        parks = sorted(
-            p for p in os.listdir(tbl_root)
-            if p.startswith("failed-park-")
-        ) if os.path.isdir(tbl_root) else []
-        if parks:
-            os.rename(os.path.join(tbl_root, parks[-1]), failed)
+    parks = sorted(
+        p for p in os.listdir(tbl_root)
+        if p.startswith("failed-park-")
+    ) if os.path.isdir(tbl_root) else []
+    if os.path.isdir(failed):
+        # an intact quarantine supersedes any park residue: a crash AFTER
+        # the park write but BEFORE the archive rename left a stale copy
+        # whose rows are still in _failed — keeping it around would later
+        # resurrect already-requeued rows once _failed drains
+        import shutil as _shutil
+
+        for p in parks:
+            _shutil.rmtree(os.path.join(tbl_root, p))
+    elif parks:
+        # crash recovery: a per-shard requeue that died between the
+        # archive move and the park rename stranded the other shards'
+        # rows — restore them as the quarantine.  The supersede rule
+        # above guarantees at most one park can exist here.
+        os.rename(os.path.join(tbl_root, parks[-1]), failed)
     if not os.path.isdir(failed) or not any(
         f.endswith(".parquet") for f in os.listdir(failed)
     ):
@@ -478,6 +488,7 @@ def requeue_failed(
     # re-validate against the FULL rejection predicate (structural +
     # contracts.check.* table properties) — a repair that satisfies the
     # shape but still violates a CHECK would round-trip to quarantine
+    df = align_for_checks(df, snap)
     bad = rejection_condition(snap, snap.key)
     still_bad = df.filter(bad).count()
     if still_bad:

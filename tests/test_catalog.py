@@ -119,7 +119,7 @@ def test_retention_cannot_expire_a_cataloged_snapshot(spark, tmp_path):
 
     # release the pin: expire the catalog down to the NEW current version
     cat.publish({"silver": silver})
-    rep = cat.expire(keep_last=1)
+    rep = cat.expire(keep_last=1, grace_ms=0)
     assert rep["dropped_tags"] == 1
     silver.expire_snapshots(keep_last=1, orphan_grace_sec=0)
     assert pin_sid not in {s.snapshot_id for s in silver.history()}
@@ -131,7 +131,7 @@ def test_carried_pin_keeps_protection_across_catalog_expire(spark, tmp_path):
     cat.publish({"silver": silver})            # v2 pins silver@s
     pinned = _rows(cat.read(spark, "silver"))
     cat.publish({"gold": gold})                # v3 CARRIES silver@s
-    rep = cat.expire(keep_last=1)              # drops v1+v2
+    rep = cat.expire(keep_last=1, grace_ms=0)  # drops v1+v2
     assert rep["expired_versions"] == [1, 2]
     assert rep["dropped_tags"] == 0            # carried pin keeps its tag
     # retention on the table still can't take the carried state
@@ -293,3 +293,66 @@ def test_gold_refresh_publishes_catalog(spark, tmp_path, capsys):
     assert cv2.tables["silver"]["snapshot_id"] > (
         cv.tables["silver"]["snapshot_id"]
     )
+
+
+def test_invalid_catalog_name_refused_no_tag_leak(spark, tmp_path):
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="invalid catalog table name"):
+        cat.publish({"b/c": silver})
+    assert not any(
+        k.startswith("catalog-") for k in LakeTable.load(
+            spark, silver.path).tags()
+    )
+
+
+def test_publish_failure_midway_cleans_created_tags(spark, tmp_path):
+    """A failure AFTER some tags were created (second table's snapshot
+    vanished) must clean the first table's tag — no orphan retention
+    pins (review finding)."""
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    with pytest.raises(KeyError):
+        cat.publish({"a_silver": silver, "b_gold": (gold, 999_999_999)})
+    for t in (silver, gold):
+        assert not any(
+            k.startswith("catalog-") for k in LakeTable.load(
+                spark, t.path).tags()
+        )
+
+
+def test_expire_grace_spares_fresh_pins(spark, tmp_path):
+    """The default grace window must not sweep a tag created moments ago
+    (an in-flight publish tags BEFORE it commits)."""
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    cat.publish({"silver": silver})
+    cat.publish({"silver": (silver, silver.current().snapshot_id)})
+    rep = cat.expire(keep_last=1)  # default grace: fresh tags survive
+    assert rep["dropped_tags"] == 0
+    rep = cat.expire(keep_last=1, grace_ms=0)
+    assert rep["dropped_tags"] == 0  # same state still pinned -> kept
+
+
+def test_create_race_loses_cleanly(spark, tmp_path, monkeypatch):
+    """A concurrent creator winning v1 surfaces as FileExistsError and
+    create_if_not_exists falls through to load — and the loser never
+    overwrites the winner's _cid (review finding)."""
+    from credix_data_pipeline_spark.lakehouse import catalog as cat_mod
+
+    root = str(tmp_path / "cat")
+    orig = Catalog._commit
+    fired = {"done": False}
+
+    def racy(self, cv):
+        if not fired["done"] and cv.version == 1:
+            fired["done"] = True
+            winner = Catalog(root)
+            orig(winner, cat_mod.CatalogVersion(
+                1, cat_mod._now_ms(), {}, {"operation": "create"}))
+        return orig(self, cv)
+
+    monkeypatch.setattr(Catalog, "_commit", racy)
+    cat = Catalog.create_if_not_exists(root)
+    assert cat.current().version == 1
+    assert len(cat.cid) == 8

@@ -110,3 +110,47 @@ def test_invalid_check_expression_fails_loud(spark, tmp_path):
     ]))
     with pytest.raises(Exception, match="role_domain"):
         runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4)
+
+
+def test_check_on_evolved_column_tolerates_lagging_chunks(spark, tmp_path):
+    """A check referencing a column added by in-flight evolution must see
+    NULL for batches from pre-evolution chunks, not halt the replay with
+    an unresolved-column error (review finding)."""
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tp, chunks_per_batch=1, num_buckets=4,
+                  max_batches=1)
+    t = LakeTable.load(spark, tp)
+    # evolve: a chunk carrying a NEW column adds it to the table
+    wide = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA]
+        + [T.StructField("score", T.IntegerType(), True)]
+    )
+    feed_mod.append_chunk(spark, feed, spark.createDataFrame(
+        [("U", 40_000, TS, "convEVO", 1, "user", "scored", None, TS, 7)],
+        wide,
+    ))
+    runner.replay(spark, feed, tp, chunks_per_batch=1, num_buckets=4)
+    t = LakeTable.load(spark, tp)
+    assert "score" in {f.name for f in t.current().schema.fields}
+    # the check references the evolved column; accept NULL explicitly
+    t.alter_properties({
+        "contracts.check.score_pos": "coalesce(score >= 0, true)",
+    })
+    # a LAGGING chunk without the column must still replay (score -> NULL)
+    feed_mod.append_chunk(spark, feed, _lax_rows(spark, [
+        ("U", 41_000, TS, "convLAG", 1, "user", "no score col", None, TS),
+    ]))
+    runner.replay(spark, feed, tp, chunks_per_batch=1, num_buckets=4)
+    t = LakeTable.load(spark, tp)
+    assert read_clean(t).filter("conv_id = 'convLAG'").count() == 1
+    # and a violating value in the evolved column still dead-letters
+    feed_mod.append_chunk(spark, feed, spark.createDataFrame(
+        [("U", 42_000, TS, "convNEG", 1, "user", "bad score", None, TS, -5)],
+        wide,
+    ))
+    runner.replay(spark, feed, tp, chunks_per_batch=1, num_buckets=4)
+    t = LakeTable.load(spark, tp)
+    assert read_clean(t).filter("conv_id = 'convNEG'").count() == 0
+    failed = spark.read.parquet(os.path.join(tp, runner.FAILED_DIR))
+    assert failed.filter("conv_id = 'convNEG'").count() == 1

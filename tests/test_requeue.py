@@ -230,3 +230,42 @@ def test_append_chunk_lock_refuses_concurrent_append(spark, tmp_feed):
     rel = feed_mod.append_chunk(spark, tmp_feed, _poison_rows(spark))
     assert not os.path.exists(lock)  # released after success
     assert feed_mod.read_manifest(tmp_feed)["chunks"][-1] == rel
+
+
+def test_stale_park_superseded_by_intact_quarantine(spark, tmp_path):
+    """A crash AFTER the park write but BEFORE the archive rename leaves
+    both _failed and a park holding duplicate rows; the next requeue must
+    DELETE the stale park (the intact quarantine supersedes it) so a later
+    drain can never resurrect already-requeued rows (review finding)."""
+    from dataclasses import replace as dc_replace
+
+    full = FeedSpec(n_events=1_200, n_conversations=20,
+                    turns_per_conversation=6, events_per_chunk=300)
+    f0, f1, tp = (str(tmp_path / d) for d in ("f0", "f1", "t"))
+    write_feed(spark, f0, dc_replace(full, n_shards=2, shard=0))
+    write_feed(spark, f1, dc_replace(full, n_shards=2, shard=1))
+    feed_mod.append_chunk(spark, f0, _poison_rows(spark, n=1, lsn0=20_000))
+    feed_mod.append_chunk(spark, f1, _poison_rows(spark, n=2, lsn0=30_000))
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    # simulate the crash residue: a stale park beside an intact _failed
+    failed = os.path.join(tp, runner.FAILED_DIR)
+    stale = os.path.join(tp, "failed-park-00stale")
+    import shutil
+    shutil.copytree(failed, stale)
+
+    out0 = runner.requeue_failed(spark, tp, f0, fixes={"turn_idx": "1"},
+                                 source="s0")
+    assert out0["requeued"] == 1
+    assert not os.path.isdir(stale)  # superseded residue removed
+    out1 = runner.requeue_failed(spark, tp, f1, fixes={"turn_idx": "2"},
+                                 source="s1")
+    assert out1["requeued"] == 2
+    # fully drained: nothing left to resurrect
+    assert not os.path.isdir(failed)
+    assert not any(
+        p.startswith("failed-park-") for p in os.listdir(tp)
+    )
+    out = runner.requeue_failed(spark, tp, f0, fixes={"turn_idx": "3"},
+                                source="s0")
+    assert out == {"requeued": 0, "chunk": None, "still_bad": 0}

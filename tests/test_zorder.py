@@ -143,3 +143,15 @@ def test_zorder_constant_and_null_dimensions(spark, tmp_path):
     before = _rows(t.read())
     t.compact()
     assert _rows(LakeTable.load(spark, str(tmp_path / "t")).read()) == before
+
+
+def test_zorder_four_dims_stays_positive(spark, tmp_path):
+    """4 dims x 16 bits would put the last interleaved bit on the long's
+    SIGN bit, splitting the curve; the 15-bit cap keeps z-values
+    non-negative end to end."""
+    from credix_data_pipeline_spark.lakehouse.zorder import zorder_expr
+
+    df = _grid_rows(spark, days=4, convs=16)
+    z = zorder_expr(df, ["conv_id", "turn_idx", "ts", "_lsn"], SCHEMA)
+    lo = df.select(F.min(z).alias("lo")).first()["lo"]
+    assert lo >= 0
