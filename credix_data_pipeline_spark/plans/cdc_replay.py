@@ -386,9 +386,13 @@ def q_cdc_turn_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_transcripts_base() -> str:
+def _sql_transcripts_base(cutoff: int | None = None) -> str:
     """Shared oracle CTEs: the feed arithmetic (base), the LWW winner per
-    key (win), and the surviving clean rows with normalized text (rows_)."""
+    key (win), and the surviving clean rows with normalized text (rows_).
+
+    ``cutoff`` restricts the oracle to the feed's first N events — the
+    state a replay that consumed only the first N/events_per_chunk chunks
+    would land on (used by the catalog e2e, which pins that half-state)."""
     from credix_data_pipeline_spark.functions.normalize import normalize_text_py
     from credix_data_pipeline_spark.sources.feed import (
         BASE_EPOCH_S,
@@ -400,7 +404,7 @@ def _sql_transcripts_base() -> str:
     )
 
     kw = TRANSCRIPTS_SPEC_KW
-    n_events = kw["n_events"]
+    n_events = cutoff if cutoff is not None else kw["n_events"]
     n_keys = kw["n_conversations"] * kw["turns_per_conversation"]
     tpc = kw["turns_per_conversation"]
     del_pct = kw["delete_pct"]
@@ -441,8 +445,9 @@ rows_ AS (
 )"""
 
 
-def _sql_cdc_transcripts() -> str:
-    return _sql_transcripts_base() + """,
+def _sql_cdc_transcripts(cutoff: int | None = None,
+                         extra_cols: str = "") -> str:
+    return _sql_transcripts_base(cutoff) + """,
 agg AS (
   SELECT printf('conv%08d', CAST(conv AS INT)) AS conv_id,
          COUNT(*) AS turns,
@@ -471,7 +476,8 @@ SELECT conv_id, turns, user_turns, assistant_turns, tool_turns, system_turns,
            (CASE WHEN assistant_turns > 0 THEN 100 ELSE 0 END)
            + LEAST(10*turns, 100)) + 5) // 10) / 10000.0)) AS engagement_score,
        CASE WHEN turns >= 8 THEN 'HEAVY' WHEN turns >= 4 THEN 'ACTIVE'
-            WHEN turns >= 2 THEN 'LIGHT' ELSE 'MINIMAL' END AS activity_tier
+            WHEN turns >= 2 THEN 'LIGHT' ELSE 'MINIMAL' END AS activity_tier""" \
+        + extra_cols + """
 FROM sc
 """
 
@@ -677,8 +683,97 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# cdc_catalog_e2e — atomic multi-table catalog (consistent cross-table
+# snapshots).  Half the transcript feed replays into silver, incremental
+# gold refresh runs, and ONE catalog publish pins (silver @ the snapshot
+# the refresh read, gold @ the state it produced).  The feed's SECOND half
+# then advances silver well past the pin.  The query reads BOTH tables
+# THROUGH THE CATALOG: gold must equal the summary of the pinned
+# half-state (oracle: LWW over the feed's first 2000 events — not the
+# advanced state a mixed-generation read would leak), and a per-row
+# `consistent` flag cross-checks gold.turns against a live aggregate of
+# catalog-silver — the exact invariant that breaks when silver and gold
+# are read at mixed versions.  Reference: the reference's dbt gold models
+# assume cross-table consistency BigQuery can't give
+# (dbt/business_case/models/gold/*.sql).
+# ---------------------------------------------------------------------------
+CATALOG_CUT_EVENTS = 2_000  # 2 chunks of 1000 — the pinned half-state
+
+# Same shape as the transcripts feed but WITHOUT cross-chunk LSN jitter:
+# the pinned half-state must be exactly the feed's first CUT events for
+# the cutoff oracle to describe it (the oracle's per-event arithmetic is
+# identical — shuffle only moves events across chunk boundaries).
+CATALOG_SPEC_KW = {**TRANSCRIPTS_SPEC_KW, "shuffle_window": 1}
+
+_CATALOG_ROOT: dict[str, str] = {}
+
+
+def q_cdc_catalog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from credix_data_pipeline_spark.functions.normalize import (
+        with_normalized_text,
+    )
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.lakehouse.catalog import Catalog
+    from credix_data_pipeline_spark.operators.gold_incremental import (
+        refresh_conversation_summary,
+    )
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import runner
+
+    if "root" not in _CATALOG_ROOT:
+        work = os.path.join(tempfile.gettempdir(), "cdc_catalog_e2e")
+        shutil.rmtree(work, ignore_errors=True)
+        feed = os.path.join(work, "feed")
+        silver_p = os.path.join(work, "silver")
+        gold_p = os.path.join(work, "gold")
+        croot = os.path.join(work, "catalog")
+        write_feed(spark, feed, FeedSpec(**CATALOG_SPEC_KW))
+        half_batches = CATALOG_CUT_EVENTS // CATALOG_SPEC_KW["events_per_chunk"]
+        runner.replay(
+            spark, feed, silver_p, chunks_per_batch=1, num_buckets=8,
+            transform=with_normalized_text, max_batches=half_batches,
+            collect_stats=False,
+        )
+        silver = LakeTable.load(spark, silver_p)
+        refresh_conversation_summary(silver, gold_p)
+        gold = LakeTable.load(spark, gold_p)
+        cat = Catalog.create(croot)
+        src_sid = gold.current().summary["source_snapshot_id"]
+        cat.publish({"silver": (silver, src_sid), "gold": gold})
+        # advance silver PAST the pin (rest of the feed); gold is NOT
+        # refreshed — a mixed-generation read would now disagree
+        runner.replay(
+            spark, feed, silver_p, chunks_per_batch=1, num_buckets=8,
+            transform=with_normalized_text, collect_stats=False,
+        )
+        assert (
+            LakeTable.load(spark, silver_p).current().snapshot_id != src_sid
+        ), "silver failed to advance past the catalog pin"
+        _CATALOG_ROOT["root"] = croot
+    cat = Catalog.load(_CATALOG_ROOT["root"])
+    g = cat.read(spark, "gold")
+    s = (
+        cat.read(spark, "silver")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("silver_turns"))
+    )
+    return (
+        g.join(s, "conv_id", "left")
+        .withColumn("consistent", F.col("turns") == F.col("silver_turns"))
+        .orderBy("conv_id")
+    )
+
+
+SQL_CDC_CATALOG_E2E = _sql_cdc_transcripts(
+    cutoff=CATALOG_CUT_EVENTS,
+    extra_cols=",\n       turns AS silver_turns, TRUE AS consistent",
+)
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    "cdc_catalog_e2e": (q_cdc_catalog_e2e, SQL_CDC_CATALOG_E2E),
     "cdc_fanin_e2e": (q_cdc_fanin_e2e, SQL_CDC_FANIN_E2E),
     # the relay chain must land the replica on the SAME final state the
     # upstream oracle describes — one oracle, two independent paths
