@@ -1607,9 +1607,23 @@ class LakeTable:
         cols = [f.name for f in snap.schema.fields]
         out = df.select(BUCKET_COL, *cols)
         if sort_exprs:
-            # expression sort (z-order): the expressions reference only
-            # schema columns, so nothing extra is materialized in the files
-            out = out.sortWithinPartitions(BUCKET_COL, *sort_exprs)
+            # expression sort (z-order): MATERIALIZE each expression once
+            # as a temp column, sort, then project it away.  Sorting by the
+            # raw expression instead inlines the word arithmetic (string
+            # hash, min-max scale) into every one of the ~16 bit-extraction
+            # terms — measured 20x compaction slowdown at 2M rows from the
+            # repeated hashing.  The projection after the sort is a narrow
+            # map, so intra-partition order reaches the writer intact (the
+            # sort leads with the partition column, satisfying the dynamic-
+            # partition writer's required ordering — no re-sort).
+            sx = [e.alias(f"_sx{i}") for i, e in enumerate(sort_exprs)]
+            out = (
+                out.select("*", *sx)
+                .sortWithinPartitions(
+                    BUCKET_COL, *[f"_sx{i}" for i in range(len(sx))]
+                )
+                .select(BUCKET_COL, *cols)
+            )
         elif sort_keys:
             out = out.sortWithinPartitions(BUCKET_COL, *sort_keys)
         writer = out.write.partitionBy(BUCKET_COL).mode("append")
