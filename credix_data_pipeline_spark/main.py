@@ -273,7 +273,10 @@ def cmd_monitor(args) -> int:
     from credix_data_pipeline_spark.streaming.monitoring import monitor
 
     spark = _spark(args)
-    print(json.dumps(monitor(spark, args.table), indent=2, sort_keys=True))
+    print(json.dumps(
+        monitor(spark, args.table, catalog_root=args.catalog),
+        indent=2, sort_keys=True,
+    ))
     return 0
 
 
@@ -913,6 +916,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     mo = sub.add_parser("monitor", help="freshness/anomaly signals as JSON")
     mo.add_argument("--table", required=True)
+    mo.add_argument("--catalog", default=None,
+                    help="also report multi-table catalog staleness "
+                         "(consumer lag behind the live tables)")
     mo.set_defaults(fn=cmd_monitor)
 
     rp = sub.add_parser("report", help="publish static HTML+JSON report")

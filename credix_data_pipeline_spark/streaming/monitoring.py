@@ -123,10 +123,14 @@ def freshness(
 
 
 def monitor(
-    spark: SparkSession, table_path: str, as_of_sec: float | None = None
+    spark: SparkSession,
+    table_path: str,
+    as_of_sec: float | None = None,
+    catalog_root: str | None = None,
 ) -> dict:
     """The full monitoring report as a JSON-able dict (``edr monitor``
-    analogue)."""
+    analogue).  ``catalog_root`` adds the consumer-lag view of the
+    multi-table catalog (``catalog_staleness``)."""
     log = LineageLog(table_path)
     lineage = log.read(spark)
     anomalies = batch_volume_anomalies(lineage)
@@ -154,6 +158,65 @@ def monitor(
         "layout": layout_health(spark, table_path),
         "maintenance": maintenance_pressure(spark, table_path),
         "fanin": fanin_progress(spark, table_path),
+        "catalog": (
+            catalog_staleness(spark, catalog_root) if catalog_root else None
+        ),
+    }
+
+
+def catalog_staleness(spark: SparkSession, catalog_root: str) -> dict:
+    """Consumer-lag view of the multi-table catalog: how far each table
+    has advanced PAST the version the catalog still serves.
+
+    Per-table freshness can't see this failure mode — writers keep
+    committing (healthy tables) while nobody re-publishes the catalog, so
+    consumers reading through it get an ever-older consistent view.  The
+    signal is per-table ``commits_behind`` / ``ms_behind`` between the
+    pinned snapshot and the table's current one, plus the age of the
+    newest catalog version itself.  O(tables) metadata reads, no Spark
+    job."""
+    import time as _time
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.lakehouse.catalog import Catalog
+
+    cat = Catalog.load(catalog_root)
+    cv = cat.current()
+    now_ms = int(_time.time() * 1000)
+    tables = {}
+    worst_behind = 0
+    for name, ent in sorted(cv.tables.items()):
+        t = LakeTable.load(spark, ent["path"])
+        cur = t.current()
+        pin = int(ent["snapshot_id"])
+        commits_behind = sum(
+            1 for s in t.history() if s.snapshot_id > pin
+        )
+        try:
+            pin_ms = t.snapshot(pin).committed_at_ms
+            ms_behind = max(0, cur.committed_at_ms - pin_ms)
+        except KeyError:  # pin expired out from under the catalog
+            pin_ms, ms_behind = None, None
+        worst_behind = max(worst_behind, commits_behind)
+        tables[name] = {
+            "pinned_snapshot_id": pin,
+            "current_snapshot_id": cur.snapshot_id,
+            "commits_behind": commits_behind,
+            "ms_behind": ms_behind,
+            "pin_resolvable": pin_ms is not None,
+        }
+    broken = [n for n, v in tables.items() if not v["pin_resolvable"]]
+    return {
+        "version": cv.version,
+        "published_at_ms": cv.ts_ms,
+        "age_sec": max(0, (now_ms - cv.ts_ms) // 1000),
+        "tables": tables,
+        "status": (
+            "BROKEN_PIN" if broken
+            else "STALE" if worst_behind > 0
+            else "FRESH"
+        ),
+        "worst_commits_behind": worst_behind,
     }
 
 

@@ -356,3 +356,44 @@ def test_create_race_loses_cleanly(spark, tmp_path, monkeypatch):
     cat = Catalog.create_if_not_exists(root)
     assert cat.current().version == 1
     assert len(cat.cid) == 8
+
+
+def test_catalog_staleness_signal(spark, tmp_path, capsys):
+    import json as _json
+
+    from credix_data_pipeline_spark.streaming.monitoring import (
+        catalog_staleness,
+    )
+
+    feed, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    src_sid = gold.current().summary["source_snapshot_id"]
+    cat.publish({"silver": (silver, src_sid), "gold": gold})
+
+    # silver pinned one commit behind its current (the refresh snapshot);
+    # after the pin, advance silver further and the lag must grow
+    before = catalog_staleness(spark, cat.root)
+    runner.replay(spark, feed, silver.path, chunks_per_batch=1,
+                  num_buckets=8, collect_stats=False)
+    after = catalog_staleness(spark, cat.root)
+    assert after["status"] == "STALE"
+    assert (
+        after["tables"]["silver"]["commits_behind"]
+        > before["tables"]["silver"]["commits_behind"]
+    )
+    assert after["tables"]["silver"]["pin_resolvable"]
+    assert after["tables"]["gold"]["commits_behind"] == 0
+
+    # re-publish at current: FRESH again
+    silver2 = LakeTable.load(spark, silver.path)
+    cat.publish({"silver": silver2, "gold": gold})
+    fresh = catalog_staleness(spark, cat.root)
+    assert fresh["status"] == "FRESH"
+    assert fresh["worst_commits_behind"] == 0
+
+    # CLI surface: monitor --catalog carries the signal
+    rc = cli_main(["monitor", "--table", silver.path,
+                   "--catalog", cat.root])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["catalog"]["status"] == "FRESH"
