@@ -1142,6 +1142,111 @@ SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
 
 
 # ---------------------------------------------------------------------------
+# dedup_semantic — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+# deduplication by clustering embeddings first and comparing pairs ONLY
+# within a cluster.  Reuses the deterministic IVF k-means codebook
+# (`train_ivf_centroids`, contract above), so the candidate set is bounded
+# by cluster populations — at n vectors and NLIST cells the pair volume is
+# ~n²/NLIST instead of n², and the pair generation is a co-partitioned
+# equi-join on cell id, never a cartesian.  At 10⁹ vectors NLIST scales
+# with n (cells of ~100k vectors each), keeping per-cell work constant —
+# the same shape the SemDeDup paper runs at LAION scale.
+#
+# Semantics: a document is a semantic duplicate iff some LOWER-id member of
+# its cluster has cosine ≥ SEMDEDUP_TAU; it reports the smallest such
+# keeper (deterministic canonical representative — the keep-lowest-id rule
+# every other dedup operator here uses).  Oracle mirrors the training CTEs
+# of SQL_ANN_IVF_TOPK exactly, so DuckDB reproduces the same clustering.
+#
+# Reference scope: the reference has no embedding ops; this extends the
+# corpus family (assignment brief: training-data pipeline operators).
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.35  # data max cosine ~0.48; 0.35 marks ~13% as sem-dups
+
+
+def q_dedup_semantic(spark, sf_dir):
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = F.broadcast(_centroid_df(spark, cents))
+    e = _emb(spark, sf_dir).withColumn("qe", _quantize(F.col("emb")))
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    assigned = (
+        e.crossJoin(cent)  # 16-row broadcast codebook, not a data join
+        .withColumn("d", _qdist(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "n2", "cid")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("keep_cand"),
+        F.col("emb").alias("ea"),
+        F.col("n2").alias("na"),
+        "cid",
+    )
+    b = assigned.select(
+        "vec_id", F.col("emb").alias("eb"), F.col("n2").alias("nb"), "cid"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keep_cand") < F.col("vec_id"))
+        .withColumn(
+            "cosine",
+            _cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("keep_cand").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("keep_cand").alias("keep_id"), "cosine")
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    iters = ",".join(
+        _sql_kmeans_iter(n) for n in range(1, IVF_KMEANS_ITERS + 1)
+    )
+    cfinal = f"c{IVF_KMEANS_ITERS}"
+    return f"""
+WITH e AS ({_SQL_EMB}),
+eq AS (
+  SELECT vec_id, emb, n2,
+         [ CAST(FLOOR(emb[i] * {IVF_QSCALE}) AS BIGINT)
+           for i in range(1, {EMB_DIM + 1}) ] AS qe
+  FROM e
+),
+c0 AS (SELECT vec_id AS cid, qe AS ce FROM eq WHERE vec_id < {IVF_NLIST}),
+{iters},
+assign AS (
+  SELECT vec_id, emb, n2, cid FROM (
+    SELECT e.vec_id, e.emb, e.n2, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_qdist("e.qe", "c.ce")} ASC,
+                                       c.cid ASC) AS rn
+    FROM eq e CROSS JOIN {cfinal} c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS keep_cand,
+         {_sql_cosine_pre("a.emb", "b.emb", "a.n2", "b.n2")} AS cosine
+  FROM assign a JOIN assign b USING (cid)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_id, keep_id, cosine FROM (
+  SELECT vec_id, keep_cand AS keep_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY keep_cand ASC) AS rn
+  FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+) WHERE rn = 1
+"""
+
+
+SQL_DEDUP_SEMANTIC = _sql_dedup_semantic()
+
+
+# ---------------------------------------------------------------------------
 # embedding_near_dup — cosine-threshold near-duplicate pairs via BANDED
 # sign-projection LSH (the anti-n² path, VERDICT r1 "What's wrong" #3).
 #
@@ -2341,6 +2446,7 @@ CORPUS_QUERIES = {
         q_dedup_minhash_incremental,
         SQL_DEDUP_MINHASH_INCREMENTAL,
     ),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_hamming": (q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
