@@ -269,7 +269,7 @@ class Catalog:
                     next_v,
                     _now_ms(),
                     tables,
-                    {**(summary or {}), "operation": "publish"},
+                    {"operation": "publish", **(summary or {})},
                 )
                 self._commit(cv)
                 return cv
@@ -283,6 +283,40 @@ class Catalog:
                     continue
                 raise
         raise AssertionError("unreachable")
+
+    def rollback(
+        self, spark: SparkSession, version: int, retries: int = 0
+    ) -> CatalogVersion:
+        """Roll the catalog back to a retained ``version`` — as a NEW
+        version pinning exactly the target's tables (roll-forward history,
+        mirroring ``LakeTable.rollback_to``: nothing is deleted, ``history``
+        shows the excursion, and a later ``expire`` ages the bad versions
+        out normally).
+
+        The new version re-tags every pin under its own version number, so
+        it keeps protecting the snapshots even after ``expire`` drops the
+        original version (and its tags).  Tables added since the target
+        are dropped from the catalog view (their data is untouched).
+        Raises ``KeyError`` if the target version has been expired or a
+        pinned snapshot no longer exists on its table (possible only if
+        the catalog's tag was removed by hand)."""
+        cur = self.current()
+        if version > cur.version:
+            raise ValueError(
+                f"cannot roll back to v{version}: current is v{cur.version}"
+            )
+        target = self._read(version)
+        updates = {
+            name: (LakeTable.load(spark, ent["path"]), int(ent["snapshot_id"]))
+            for name, ent in target.tables.items()
+        }
+        drop = [n for n in cur.tables if n not in target.tables]
+        return self.publish(
+            updates,
+            summary={"operation": "rollback", "to_version": version},
+            drop=drop or None,
+            retries=retries,
+        )
 
     # --------------------------------------------------------------- resolve
     def resolve(

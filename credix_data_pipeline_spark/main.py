@@ -69,6 +69,9 @@ Subcommands:
 * ``catalog-sql``    — SQL over every cataloged table pinned at one
                   consistent catalog version
 * ``catalog-expire`` — drop old catalog versions and release their pins
+* ``catalog-rollback`` — re-pin the catalog at a prior retained version
+                  (published as a NEW version — roll-forward history,
+                  mirroring table ``rollback``)
 
 ``replay --wap`` stages each batch and publishes only after the contracts
 pass on the staged post-image (Iceberg write-audit-publish).
@@ -565,6 +568,15 @@ def cmd_catalog_sql(args) -> int:
 def cmd_catalog_expire(args) -> int:
     cat = _load_catalog(args)
     print(json.dumps(cat.expire(keep_last=args.keep_last)))
+    return 0
+
+
+def cmd_catalog_rollback(args) -> int:
+    spark = _spark(args)
+    cat = _load_catalog(args)
+    cv = cat.rollback(spark, args.to_version, retries=args.retries)
+    print(json.dumps({"version": cv.version, "ts_ms": cv.ts_ms,
+                      "tables": cv.tables, "summary": cv.summary}))
     return 0
 
 
@@ -1164,6 +1176,17 @@ def build_parser() -> argparse.ArgumentParser:
     ce.add_argument("--catalog", required=True)
     ce.add_argument("--keep-last", type=int, default=5)
     ce.set_defaults(fn=cmd_catalog_expire)
+
+    cr = sub.add_parser(
+        "catalog-rollback",
+        help="re-pin the catalog at a prior retained version (as a new "
+             "version; nothing is deleted)",
+    )
+    cr.add_argument("--catalog", required=True)
+    cr.add_argument("--to-version", type=int, required=True)
+    cr.add_argument("--retries", type=int, default=0,
+                    help="OCC retries against concurrent publishers")
+    cr.set_defaults(fn=cmd_catalog_rollback)
     return p
 
 

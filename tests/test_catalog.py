@@ -397,3 +397,56 @@ def test_catalog_staleness_signal(spark, tmp_path, capsys):
     assert rc == 0
     rep = _json.loads(capsys.readouterr().out)
     assert rep["catalog"]["status"] == "FRESH"
+
+
+def test_catalog_rollback(spark, tmp_path, capsys):
+    import json as _json
+
+    feed, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    src_sid = gold.current().summary["source_snapshot_id"]
+    good = cat.publish({"silver": (silver, src_sid), "gold": gold})
+    good_silver = _rows(cat.read(spark, "silver"))
+    good_gold = _rows(cat.read(spark, "gold"))
+
+    # a "bad" publish advances the catalog (silver moved, plus an extra
+    # table), then rollback re-pins the good pair as a NEW version
+    runner.replay(spark, feed, silver.path, chunks_per_batch=2,
+                  num_buckets=8, collect_stats=False)
+    silver2 = LakeTable.load(spark, silver.path)
+    cat.publish({"silver": silver2, "extra": gold})
+    assert _rows(cat.read(spark, "silver")) != good_silver
+
+    cv = cat.rollback(spark, good.version)
+    assert cv.version == good.version + 2  # roll-forward, nothing deleted
+    assert cv.summary["operation"] == "rollback"
+    assert cv.summary["to_version"] == good.version
+    assert set(cv.tables) == {"silver", "gold"}  # 'extra' dropped from view
+    assert _rows(cat.read(spark, "silver")) == good_silver
+    assert _rows(cat.read(spark, "gold")) == good_gold
+    # history keeps the excursion visible
+    assert [v.version for v in cat.history()][:3] == [
+        cv.version, cv.version - 1, good.version]
+
+    # rollback pins survive expiry of the ORIGINAL version: its tags go,
+    # the rollback version's own tags keep protecting the snapshots
+    cat.expire(keep_last=1, grace_ms=0)
+    assert _rows(cat.read(spark, "silver")) == good_silver
+    silver3 = LakeTable.load(spark, silver.path)
+    silver3.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert _rows(cat.read(spark, "silver")) == good_silver
+
+    # guardrails: future version refuses; expired version refuses
+    with pytest.raises(ValueError):
+        cat.rollback(spark, cv.version + 5)
+    with pytest.raises(KeyError):
+        cat.rollback(spark, good.version - 1)
+
+    # CLI surface
+    rc = cli_main(["catalog-rollback", "--catalog", cat.root,
+                   "--to-version", str(cv.version)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["summary"]["to_version"] == cv.version
+    assert out["tables"]["silver"]["snapshot_id"] == \
+        cv.tables["silver"]["snapshot_id"]
