@@ -1869,6 +1869,162 @@ class LakeTable:
             staged=staged,
         )
 
+    def _null_free(self, rel_path: str, col: str) -> bool:
+        """True iff parquet footer stats PROVE ``col`` has no nulls in the
+        file.  Unknown (missing stats, unreadable) is False — callers must
+        then take the safe path."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == col:
+                    idx = i
+                    break
+            if idx is None:
+                return False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.null_count is None or st.null_count > 0:
+                    return False
+            return True
+        except Exception:
+            return False
+
+    def delete_older_than(
+        self,
+        cutoff_ms: int,
+        summary: dict[str, Any] | None = None,
+        staged: bool = False,
+    ) -> Snapshot:
+        """Row TTL / retention delete: remove every current row whose
+        event time ``ts`` is strictly before ``cutoff_ms`` (rows with NULL
+        ``ts`` are kept — expiry can't be proven).  The Iceberg
+        ``DELETE FROM t WHERE ts < X`` partition-expiry pattern, planned
+        from manifest ``ts_stats`` so the cost is O(affected), never
+        O(table):
+
+        * files whose ts bounds prove ``max < cutoff`` (and whose footer
+          proves no NULL ts — bounds cover only non-null values) are
+          DROPPED from the manifest: metadata-only, no data read;
+        * buckets holding straddling files (``min < cutoff <= max``) or
+          files without recorded bounds are rewritten copy-on-write with
+          the keep-filter applied — boundary work only;
+        * wholly-live files are untouched.
+
+        The metadata drop requires the one-live-version invariant (CoW or
+        MoR position-delete mode): under blind-append MoR a dropped file
+        could hold the LATEST version of a key whose OLDER version
+        survives in a straddling file, resurrecting it — those buckets
+        take the rewrite path instead (the rewrite reads through the LWW
+        collapse, so it is always correct).
+
+        One atomic commit covers both paths; a reader never sees a
+        partially-applied TTL.  Time travel to pre-TTL snapshots keeps
+        working until retention ages the dropped files out, and the
+        commit diff propagates through changelog / relay / incremental
+        gold as ordinary deletes."""
+        snap = self.current()
+        tsf = next((f for f in snap.schema.fields if f.name == "ts"), None)
+        if tsf is None or not isinstance(tsf.dataType, T.TimestampType):
+            raise ValueError(
+                "delete_older_than needs a timestamp 'ts' column"
+            )
+        one_live = snap.merge_mode == "cow" or snap.mor_deletes
+        dirty: set[str] = set()
+        droppable: dict[str, list[str]] = {}
+        for b, fl in snap.files.items():
+            expired, rewrite = [], False
+            for f in fl:
+                s = snap.ts_stats.get(f)
+                if s is None:
+                    rewrite = True  # unproven: must look at the rows
+                elif s[1] < cutoff_ms:
+                    expired.append(f)
+                elif s[0] < cutoff_ms:
+                    rewrite = True  # straddles the cutoff
+            if rewrite or (expired and not one_live):
+                dirty.add(b)
+            elif expired:
+                if all(self._null_free(f, "ts") for f in expired):
+                    droppable[b] = expired
+                else:
+                    dirty.add(b)  # may hide NULL-ts rows we must keep
+        if not dirty and not droppable:
+            return snap
+
+        new_files: dict[str, list[str]] = {}
+        if dirty:
+            dirty_ids = sorted(int(b) for b in dirty)
+            # same per-mode read as compact: the rewrite must preserve the
+            # STORED representation (incl. `_seq` on mor-append tables)
+            if snap.merge_mode == "mor" and snap.mor_deletes:
+                src = self.current_versions(snap=snap, buckets=dirty_ids)
+            elif snap.merge_mode == "mor":
+                src = self._lww_collapse(
+                    self.read_snap(snap, buckets=dirty_ids), snap=snap
+                )
+            else:
+                src = self.read_snap(snap, buckets=dirty_ids)
+            keep = src.filter(
+                F.col("ts").isNull()
+                | (F.col("ts") >= F.timestamp_millis(F.lit(cutoff_ms)))
+            )
+            keep = keep.repartition(
+                max(1, len(dirty_ids)), self.bucket_expr(snap)
+            )
+            new_files = self._write_files(
+                keep.withColumn(BUCKET_COL, self.bucket_expr(snap)), snap
+            )
+
+        merged: dict[str, list[str]] = {}
+        for b, fl in snap.files.items():
+            if b in dirty:
+                continue
+            gone = set(droppable.get(b, []))
+            merged[b] = [f for f in fl if f not in gone]
+        for b, fl in new_files.items():
+            merged.setdefault(b, []).extend(fl)
+        # rewritten buckets' position deletes are consumed by the rewrite;
+        # delete files of drop-only buckets stay (they may reference
+        # surviving files; entries for dropped files anti-join nothing)
+        kept_dels = {
+            b: list(fl)
+            for b, fl in snap.delete_files.items()
+            if b not in dirty
+        }
+        # equality-delete entries: same consume rule as replace_buckets
+        kept_eq = []
+        for e in snap.eq_deletes:
+            rem = [
+                b
+                for b in e["buckets"]
+                if str(b) not in dirty and merged.get(str(b))
+            ]
+            if rem:
+                kept_eq.append({**e, "buckets": rem})
+        n_dropped = sum(len(v) for v in droppable.values())
+        return self._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files=merged,
+            summary={
+                **self.carry_fence(),
+                "operation": "ttl-delete",
+                "cutoff_ms": int(cutoff_ms),
+                "files_dropped": n_dropped,
+                "buckets_rewritten": len(dirty),
+                **(summary or {}),
+            },
+            delete_files=kept_dels,
+            eq_deletes=kept_eq,
+            staged=staged,
+        )
+
     def replace_buckets(
         self,
         dirty_buckets: list[int],

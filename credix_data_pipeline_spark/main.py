@@ -61,6 +61,10 @@ Subcommands:
 * ``fsck``      — metadata-first integrity audit (files exist, manifests
                   load, fences coherent, orphans reported); ``--deep``
                   re-checks bucket placement row-by-row
+* ``ttl``       — retention delete (``DELETE WHERE ts < cutoff``): files
+                  wholly below the cutoff drop by manifest ts-stats alone
+                  (metadata-only), boundary buckets rewrite copy-on-write;
+                  NULL-ts rows (tombstones) are kept
 * ``catalog-publish`` — atomically pin N tables' snapshots as ONE catalog
                   version (consistent multi-table snapshot; Nessie /
                   catalog-level-commit analogue); pins are tag-protected
@@ -364,6 +368,32 @@ def cmd_purge(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_ttl(args) -> int:
+    """Row TTL / retention delete: drop rows with event time before the
+    cutoff — whole files by manifest stats alone, boundary buckets by a
+    scoped copy-on-write rewrite."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    before = t.current().snapshot_id
+    snap = t.delete_older_than(_parse_ts_ms(args.older_than))
+    if snap.snapshot_id == before:
+        print(json.dumps({"snapshot_id": snap.snapshot_id,
+                          "version": snap.version, "noop": True}))
+        return 0
+    print(json.dumps({
+        "snapshot_id": snap.snapshot_id,
+        "version": snap.version,
+        "noop": False,
+        "cutoff_ms": snap.summary.get("cutoff_ms"),
+        "files_dropped": snap.summary.get("files_dropped", 0),
+        "buckets_rewritten": snap.summary.get("buckets_rewritten", 0),
+        "operation": snap.summary.get("operation"),
+    }))
     return 0
 
 
@@ -955,6 +985,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="purge key columns (default: the table's bucket columns)",
     )
     pu.set_defaults(fn=cmd_purge)
+
+    tt = sub.add_parser(
+        "ttl",
+        help="retention delete: drop rows with event time before a cutoff "
+             "(whole files by manifest stats; boundary buckets rewritten)",
+    )
+    tt.add_argument("--table", required=True)
+    tt.add_argument("--older-than", required=True,
+                    help="cutoff (ISO timestamp or epoch ms); rows with "
+                         "ts strictly before it are deleted, NULL ts kept")
+    tt.set_defaults(fn=cmd_ttl)
 
     mt = sub.add_parser(
         "maintain",

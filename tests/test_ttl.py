@@ -1,0 +1,257 @@
+"""Row TTL / retention delete (``LakeTable.delete_older_than`` — the
+Iceberg ``DELETE FROM t WHERE ts < X`` partition-expiry pattern).
+
+The contract under test: rows with event time before the cutoff vanish
+from the clean read; rows with NULL ``ts`` (tombstones, unparsed events)
+survive; files wholly below the cutoff drop by manifest stats alone (no
+data read, no new files); only boundary buckets rewrite; the whole TTL is
+ONE atomic commit; and under blind-append MoR a dropped newest version can
+never resurrect an older one."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.main import main as cli_main
+from credix_data_pipeline_spark.operators.apply import apply_batch, read_clean
+from credix_data_pipeline_spark.sources.feed import (
+    BASE_EPOCH_S,
+    FeedSpec,
+    write_feed,
+)
+from credix_data_pipeline_spark.streaming import runner
+
+SPEC = FeedSpec(
+    n_events=3_000,
+    n_conversations=60,
+    turns_per_conversation=6,
+    delete_pct=8,
+    duplicate_pct=3,
+    shuffle_window=32,
+    events_per_chunk=500,
+)
+
+
+def _ms(epoch_s: int) -> int:
+    return epoch_s * 1000
+
+
+def _clean_rows(t, **kw):
+    df = read_clean(t, **kw) if kw else read_clean(t)
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _replay(spark, tmp_path, name="t", spec=SPEC, **kw):
+    feed = str(tmp_path / f"feed_{name}")
+    write_feed(spark, feed, spec)
+    path = str(tmp_path / name)
+    runner.replay(spark, feed, path, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False, **kw)
+    return LakeTable.load(spark, path)
+
+
+def test_ttl_correctness_and_idempotence(spark, tmp_path):
+    t = _replay(spark, tmp_path)
+    before = read_clean(t).collect()
+    # LWW winners cluster late in event time — take the observed median
+    ts_vals = sorted(
+        int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        for r in before if r["ts"] is not None
+    )
+    cutoff = ts_vals[len(ts_vals) // 2]
+    expected = sorted(
+        tuple(str(r[c]) for c in sorted(before[0].asDict()))
+        for r in before
+        if r["ts"] is not None
+        and int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp()
+                * 1000) >= cutoff
+    )
+    pre_sid = t.current().snapshot_id
+
+    snap = t.delete_older_than(cutoff)
+    assert snap.summary["operation"] == "ttl-delete"
+    # tombstones carry NULL ts, so replayed buckets take the rewrite path
+    assert snap.summary["buckets_rewritten"] >= 1
+    assert _clean_rows(t) == expected
+    # tombstones (NULL ts) survived the rewrite — LWW shielding intact
+    tomb = t.current_versions().filter("_deleted").count()
+    assert tomb > 0
+
+    # fence carried: the TTL commit must not bury exactly-once resume
+    assert "batch_id" in snap.summary
+
+    # idempotent: the same cutoff finds nothing left to do
+    again = t.delete_older_than(cutoff)
+    assert again.snapshot_id == snap.snapshot_id
+
+    # time travel: the pre-TTL snapshot still shows the expired rows
+    old = t.read(snapshot_id=pre_sid).count()
+    assert old > read_clean(t).count()
+
+
+def test_ttl_drops_whole_files_metadata_only(spark, tmp_path):
+    """Day-appended layout (each commit = one day, so per-bucket files are
+    ts-disjoint): TTL at a day boundary is METADATA-ONLY — whole files drop
+    from the manifest, zero rewrites, zero new files.  A mid-day cutoff
+    additionally rewrites ONLY the straddling day's buckets while later
+    days' files survive untouched — the O(affected) contract."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ])
+    DAY_MS = 86_400_000
+    t0 = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    t0_ms = int(t0.timestamp() * 1000)
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key=["conv_id", "turn_idx"], num_buckets=4)
+    for d in range(4):  # disjoint conv ranges: appends never duplicate keys
+        rows = [(f"conv{c:04d}", i, f"d{d}",
+                 t0 + datetime.timedelta(days=d, minutes=c * 10 + i),
+                 1 + d * 1000 + c * 4 + i, False)
+                for c in range(d * 20, d * 20 + 20) for i in range(4)]
+        t.append(spark.createDataFrame(rows, schema))
+    snap0 = t.current()
+    assert set(snap0.ts_stats) == set(snap0.all_files())
+
+    # --- day-boundary cutoff: pure metadata drop ---
+    cutoff = t0_ms + 2 * DAY_MS  # days 0 and 1 expire whole
+    expect_drop = {p for p, s in snap0.ts_stats.items() if s[1] < cutoff}
+    assert len(expect_drop) >= 4
+    snap = t.delete_older_than(cutoff)
+    assert snap.summary["files_dropped"] == len(expect_drop)
+    assert snap.summary["buckets_rewritten"] == 0
+    # no data read, no data written: the file set only SHRANK
+    assert set(snap.all_files()) == set(snap0.all_files()) - expect_drop
+    assert t.read().filter(
+        F.col("ts") < F.timestamp_millis(F.lit(cutoff))).count() == 0
+    assert t.read().count() == 2 * 20 * 4  # days 2 and 3 intact
+
+    # --- straddling cutoff: lands strictly INSIDE one file's bounds, so
+    # that file's bucket rewrites while provably-later files survive
+    wide_p, wide_s = max(snap.ts_stats.items(),
+                         key=lambda kv: kv[1][1] - kv[1][0])
+    cutoff2 = wide_s[0] + (wide_s[1] - wide_s[0]) // 2 + 1
+    assert wide_s[0] < cutoff2 <= wide_s[1]
+    snap2 = t.delete_older_than(cutoff2)
+    assert snap2.summary["buckets_rewritten"] >= 1
+    assert wide_p not in snap2.all_files()  # the straddler was rewritten
+    # not O(table): some prior files survive byte-identical
+    assert set(snap2.all_files()) & set(snap.all_files())
+    want = [r for r in t.read(snapshot_id=snap.snapshot_id).collect()
+            if int(r["ts"].replace(tzinfo=datetime.timezone.utc)
+                   .timestamp() * 1000) >= cutoff2]
+    got = t.read().collect()
+    assert sorted(map(str, got)) == sorted(map(str, want))
+
+    # retention ages the dropped files off disk; reads keep working
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    for p in expect_drop:
+        assert not os.path.exists(os.path.join(t.path, p))
+    assert t.read().count() == len(want)
+
+
+def test_ttl_mor_append_never_resurrects(spark, tmp_path):
+    """Blind-append MoR: the latest version of a key can sit in a file
+    whose ts bounds are OLDER than a surviving file holding a superseded
+    version.  TTL must delete the key, not resurrect the old version —
+    i.e. the metadata-drop shortcut is forbidden there."""
+    t = _replay(spark, tmp_path, merge_mode="mor-append")
+    fence = t.carry_fence()["batch_id"]
+    hi_ts = BASE_EPOCH_S + 50_000
+    lo_ts = BASE_EPOCH_S - 50_000
+
+    def _batch(lsn, ts_s, text):
+        return spark.createDataFrame(
+            [("U", lsn, datetime.datetime.fromtimestamp(
+                ts_s, datetime.timezone.utc),
+              "convXresurrect", 0, "user", text, None,
+              datetime.datetime.fromtimestamp(
+                  ts_s, datetime.timezone.utc))],
+            "op string, lsn long, commit_ts timestamp, conv_id string, "
+            "turn_idx int, role string, text string, tool string, "
+            "ts timestamp",
+        )
+
+    # v1: recent ts; v2 (newer LSN = the LWW winner): ancient ts
+    apply_batch(t, _batch(900_001, hi_ts, "v1-new-ts"), fence + 1,
+                collect_stats=False)
+    apply_batch(t, _batch(900_002, lo_ts, "v2-old-ts"), fence + 2,
+                collect_stats=False)
+    vis = read_clean(t).filter("conv_id = 'convXresurrect'").collect()
+    assert [r["text"] for r in vis] == ["v2-old-ts"]
+
+    cutoff = _ms(BASE_EPOCH_S)  # kills v2, would expose v1 if dropped
+    snap = t.delete_older_than(cutoff)
+    # no metadata drops on a broken-invariant table — everything rewrote
+    assert snap.summary["files_dropped"] == 0
+    assert read_clean(t).filter("conv_id = 'convXresurrect'").count() == 0
+
+
+def test_ttl_propagates_as_changelog_deletes(spark, tmp_path):
+    from credix_data_pipeline_spark.operators.changelog import read_changes
+
+    t = _replay(spark, tmp_path)
+    pre = t.current()
+    rows = read_clean(t).collect()
+    visible_before = {
+        r["conv_id"] + "/" + str(r["turn_idx"]) for r in rows
+    }
+    ts_vals = sorted(
+        int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        for r in rows if r["ts"] is not None
+    )
+    cutoff = ts_vals[len(ts_vals) // 2]
+    t.delete_older_than(cutoff)
+    visible_after = {
+        r["conv_id"] + "/" + str(r["turn_idx"])
+        for r in read_clean(t).collect()
+    }
+    gone = visible_before - visible_after
+    assert gone
+
+    ch = read_changes(t, pre.snapshot_id).collect()
+    dels = {
+        r["conv_id"] + "/" + str(r["turn_idx"])
+        for r in ch
+        if r["_change_type"] == "delete"
+    }
+    assert gone <= dels  # every TTL'd key reaches downstream as a delete
+
+
+def test_ttl_cli_and_guardrails(spark, tmp_path, capsys):
+    t = _replay(spark, tmp_path)
+    ts_vals = sorted(
+        r["ts"] for r in read_clean(t).collect() if r["ts"] is not None
+    )
+    iso = ts_vals[len(ts_vals) // 2].replace(
+        tzinfo=datetime.timezone.utc
+    ).isoformat()
+    rc = cli_main(["ttl", "--table", t.path, "--older-than", iso])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["operation"] == "ttl-delete" and not out["noop"]
+
+    rc = cli_main(["ttl", "--table", t.path, "--older-than", iso])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["noop"]
+
+    # a table without a timestamp ts column refuses
+    snap = LakeTable.load(spark, t.path).current()
+    assert "ts" in [f.name for f in snap.schema.fields]
+    t2 = LakeTable.load(spark, t.path)
+    t2.rename_column("ts", "event_ts")
+    with pytest.raises(ValueError):
+        t2.delete_older_than(0)
