@@ -1892,6 +1892,29 @@ class LakeTable:
         except Exception:
             return False
 
+    def _all_null(self, rel_path: str, col: str) -> bool:
+        """True iff footer stats PROVE ``col`` is entirely NULL (or absent)
+        in the file — then no row of it can ever satisfy a ``col``-based
+        predicate.  Unknown is False."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == col:
+                    idx = i
+                    break
+            if idx is None:
+                return True  # column not stored: reads project NULL
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.num_values is None or st.num_values > 0:
+                    return False
+            return True
+        except Exception:
+            return False
+
     def delete_older_than(
         self,
         cutoff_ms: int,
@@ -1939,7 +1962,11 @@ class LakeTable:
             for f in fl:
                 s = snap.ts_stats.get(f)
                 if s is None:
-                    rewrite = True  # unproven: must look at the rows
+                    # stats-less: an all-NULL-ts file can never expire a
+                    # row — leave it alone (rewriting it would churn every
+                    # TTL run forever); anything else must look at the rows
+                    if not self._all_null(f, "ts"):
+                        rewrite = True
                 elif s[1] < cutoff_ms:
                     expired.append(f)
                 elif s[0] < cutoff_ms:

@@ -28,10 +28,17 @@ Policy keys (all optional):
   file size (footer scan) is below this many MB.  Unset = manifest-only.
 * ``retention.auto`` — "true" runs ``expire_snapshots`` after compaction.
 * ``retention.keep-last`` — snapshots to keep when expiring (default 5).
+* ``retention.ttl-ms`` / ``retention.ttl-days`` — row TTL horizon: every
+  ``maintain`` run deletes rows with event time older than now-horizon
+  (``delete_older_than`` — whole files by manifest ts-stats, boundary
+  buckets rewritten).  ms wins when both are set.  TTL runs FIRST, so
+  compaction never rewrites rows about to be deleted and can then merge
+  the TTL's own boundary rewrites.
 """
 
 from __future__ import annotations
 
+import time
 from typing import Any
 
 from credix_data_pipeline_spark.lakehouse.table import LakeTable
@@ -88,11 +95,41 @@ def plan_maintenance(table: LakeTable) -> dict[str, Any]:
             (r["bucket"] for r in rows if r["avg_file_bytes"] < thresh_bytes),
         )
 
+    ttl_ms = props.get("retention.ttl-ms")
+    ttl_days = props.get("retention.ttl-days")
+    ttl_cutoff = None
+    if ttl_ms is not None or ttl_days is not None:
+        horizon = (
+            int(ttl_ms)
+            if ttl_ms is not None
+            else int(float(ttl_days) * 86_400_000)
+        )
+        ttl_cutoff = int(time.time() * 1000) - horizon
+    ttl_report = None
+    if ttl_cutoff is not None:
+        # manifest-only preview: what the cutoff would touch right now
+        droppable = sum(
+            1 for s in snap.ts_stats.values() if s[1] < ttl_cutoff
+        )
+        straddling = sorted({
+            int(b)
+            for b, fl in snap.files.items()
+            for f in fl
+            if (st := snap.ts_stats.get(f)) is not None
+            and st[0] < ttl_cutoff <= st[1]
+        })
+        ttl_report = {
+            "cutoff_ms": ttl_cutoff,
+            "files_droppable": droppable,
+            "straddling_buckets": straddling,
+        }
+
     return {
         "compact_buckets": sorted(targets),
         "reasons": reasons,
         "expire": props.get("retention.auto", "").lower() == "true",
         "keep_last": int(props.get("retention.keep-last", "5")),
+        "ttl": ttl_report,
     }
 
 
@@ -104,6 +141,21 @@ def maintain(table: LakeTable, dry_run: bool = False) -> dict[str, Any]:
     if dry_run:
         return {**plan, "dry_run": True}
     report: dict[str, Any] = dict(plan)
+    if plan["ttl"] is not None:
+        before = table.current()
+        snap = table.delete_older_than(plan["ttl"]["cutoff_ms"])
+        report["ttl"] = {
+            **plan["ttl"],
+            "applied": snap.snapshot_id != before.snapshot_id,
+            "files_dropped": (
+                snap.summary.get("files_dropped", 0)
+                if snap.snapshot_id != before.snapshot_id else 0
+            ),
+            "buckets_rewritten": (
+                snap.summary.get("buckets_rewritten", 0)
+                if snap.snapshot_id != before.snapshot_id else 0
+            ),
+        }
     if plan["compact_buckets"]:
         before = table.current().version
         if "mor_invariant" in plan["reasons"]:

@@ -255,3 +255,69 @@ def test_ttl_cli_and_guardrails(spark, tmp_path, capsys):
     t2.rename_column("ts", "event_ts")
     with pytest.raises(ValueError):
         t2.delete_older_than(0)
+
+
+def test_ttl_maintenance_policy(spark, tmp_path):
+    """retention.ttl-ms drives TTL from maintain(): the policy lives with
+    the table, TTL runs before compaction, and a second run is a no-op."""
+    import time
+
+    from credix_data_pipeline_spark.operators.maintenance import (
+        maintain,
+        plan_maintenance,
+    )
+
+    t = _replay(spark, tmp_path)
+    rows = read_clean(t).collect()
+    ts_vals = sorted(
+        int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        for r in rows if r["ts"] is not None
+    )
+    target_cutoff = ts_vals[len(ts_vals) // 2]
+    now_ms = int(time.time() * 1000)
+    t.alter_properties({"retention.ttl-ms": str(now_ms - target_cutoff)})
+
+    plan = plan_maintenance(t)
+    assert plan["ttl"] is not None
+    assert abs(plan["ttl"]["cutoff_ms"] - target_cutoff) < 60_000
+
+    rep = maintain(t)
+    assert rep["ttl"]["applied"]
+    assert rep["ttl"]["buckets_rewritten"] >= 1
+    kept = read_clean(t).collect()
+    assert all(
+        r["ts"] is None
+        or int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp()
+               * 1000) >= rep["ttl"]["cutoff_ms"]
+        for r in kept
+    )
+    assert 0 < len(kept) < len(rows)
+
+    # steady state: the next maintain finds nothing to TTL (cutoff drifts
+    # forward by the test's own runtime, well inside the data's gaps)
+    rep2 = maintain(t)
+    assert not rep2["ttl"]["applied"]
+
+
+def test_ttl_skips_all_null_ts_files(spark, tmp_path):
+    """A stats-less file whose ts is entirely NULL can never expire a row:
+    TTL must leave it alone (no rewrite churn run after run)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key=["conv_id", "turn_idx"], num_buckets=2)
+    t.append(spark.createDataFrame(
+        [(f"c{i}", 0, "x", None, i + 1, False) for i in range(20)], schema))
+    assert not t.current().ts_stats  # all-null: no bounds recorded
+    before = t.current().snapshot_id
+    snap = t.delete_older_than(9_999_999_999_999)
+    assert snap.snapshot_id == before  # pure no-op, no churn
+    assert t.read().count() == 20
