@@ -1429,6 +1429,43 @@ SQL_LANG_ID_NGRAM = _sql_lang_id()
 
 
 # ---------------------------------------------------------------------------
+# source_quota_cap — per-source document cap (the Gopher / RefinedWeb
+# domain-balancing op): keep at most K docs per source, preferring longer
+# documents (n_chars DESC, doc_id ASC — exact integer ordering, no float
+# tie hazards), so no single domain dominates the training mixture.
+#
+# Scale posture: a per-source top-K window compiles to WindowGroupLimit —
+# each map partition pre-filters to K rows per source BEFORE the exchange,
+# so the shuffle carries at most K x partitions rows per source no matter
+# how skewed the domain is (the crawl-data reality: one domain can be 10%
+# of the corpus).  The full sort never materializes.
+# ---------------------------------------------------------------------------
+SOURCE_CAP_K = 10
+
+
+def q_source_quota_cap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SOURCE_CAP_K)
+        .select("doc_id", "source", "n_chars", "rank")
+    )
+
+
+SQL_SOURCE_QUOTA_CAP = f"""
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= {SOURCE_CAP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_quality — length / stopword / distinctness quality score with the
 # reference's clamp + band ladder shapes (F11/F12)
 # ---------------------------------------------------------------------------
@@ -2469,6 +2506,7 @@ CORPUS_QUERIES = {
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "benchmark_decontam": (q_benchmark_decontam, SQL_BENCHMARK_DECONTAM),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "source_quota_cap": (q_source_quota_cap, SQL_SOURCE_QUOTA_CAP),
     "dup_passage_score": (q_dup_passage_score, SQL_DUP_PASSAGE_SCORE),
     "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
 }
