@@ -330,8 +330,15 @@ def maintenance_pressure(spark: SparkSession, table_path: str) -> dict:
         "pending_position_delete_files": sum(
             len(fl) for fl in snap.delete_files.values()
         ),
+        # the TTL-policy preview (None when no retention.ttl-* property):
+        # files the next maintain would drop + buckets it would rewrite
+        "ttl": plan["ttl"],
         "status": (
-            "PENDING_WORK" if plan["compact_buckets"] else "HEALTHY"
+            "PENDING_WORK"
+            if plan["compact_buckets"]
+            or (plan["ttl"] or {}).get("files_droppable")
+            or (plan["ttl"] or {}).get("straddling_buckets")
+            else "HEALTHY"
         ),
     }
 

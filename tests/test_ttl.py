@@ -325,3 +325,36 @@ def test_ttl_skips_all_null_ts_files(spark, tmp_path):
     snap = t.delete_older_than(9_999_999_999_999)
     assert snap.snapshot_id == before  # pure no-op, no churn
     assert t.read().count() == 20
+
+
+def test_ttl_backlog_in_monitor(spark, tmp_path):
+    """The monitor's maintenance signal surfaces the TTL backlog: a table
+    whose policy cutoff has rows waiting reads PENDING_WORK; running
+    maintain drains it back to HEALTHY."""
+    import time
+
+    from credix_data_pipeline_spark.operators.maintenance import maintain
+    from credix_data_pipeline_spark.streaming.monitoring import (
+        maintenance_pressure,
+    )
+
+    t = _replay(spark, tmp_path)
+    rows = read_clean(t).collect()
+    ts_vals = sorted(
+        int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        for r in rows if r["ts"] is not None
+    )
+    cutoff = ts_vals[len(ts_vals) // 2]
+    sig0 = maintenance_pressure(spark, t.path)
+    assert sig0["ttl"] is None  # no policy, no signal
+
+    t.alter_properties({
+        "retention.ttl-ms": str(int(time.time() * 1000) - cutoff)})
+    sig1 = maintenance_pressure(spark, t.path)
+    assert sig1["status"] == "PENDING_WORK"
+    assert (sig1["ttl"]["files_droppable"]
+            or sig1["ttl"]["straddling_buckets"])
+
+    maintain(t)
+    sig2 = maintenance_pressure(spark, t.path)
+    assert sig2["ttl"]["files_droppable"] == 0
