@@ -771,6 +771,103 @@ SQL_CDC_CATALOG_E2E = _sql_cdc_transcripts(
 )
 
 
+# ---------------------------------------------------------------------------
+# cdc_ttl_e2e — row TTL (retention delete) mid-replay, oracle-checked.
+#
+# The same 4-batch events feed replays into a fresh table; after the
+# pre-evolution batches, ``delete_older_than(TTL_CUTOFF_MS)`` removes every
+# stored row with event time before 2024-01-16T00:00Z (whole files by
+# manifest ts-stats, boundary buckets rewritten; tombstones carry NULL ts
+# and survive).  Batches 2-3 then merge on top: a TTL'd key re-appears
+# ONLY from post-TTL events — the TTL cut its stored history, so a later
+# event wins even with a lower LSN than the expired row (the same history-
+# cut shape as the GDPR purge, but selected by TIME, not key).  The oracle
+# recomputes the state at TTL time (LWW over batches 0-1), derives the
+# TTL'd key set (winner non-delete AND ts < cutoff), removes those keys'
+# pre-TTL events from the feed, and takes LWW winners over the remainder.
+# ``compact()`` runs before the read so the compare covers the
+# materialized TTL too.  Integer-exact boundary: ts-stat bounds are
+# floor-ms, and floor(ts_ms) < cutoff <=> ts_ms < cutoff for an integer
+# cutoff, so the metadata drop can never disagree with the row predicate.
+# ---------------------------------------------------------------------------
+TTL_CUTOFF_MS = 1_705_363_200_000  # 2024-01-16T00:00:00Z (mid-range all SFs)
+
+_TTL_TABLE: dict[str, str] = {}
+
+
+def q_cdc_ttl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete_older_than (row TTL) through the live replay path."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+
+    cache_key = os.path.abspath(sf_dir)
+    if cache_key not in _TTL_TABLE:
+        work = os.path.join(
+            tempfile.gettempdir(),
+            f"cdc_ttl_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        table = LakeTable.create(
+            spark,
+            work,
+            _TARGET_SCHEMA,
+            key=["user_id", "event_type"],
+            num_buckets=8,
+            bucket_by=["user_id"],
+        )
+        ch = _change_feed(spark, sf_dir)
+        for b in range(N_BATCHES):
+            batch = ch.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b)
+            if b < EVOLVE_FROM_BATCH:
+                batch = batch.drop("props")
+            apply_batch(table, batch, b, collect_stats=False)
+            if b == EVOLVE_FROM_BATCH - 1:
+                table.delete_older_than(TTL_CUTOFF_MS)
+        table.compact()  # materialize: state must be unchanged
+        _TTL_TABLE[cache_key] = work
+    return read_clean(
+        LakeTable.load(spark, _TTL_TABLE[cache_key])
+    ).select("user_id", "event_type", "event_id", "ts", "value", "props")
+
+
+SQL_CDC_TTL_E2E = f"""
+WITH ch AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN event_id % {N_BATCHES} >= {EVOLVE_FROM_BATCH}
+              THEN props END AS props,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {LSN_TS_BASE} + event_id AS lsn,
+         CASE WHEN event_id % {DELETE_EVERY} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), w01 AS (
+  -- stored state at TTL time: LWW winners over the pre-TTL batches
+  SELECT user_id, event_type, ts, op FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY lsn DESC) AS rn
+    FROM ch WHERE event_id % {N_BATCHES} < {EVOLVE_FROM_BATCH}
+  ) WHERE rn = 1
+), ttl_gone AS (
+  -- keys whose stored row expired (tombstones store NULL ts: kept)
+  SELECT user_id, event_type FROM w01
+  WHERE op <> 'D' AND ts < epoch_ms({TTL_CUTOFF_MS}::BIGINT)
+), filt AS (
+  -- the TTL cut those keys' history: only post-TTL events re-create them
+  SELECT c.* FROM ch c
+  LEFT JOIN ttl_gone g USING (user_id, event_type)
+  WHERE g.user_id IS NULL
+     OR c.event_id % {N_BATCHES} >= {EVOLVE_FROM_BATCH}
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY lsn DESC) AS rn
+  FROM filt
+)
+SELECT user_id, event_type, event_id, ts, value, props
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
     "cdc_catalog_e2e": (q_cdc_catalog_e2e, SQL_CDC_CATALOG_E2E),
@@ -785,4 +882,5 @@ CDC_QUERIES = {
         SQL_CDC_TURN_ANALYTICS_E2E,
     ),
     "gdpr_purge_e2e": (q_gdpr_purge_e2e, SQL_GDPR_PURGE_E2E),
+    "cdc_ttl_e2e": (q_cdc_ttl_e2e, SQL_CDC_TTL_E2E),
 }
