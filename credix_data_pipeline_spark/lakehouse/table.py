@@ -1936,18 +1936,25 @@ class LakeTable:
           the keep-filter applied — boundary work only;
         * wholly-live files are untouched.
 
-        The metadata drop requires the one-live-version invariant (CoW or
-        MoR position-delete mode): under blind-append MoR a dropped file
-        could hold the LATEST version of a key whose OLDER version
-        survives in a straddling file, resurrecting it — those buckets
-        take the rewrite path instead (the rewrite reads through the LWW
-        collapse, so it is always correct).
+        The metadata drop and the FILE-granular rewrite require the
+        one-live-version invariant (CoW or MoR position-delete mode):
+        under blind-append MoR a dropped file could hold the LATEST
+        version of a key whose OLDER version survives in a straddling
+        file, resurrecting it — those buckets take a whole-bucket rewrite
+        through the LWW collapse instead (always correct).  With the
+        invariant, only the straddling/stats-less FILES rewrite and every
+        other file in the bucket is carried over untouched — on a
+        key-bucketed layout where every bucket spans all days, a mid-day
+        cutoff rewrites one day's files, not every bucket (the difference
+        between O(boundary) and O(table) at 100 TB).
 
         One atomic commit covers both paths; a reader never sees a
         partially-applied TTL.  Time travel to pre-TTL snapshots keeps
         working until retention ages the dropped files out, and the
         commit diff propagates through changelog / relay / incremental
         gold as ordinary deletes."""
+        import dataclasses
+
         snap = self.current()
         tsf = next((f for f in snap.schema.fields if f.name == "ts"), None)
         if tsf is None or not isinstance(tsf.dataType, T.TimestampType):
@@ -1955,51 +1962,75 @@ class LakeTable:
                 "delete_older_than needs a timestamp 'ts' column"
             )
         one_live = snap.merge_mode == "cow" or snap.mor_deletes
-        dirty: set[str] = set()
-        droppable: dict[str, list[str]] = {}
+        dirty_full: set[str] = set()  # blind-append MoR: whole-bucket LWW
+        drop: dict[str, set[str]] = {}
+        rewrite: dict[str, list[str]] = {}
         for b, fl in snap.files.items():
-            expired, rewrite = [], False
+            expired, rw = [], []
             for f in fl:
                 s = snap.ts_stats.get(f)
                 if s is None:
                     # stats-less: an all-NULL-ts file can never expire a
                     # row — leave it alone (rewriting it would churn every
-                    # TTL run forever); anything else must look at the rows
+                    # TTL run); anything else must look at the rows
                     if not self._all_null(f, "ts"):
-                        rewrite = True
+                        rw.append(f)
                 elif s[1] < cutoff_ms:
                     expired.append(f)
                 elif s[0] < cutoff_ms:
-                    rewrite = True  # straddles the cutoff
-            if rewrite or (expired and not one_live):
-                dirty.add(b)
-            elif expired:
-                if all(self._null_free(f, "ts") for f in expired):
-                    droppable[b] = expired
+                    rw.append(f)  # straddles the cutoff
+            if not expired and not rw:
+                continue
+            if not one_live:
+                dirty_full.add(b)
+                continue
+            for f in expired:
+                if self._null_free(f, "ts"):
+                    drop.setdefault(b, set()).add(f)
                 else:
-                    dirty.add(b)  # may hide NULL-ts rows we must keep
-        if not dirty and not droppable:
+                    rw.append(f)  # holds NULL-ts rows that must survive
+            if rw:
+                rewrite[b] = rw
+        if not dirty_full and not drop and not rewrite:
             return snap
 
         new_files: dict[str, list[str]] = {}
-        if dirty:
-            dirty_ids = sorted(int(b) for b in dirty)
-            # same per-mode read as compact: the rewrite must preserve the
-            # STORED representation (incl. `_seq` on mor-append tables)
-            if snap.merge_mode == "mor" and snap.mor_deletes:
-                src = self.current_versions(snap=snap, buckets=dirty_ids)
-            elif snap.merge_mode == "mor":
-                src = self._lww_collapse(
-                    self.read_snap(snap, buckets=dirty_ids), snap=snap
-                )
-            else:
-                src = self.read_snap(snap, buckets=dirty_ids)
-            keep = src.filter(
-                F.col("ts").isNull()
-                | (F.col("ts") >= F.timestamp_millis(F.lit(cutoff_ms)))
+        keep_pred = F.col("ts").isNull() | (
+            F.col("ts") >= F.timestamp_millis(F.lit(cutoff_ms))
+        )
+        if dirty_full:
+            ids = sorted(int(b) for b in dirty_full)
+            src = self._lww_collapse(
+                self.read_snap(snap, buckets=ids), snap=snap
             )
-            keep = keep.repartition(
-                max(1, len(dirty_ids)), self.bucket_expr(snap)
+            keep = src.filter(keep_pred).repartition(
+                max(1, len(ids)), self.bucket_expr(snap)
+            )
+            new_files = self._write_files(
+                keep.withColumn(BUCKET_COL, self.bucket_expr(snap)), snap
+            )
+        elif rewrite:
+            # file-subset read through the normal reader (dir-schema
+            # projection + equality deletes apply as on any read); under
+            # one-live-version the subset partitions the rows exactly
+            sub = dataclasses.replace(
+                snap, files={b: list(fl) for b, fl in rewrite.items()}
+            )
+            if snap.merge_mode == "mor" and snap.mor_deletes:
+                df = self.read_snap(sub, with_pos=True)
+                dels = self._delete_rows(snap, [int(b) for b in rewrite])
+                if dels is not None:
+                    df = df.join(
+                        dels,
+                        on=(df["_file"] == dels["file"])
+                        & (df["_pos"] == dels["pos"]),
+                        how="left_anti",
+                    )
+                df = df.drop("_file", "_pos")
+            else:
+                df = self.read_snap(sub)
+            keep = df.filter(keep_pred).repartition(
+                max(1, len(rewrite)), self.bucket_expr(snap)
             )
             new_files = self._write_files(
                 keep.withColumn(BUCKET_COL, self.bucket_expr(snap)), snap
@@ -2007,31 +2038,35 @@ class LakeTable:
 
         merged: dict[str, list[str]] = {}
         for b, fl in snap.files.items():
-            if b in dirty:
+            if b in dirty_full:
                 continue
-            gone = set(droppable.get(b, []))
+            gone = drop.get(b, set()) | set(rewrite.get(b, []))
             merged[b] = [f for f in fl if f not in gone]
         for b, fl in new_files.items():
             merged.setdefault(b, []).extend(fl)
-        # rewritten buckets' position deletes are consumed by the rewrite;
-        # delete files of drop-only buckets stay (they may reference
-        # surviving files; entries for dropped files anti-join nothing)
+        # whole-bucket rewrites consume the bucket's position deletes;
+        # file-subset rewrites KEEP them (remaining old files may still be
+        # covered; entries pointing at dropped/rewritten paths anti-join
+        # nothing)
         kept_dels = {
             b: list(fl)
             for b, fl in snap.delete_files.items()
-            if b not in dirty
+            if b not in dirty_full
         }
-        # equality-delete entries: same consume rule as replace_buckets
+        # equality-delete entries: whole-bucket rewrites consume (the read
+        # was net of purges, new files carry a newer sequence number);
+        # file-subset rewrites keep them for the carried-over files
         kept_eq = []
         for e in snap.eq_deletes:
             rem = [
                 b
                 for b in e["buckets"]
-                if str(b) not in dirty and merged.get(str(b))
+                if str(b) not in dirty_full and merged.get(str(b))
             ]
             if rem:
                 kept_eq.append({**e, "buckets": rem})
-        n_dropped = sum(len(v) for v in droppable.values())
+        n_dropped = sum(len(v) for v in drop.values())
+        rewritten_buckets = dirty_full or set(rewrite)
         return self._commit(
             parent=snap,
             schema=snap.schema,
@@ -2044,7 +2079,8 @@ class LakeTable:
                 "operation": "ttl-delete",
                 "cutoff_ms": int(cutoff_ms),
                 "files_dropped": n_dropped,
-                "buckets_rewritten": len(dirty),
+                "files_rewritten": sum(len(v) for v in rewrite.values()),
+                "buckets_rewritten": len(rewritten_buckets),
                 **(summary or {}),
             },
             delete_files=kept_dels,

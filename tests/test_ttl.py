@@ -358,3 +358,79 @@ def test_ttl_backlog_in_monitor(spark, tmp_path):
     maintain(t)
     sig2 = maintenance_pressure(spark, t.path)
     assert sig2["ttl"]["files_droppable"] == 0
+
+
+def test_ttl_propagates_through_relay(spark, tmp_path):
+    """Upstream TTL reaches a downstream relay replica as ordinary delete
+    events: after the next publish + replay, the replica's clean state
+    equals the upstream's byte-for-byte."""
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+
+    def _state(tb):  # payload only: the relay mints its own LSN space
+        return {
+            (r.conv_id, r.turn_idx): (r.role, r.text, r.tool, str(r.ts))
+            for r in read_clean(tb)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .collect()
+        }
+
+    t = _replay(spark, tmp_path)
+    relay, t2p = str(tmp_path / "relay"), str(tmp_path / "t2")
+    publish_changes(t, relay)
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t)
+
+    rows = read_clean(t).collect()
+    ts_vals = sorted(
+        int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        for r in rows if r["ts"] is not None
+    )
+    t.delete_older_than(ts_vals[len(ts_vals) // 2])
+    rep = publish_changes(t, relay)
+    assert rep["published_rows"] > 0  # the TTL's deletes are in the feed
+    runner.replay(spark, relay, t2p, chunks_per_batch=1, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2) == _state(t)
+    assert len(_state(t2)) < len(rows)
+
+
+def test_ttl_mor_posdel_equals_cow(spark, tmp_path):
+    """Position-delete MoR: the TTL's file-subset rewrite must apply the
+    outstanding position deletes while reading (a rewritten file can hold
+    superseded row versions) — the post-TTL clean state must equal the CoW
+    table's for the same feed and cutoff."""
+    feed = str(tmp_path / "feed")
+    write_feed(spark, feed, SPEC)
+    cow_p, mor_p = str(tmp_path / "cow"), str(tmp_path / "mor")
+    runner.replay(spark, feed, cow_p, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False)
+    runner.replay(spark, feed, mor_p, chunks_per_batch=2, num_buckets=8,
+                  collect_stats=False, merge_mode="mor")
+    cow, mor = LakeTable.load(spark, cow_p), LakeTable.load(spark, mor_p)
+    assert mor.current().mor_deletes
+    assert mor.current().all_delete_files()  # deltas actually outstanding
+
+    rows = read_clean(cow).collect()
+    ts_vals = sorted(
+        int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        for r in rows if r["ts"] is not None
+    )
+    cutoff = ts_vals[len(ts_vals) // 2]
+    cow.delete_older_than(cutoff)
+    snap = mor.delete_older_than(cutoff)
+    assert snap.summary["operation"] == "ttl-delete"
+
+    def _payload(tb):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.role, r.text, r.tool, str(r.ts))
+            for r in read_clean(tb)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .collect()
+        )
+
+    assert _payload(mor) == _payload(cow)
+    assert len(_payload(mor)) < len(rows)
+    # compaction after TTL still collapses cleanly
+    mor.compact()
+    assert _payload(mor) == _payload(cow)
