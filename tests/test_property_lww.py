@@ -153,3 +153,93 @@ def test_engine_with_purges_equals_dict_oracle(spark, tmp_path, events,
         for r in read_clean(LakeTable.load(spark, table.path)).collect()
     }
     assert got2 == state and table.current().eq_deletes == []
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),                       # conv
+            st.integers(0, 2),                       # turn
+            st.sampled_from(["I", "U", "D"]),
+            st.text(alphabet="ab <>é　", max_size=6),
+            st.integers(0, 3),                       # event-time day offset
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(1, 4),
+    ttls=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 4)),  # (after batch, day)
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_engine_with_ttls_equals_dict_oracle(spark, tmp_path, events,
+                                             n_batches, ttls):
+    """Row TTLs interleaved at arbitrary batch boundaries: the engine must
+    equal the dict oracle where a TTL removes rows whose CURRENT event time
+    is before the cutoff (tombstones carry NULL ts and survive) and later
+    events re-create keys — for every sequence, cutoff placement, day mix,
+    and batch split."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    day_ms = 86_400_000
+    base_ms = int(base.timestamp() * 1000)
+    rows = [
+        (op, lsn, base, f"c{conv}", turn,
+         None if op == "D" else "user",
+         None if op == "D" else text,
+         None, None if op == "D" else base + timedelta(days=day))
+        for lsn, (conv, turn, op, text, day) in enumerate(events, start=1)
+    ]
+    ttl_map: dict[int, list[int]] = {}
+    for after_batch, day in ttls:
+        ttl_map.setdefault(after_batch, []).append(day)
+
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / f"t-{uuid.uuid4().hex}"),
+        target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"],
+        num_buckets=4,
+        bucket_by=["conv_id"],
+    )
+    state: dict[tuple, tuple] = {}  # k -> (text, day | None for tombstone)
+    per = max(1, -(-len(rows) // n_batches))
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if chunk:
+            df = spark.createDataFrame(list(reversed(chunk)), CHANGE_SCHEMA)
+            apply_batch(table, df, b, collect_stats=False)
+            for (op, _l, _c, conv, turn, _r, text, _t, ts), (
+                *_x, day) in zip(chunk, events[b * per:(b + 1) * per]):
+                state[(conv, turn)] = (
+                    (None, None) if op == "D" else (text, day)
+                )
+        for day in sorted(ttl_map.get(b, [])):
+            table.delete_older_than(base_ms + day * day_ms)
+            state = {
+                k: v for k, v in state.items()
+                # tombstones (day None) survive; expired current rows go
+                if v[1] is None or v[1] >= day
+            }
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_clean(table).collect()
+    }
+    want = {k: v[0] for k, v in state.items() if v[0] is not None}
+    assert got == want
+    # compaction after interleaved TTLs leaves the state untouched
+    table.compact()
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_clean(LakeTable.load(spark, table.path)).collect()
+    }
+    assert got2 == want
