@@ -2475,6 +2475,153 @@ FROM p, m
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence_packing (C24) — GPT-style concat-and-chunk training-sequence
+# layout: documents are concatenated in deterministic doc_id order and the
+# token stream is chunked into fixed-length sequences; each doc reports the
+# sequence span it lands in.  The reference loads ordered batches for
+# downstream consumers (`installments_assets.py` ordered pulls); a training
+# pipeline needs the same order-preserving layout at token granularity.
+#
+# Scale shape: a single global cumulative sum is a one-partition window — a
+# non-starter at 100 TB.  This plan uses the classic TWO-LEVEL PREFIX SCAN:
+#   level 1: per-group (doc_id div PACK_GROUP) cumulative sums — fully
+#            parallel, each group is a tiny ordered window;
+#   level 2: per-group totals (corpus_size/PACK_GROUP rows) get their own
+#            cumulative offset and broadcast-join back.
+# At 10^12 docs level 2 itself re-applies the same trick (group the groups);
+# the recursion depth is log_G(n).  All arithmetic is integer-exact.
+# ---------------------------------------------------------------------------
+PACK_SEQ_LEN = 512              # tokens per packed training sequence
+PACK_GROUP = 64                 # docs per level-1 scan group
+
+
+def q_sequence_packing(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+    d = d.withColumn("grp", F.expr(f"doc_id div {PACK_GROUP}"))
+    intra_w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("intra", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0)))
+    # level 2: tiny per-group totals; its own window runs over n/G rows
+    gtot = d.groupBy("grp").agg(F.sum("n_tokens").alias("gt"))
+    goff_w = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    gtot = gtot.withColumn("goff", F.coalesce(F.sum("gt").over(goff_w), F.lit(0)))
+    d = d.join(F.broadcast(gtot.select("grp", "goff")), "grp")
+    d = d.withColumn("tok_start", (F.col("goff") + F.col("intra")).cast("long"))
+    # zero-token docs occupy no span: pin them to their start sequence
+    d = (
+        d.withColumn("seq_first", F.expr(f"tok_start div {PACK_SEQ_LEN}"))
+        .withColumn(
+            "seq_last",
+            F.expr(f"(tok_start + greatest(n_tokens, 1L) - 1) div {PACK_SEQ_LEN}"),
+        )
+        .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
+        .withColumn("offset_in_first", F.expr(f"tok_start % {PACK_SEQ_LEN}"))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        "seq_first",
+        "seq_last",
+        "n_seqs",
+        "offset_in_first",
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM tok
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {PACK_SEQ_LEN} AS seq_first,
+       (tok_start + GREATEST(n_tokens, 1) - 1) // {PACK_SEQ_LEN} AS seq_last,
+       (tok_start + GREATEST(n_tokens, 1) - 1) // {PACK_SEQ_LEN}
+         - tok_start // {PACK_SEQ_LEN} + 1 AS n_seqs,
+       tok_start % {PACK_SEQ_LEN} AS offset_in_first
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_weights (C25) — temperature-based multinomial sampling
+# weights per language (XLM-R / mC4 style: p_i ∝ n_i^alpha with alpha < 1
+# upsampling low-resource languages).  One tiny hash-agg per language plus a
+# grossing window over the handful of language rows — O(langs) state, no
+# global shuffle beyond the agg.  The pow() result is quantized to an
+# integer (floor(x * 1e6)) BEFORE any summation so cross-engine double
+# addition order cannot move a rounded ratio: every division below is a
+# ratio of identical integers in both engines.
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.3                 # sampling temperature exponent
+MIX_QUANT = 1_000_000           # pow() quantization (parts-per-million)
+
+
+def q_corpus_mixture_weights(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "lang", F.size(_toks()).cast("long").alias("nt")
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    g = g.withColumn(
+        "rawq",
+        F.floor(F.pow(F.col("n_tokens"), F.lit(MIX_ALPHA)) * MIX_QUANT).cast("long"),
+    )
+    w = Window.partitionBy()
+    g = g.withColumn("tot_rawq", F.sum("rawq").over(w)).withColumn(
+        "tot_tokens", F.sum("n_tokens").over(w)
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 4).alias("natural_share"),
+        F.round(F.col("rawq") / F.col("tot_rawq"), 4).alias("sample_weight"),
+        F.round(
+            (F.col("rawq") * F.col("tot_tokens"))
+            / (F.col("tot_rawq") * F.col("n_tokens")),
+            4,
+        ).alias("upsample_factor"),
+    )
+
+
+SQL_CORPUS_MIXTURE_WEIGHTS = f"""
+WITH g AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), q AS (
+  SELECT *, CAST(FLOOR(POW(n_tokens, {MIX_ALPHA}) * {MIX_QUANT}) AS BIGINT)
+              AS rawq
+  FROM g
+), s AS (
+  SELECT *, CAST(SUM(rawq) OVER () AS BIGINT) AS tot_rawq,
+            CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tokens
+  FROM q
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(n_tokens * 1.0 / tot_tokens, 4) AS natural_share,
+       ROUND(rawq * 1.0 / tot_rawq, 4) AS sample_weight,
+       ROUND((rawq * tot_tokens) * 1.0 / (tot_rawq * n_tokens), 4)
+         AS upsample_factor
+FROM s
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2509,4 +2656,9 @@ CORPUS_QUERIES = {
     "source_quota_cap": (q_source_quota_cap, SQL_SOURCE_QUOTA_CAP),
     "dup_passage_score": (q_dup_passage_score, SQL_DUP_PASSAGE_SCORE),
     "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "corpus_mixture_weights": (
+        q_corpus_mixture_weights,
+        SQL_CORPUS_MIXTURE_WEIGHTS,
+    ),
 }

@@ -383,3 +383,58 @@ def test_lm_familiarity_is_the_integer_log2_bigram_model(spark):
     for r in rows:
         assert r.familiar == (permilles[r.doc_id] * n > tot)
     assert 0 < sum(r.familiar for r in rows) < len(rows)
+
+
+def test_sequence_packing_is_the_global_concat_and_chunk(spark):
+    """The two-level prefix scan must equal the straight global cumsum:
+    spans are contiguous in doc_id order, chunk math matches a pure-Python
+    recount, and total sequences == ceil(total_tokens / PACK_SEQ_LEN)."""
+    from credix_data_pipeline_spark.plans.corpus_ops import (
+        PACK_SEQ_LEN,
+        q_sequence_packing,
+    )
+
+    toks = {
+        r.doc_id: [w for w in r.text.lower().split(" ") if w]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    rows = {r.doc_id: r for r in q_sequence_packing(spark, SF_DIR).collect()}
+    assert set(rows) == set(toks)
+    cum = 0
+    for did in sorted(toks):
+        r = rows[did]
+        n = len(toks[did])
+        assert r.n_tokens == n
+        assert r.tok_start == cum  # contiguity: no gaps, no overlaps
+        assert r.seq_first == cum // PACK_SEQ_LEN
+        assert r.seq_last == (cum + max(n, 1) - 1) // PACK_SEQ_LEN
+        assert r.n_seqs == r.seq_last - r.seq_first + 1
+        assert r.offset_in_first == cum % PACK_SEQ_LEN
+        cum += n
+    total = sum(len(v) for v in toks.values())
+    n_seqs = -(-total // PACK_SEQ_LEN)
+    assert max(r.seq_last for r in rows.values()) == n_seqs - 1
+    assert any(r.n_seqs > 1 for r in rows.values())  # docs straddle chunks
+
+
+def test_corpus_mixture_weights_upsample_low_resource(spark):
+    """alpha < 1 multinomial weights: weights sum to 1, the smallest
+    language is upsampled (factor > 1), the largest downsampled, and the
+    ordering by weight preserves the ordering by token mass."""
+    from credix_data_pipeline_spark.plans.corpus_ops import (
+        q_corpus_mixture_weights,
+    )
+
+    rows = q_corpus_mixture_weights(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-3
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    assert by_tokens[0].upsample_factor > 1.0
+    assert by_tokens[-1].upsample_factor < 1.0
+    weights = [r.sample_weight for r in by_tokens]
+    assert weights == sorted(weights)  # monotone in token mass
+    # alpha < 1 compresses the spread: weight ratio < natural ratio
+    assert (by_tokens[-1].sample_weight / by_tokens[0].sample_weight) < (
+        by_tokens[-1].natural_share / by_tokens[0].natural_share
+    )
