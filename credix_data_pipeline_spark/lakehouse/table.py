@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 META_DIR = "_meta"
 DATA_DIR = "data"
+BRANCHES_DIR = "_branches"  # named writable branches nest under the root
 BUCKET_COL = "_bucket"
 
 
@@ -157,6 +158,20 @@ class Snapshot:
 
     def all_eq_delete_files(self) -> list[str]:
         return [p for e in self.eq_deletes for p in e["paths"]]
+
+    def max_seq(self) -> int:
+        """Highest sequence number live in this snapshot (>= version).
+        Normally == version; after a branch ``fast_forward`` the adopted
+        state carries the branch's higher seqs, so every later mint must
+        start ABOVE them — derived, never persisted, so legacy manifests
+        need no migration."""
+        return max(
+            [
+                self.version,
+                *self.file_seq.values(),
+                *(int(e["seq"]) for e in self.eq_deletes),
+            ]
+        )
 
     def live_dirs(self) -> set[str]:
         return {_commit_dir(f) for fl in self.files.values() for f in fl}
@@ -900,6 +915,235 @@ class LakeTable:
         )
         return dest
 
+    # -------------------------------------------------------------- branches
+    def _branch_path(self, name: str) -> str:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self.path, BRANCHES_DIR, name)
+
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> "LakeTable":
+        """Named writable branch (Iceberg branch ref / Git-style dev
+        branch): a zero-copy clone nested under ``<root>/_branches/<name>``
+        that records its fork point so ``fast_forward`` can publish it back
+        atomically.  The WAP-at-scale workflow: replay/merge/DDL into the
+        branch, audit it, ``fast_forward(name)`` to make main adopt the
+        branch head as ONE commit — main readers never see intermediate
+        states.  All clone guarantees apply (shared files, CoW divergence,
+        fork snapshot auto-pinned against source retention)."""
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        if as_of_ms is not None:
+            snap = self.snapshot_as_of(as_of_ms)
+        elif snapshot_id is not None:
+            snap = self.snapshot(snapshot_id)
+        else:
+            snap = self.current()
+        # Per-branch fork pin (NOT the shared clone-<sid> tag): two branches
+        # forked from one snapshot each own their pin, so dropping one never
+        # strips the other's retention protection.
+        bp = self._branch_path(name)
+        if LakeTable(self.spark, bp).exists():
+            raise FileExistsError(f"branch {name!r} already exists")
+        pin_name = f"branch-pin-{name}"
+        self.tag(pin_name, snap.snapshot_id)
+        br = self.clone_to(bp, snapshot_id=snap.snapshot_id, pin=False)
+        br.alter_properties(
+            {
+                "branch.name": name,
+                "branch.of": os.path.abspath(self.path),
+                "branch.base-version": str(snap.version),
+                "branch.pin": pin_name,
+            }
+        )
+        return br
+
+    def branch(self, name: str) -> "LakeTable":
+        return LakeTable.load(self.spark, self._branch_path(name))
+
+    def list_branches(self) -> list[str]:
+        root = os.path.join(self.path, BRANCHES_DIR)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d, META_DIR))
+        )
+
+    @staticmethod
+    def _effective_head(br: "LakeTable") -> Snapshot:
+        """Newest branch snapshot that changed DATA state (skips pure
+        ``set-properties`` commits — branch bookkeeping must not read as
+        unpublished work)."""
+        for s in reversed(br.history()):
+            if s.summary.get("operation") != "set-properties":
+                return s
+        return br.current()
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish branch ``name``'s head onto this table as ONE atomic
+        commit (Iceberg ``fast_forward`` / Nessie merge): adopts the
+        branch's file set, schema, deletes, properties and exactly-once
+        fence wholesale.  Requires this table to still sit at the branch's
+        fork point (the fast-forward ancestor rule) — a moved main raises
+        ``CommitConflict``; recreate the branch from the new head to
+        rebase.  The commit itself rides the normal version CAS, so a
+        concurrent writer racing the publish loses cleanly.
+
+        Carried sequence numbers may exceed main's version counter; the
+        ``max_seq`` floor keeps every later mint above them, so adopted
+        equality-delete entries can never cover files main adds later.
+        """
+        br = self.branch(name)
+        head = br.current()
+        props = head.properties
+        if props.get("branch.name") != name:
+            raise ValueError(f"{self._branch_path(name)} is not a managed branch")
+        cur = self.current()
+        eff = self._effective_head(br)
+        if eff.summary.get("operation") == "clone" or str(eff.snapshot_id) == (
+            props.get("branch.published-snapshot-id")
+        ):
+            return cur  # nothing unpublished — no-op
+        base_version = int(props["branch.base-version"])
+        if cur.version != base_version:
+            raise CommitConflict(
+                f"main moved (v{cur.version}) since branch {name!r} forked "
+                f"(v{base_version}); recreate the branch from the current "
+                "head to rebase"
+            )
+
+        def _abs(p: str) -> str:
+            return (
+                p
+                if os.path.isabs(p)
+                else os.path.abspath(os.path.join(br.path, p))
+            )
+
+        new = self._commit(
+            parent=cur,
+            schema=head.schema,
+            key=list(head.key),
+            bucket_by=list(head.bucket_by),
+            num_buckets=head.num_buckets,
+            files={b: [_abs(f) for f in fl] for b, fl in head.files.items()},
+            summary={
+                **br._fence_as_of(head.version),
+                "operation": "fast-forward",
+                "branch": name,
+                "branch_snapshot_id": head.snapshot_id,
+            },
+            merge_mode=head.merge_mode,
+            column_ids=dict(head.column_ids),
+            next_column_id=head.next_column_id,
+            dir_schemas=dict(head.dir_schemas),
+            file_stats={_abs(p): list(s) for p, s in head.file_stats.items()},
+            ts_stats={_abs(p): list(s) for p, s in head.ts_stats.items()},
+            delete_files={
+                b: [_abs(f) for f in fl]
+                for b, fl in head.delete_files.items()
+            },
+            mor_deletes=head.mor_deletes,
+            mor_prefer=head.mor_prefer,
+            eq_deletes=[
+                {**e, "paths": [_abs(p) for p in e["paths"]]}
+                for e in head.eq_deletes
+            ],
+            file_seq={
+                _abs(f): int(head.file_seq.get(f, 0))
+                for fl in head.files.values()
+                for f in fl
+            },
+            properties={
+                k: v
+                for k, v in head.properties.items()
+                if not k.startswith("branch.")
+            },
+        )
+        # Pin the published head on the BRANCH (branch retention must not
+        # age out files main now references) and the adoption commit on
+        # MAIN (main retention must not age it out while the branch lives);
+        # both pins drop with the branch.
+        try:
+            br.tag(f"ff-{head.snapshot_id}", head.snapshot_id)
+        except CommitConflict:
+            pass  # re-published after a crash — pin already present
+        try:
+            self.untag(f"branch-{name}")
+        except KeyError:
+            pass
+        self.tag(f"branch-{name}", new.snapshot_id)
+        br.alter_properties(
+            {
+                "branch.base-version": str(new.version),
+                "branch.published-snapshot-id": str(head.snapshot_id),
+            }
+        )
+        return new
+
+    def drop_branch(self, name: str, force: bool = False) -> dict[str, int]:
+        """Delete branch ``name``.  Refuses when the branch holds
+        unpublished data commits (``fast_forward`` first, or ``force=True``
+        to discard them).  Branch files still referenced by ANY retained
+        main manifest (adopted by a fast-forward, or shared via the fork
+        pin) survive in place — they are now main's, and main's retention
+        sweeps them once unreferenced (dropped-branch roots join the orphan
+        walk).  Both branch pins are removed."""
+        br = self.branch(name)
+        head = br.current()
+        props = head.properties
+        eff = self._effective_head(br)
+        published = eff.summary.get("operation") == "clone" or str(
+            eff.snapshot_id
+        ) == props.get("branch.published-snapshot-id")
+        if not (published or force):
+            raise RuntimeError(
+                f"branch {name!r} has unpublished commits; fast_forward it "
+                "or pass force=True to discard"
+            )
+        refs: set[str] = set()
+        snaps = self.history()
+        staged = self.staged_snapshot()
+        if staged is not None:
+            snaps.append(staged)
+        for s in snaps:
+            for f in (
+                *s.all_files(),
+                *s.all_delete_files(),
+                *s.all_eq_delete_files(),
+            ):
+                refs.add(
+                    f
+                    if os.path.isabs(f)
+                    else os.path.abspath(os.path.join(self.path, f))
+                )
+        bp = self._branch_path(name)
+        shutil.rmtree(os.path.join(bp, META_DIR), ignore_errors=True)
+        kept = deleted = 0
+        for dirpath, _dirnames, filenames in os.walk(bp, topdown=False):
+            for fn in filenames:
+                abs_f = os.path.abspath(os.path.join(dirpath, fn))
+                if abs_f in refs:
+                    kept += 1
+                    continue
+                os.unlink(abs_f)
+                deleted += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for tag_name in (f"branch-{name}", props.get("branch.pin")):
+            if not tag_name:
+                continue
+            try:
+                self.untag(tag_name)
+            except KeyError:
+                pass
+        return {"files_kept": kept, "files_deleted": deleted}
+
     def alter_properties(
         self,
         set_props: dict[str, str] | None = None,
@@ -1045,11 +1289,16 @@ class LakeTable:
         )
         parent_files = set(parent.all_files()) if parent else set()
         fseq = {p: s for p, s in seq_base.items() if p in live_files}
+        # New files mint max(version, parent.max_seq()+1): normally just the
+        # version, but after a branch fast-forward the adopted state carries
+        # seqs above the version — new files must sort AFTER every carried
+        # equality-delete entry or the entry would wrongly cover them.
+        mint = max(version, (parent.max_seq() + 1) if parent else 0)
         for p in live_files - set(fseq):
             fseq[p] = (
                 (parent.version if parent else 0)
                 if p in parent_files
-                else version
+                else mint
             )
         dfiles = (
             delete_files
@@ -1847,9 +2096,11 @@ class LakeTable:
             "paths": rel_paths,
             "cols": cols,
             "col_ids": [snap.column_ids[c] for c in cols],
-            # this commit's version: rows in files at least this new were
-            # written after the purge and survive (sequence-number rule)
-            "seq": snap.version + 1,
+            # above every live seq (normally version+1): rows in files at
+            # least this new were written after the purge and survive
+            # (sequence-number rule); max_seq keeps this sound after a
+            # branch fast-forward carried higher seqs than the version
+            "seq": snap.max_seq() + 1,
             "buckets": buckets,
         }
         return self._commit(
@@ -2930,23 +3181,44 @@ class LakeTable:
 
         files_deleted = 0
         data_root = os.path.join(self.path, DATA_DIR)
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-            for fn in filenames:
-                abs_f = os.path.join(dirpath, fn)
-                rel = os.path.relpath(abs_f, self.path)
-                if rel in live:
-                    continue
-                known_expired = rel in expired_files
-                if not known_expired:
-                    try:
-                        if now - os.path.getmtime(abs_f) < orphan_grace_sec:
-                            continue  # possibly an in-flight commit
-                    except OSError:
+        # Dropped branches (no _meta left) are ownerless residue: any files
+        # a fast-forward adopted are referenced by ABS path in main's
+        # manifests and survive; everything else is sweepable.  LIVE
+        # branches own their subtree and are never walked.
+        walk_roots = [data_root]
+        br_root = os.path.join(self.path, BRANCHES_DIR)
+        if os.path.isdir(br_root):
+            for d in sorted(os.listdir(br_root)):
+                bp = os.path.join(br_root, d)
+                if os.path.isdir(bp) and not os.path.isdir(
+                    os.path.join(bp, META_DIR)
+                ):
+                    walk_roots.append(bp)
+        live_abs = {f for f in live if os.path.isabs(f)}
+        expired_abs = {f for f in expired_files if os.path.isabs(f)}
+        for root in walk_roots:
+            for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+                for fn in filenames:
+                    abs_f = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(abs_f, self.path)
+                    if rel in live or os.path.abspath(abs_f) in live_abs:
                         continue
-                os.unlink(abs_f)
-                files_deleted += 1
-            if dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+                    known_expired = (
+                        rel in expired_files
+                        or os.path.abspath(abs_f) in expired_abs
+                    )
+                    if not known_expired:
+                        try:
+                            if now - os.path.getmtime(abs_f) < orphan_grace_sec:
+                                continue  # possibly an in-flight commit
+                        except OSError:
+                            continue
+                    os.unlink(abs_f)
+                    files_deleted += 1
+                if dirpath not in (data_root, br_root) and not os.listdir(
+                    dirpath
+                ):
+                    os.rmdir(dirpath)
         return {
             "snapshots_expired": len(expire),
             "files_deleted": files_deleted,

@@ -44,6 +44,11 @@ Subcommands:
 * ``clone``     — zero-copy shallow clone: one metadata commit referencing
                   the source's files (Delta SHALLOW CLONE analogue); clone
                   a past state with ``--snapshot`` / ``--as-of``
+* ``branch``    — named writable branches (Iceberg branch refs): ``create``
+                  forks zero-copy under ``_branches/<name>``, ``ff``
+                  publishes the branch head back as ONE atomic commit
+                  (fast-forward; refuses if main moved), ``drop`` removes
+                  the branch (adopted files transfer ownership), ``list``
 * ``rollback``  — roll back to a past snapshot; the exactly-once fence rolls
                   back with the data (Iceberg rollback_to_snapshot)
 * ``expire``    — retention: expire old snapshots + collect orphan files
@@ -174,6 +179,7 @@ def cmd_replay(args) -> int:
             publish_to=args.publish_to,
             occ_retries=args.occ_retries,
             source=args.source,
+            max_batches=args.max_batches,
         )
     except ContractViolation as e:
         # staged snapshot discarded; published table unchanged; checkpoint
@@ -791,6 +797,36 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    if args.action != "list" and not args.name:
+        print(json.dumps({"error": "--name is required"}))
+        return 1
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    if args.action == "create":
+        br = t.create_branch(
+            args.name,
+            snapshot_id=args.snapshot,
+            as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+        )
+        print(json.dumps({"branch": args.name, "path": br.path,
+                          "base_version": int(
+                              br.current().properties["branch.base-version"]
+                          )}))
+    elif args.action == "ff":
+        snap = t.fast_forward(args.name)
+        print(json.dumps({"branch": args.name, "version": snap.version,
+                          "operation": snap.summary["operation"]}))
+    elif args.action == "drop":
+        res = t.drop_branch(args.name, force=args.force)
+        print(json.dumps({"branch": args.name, **res}))
+    else:  # list
+        print(json.dumps({"branches": t.list_branches()}))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -920,6 +956,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "(write-optimized)")
         if name == "replay":
             r.add_argument("--chunks-per-batch", type=int, default=4)
+            r.add_argument("--max-batches", type=int, default=None,
+                           help="stop after N micro-batches (partial "
+                                "replay; resume from the checkpoint)")
             r.add_argument("--auto-compact", type=int, default=None,
                            help="compact buckets exceeding N files per batch")
             r.add_argument("--validate", action="store_true",
@@ -1158,6 +1197,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip tagging the source snapshot (source "
                          "retention may then age out referenced files)")
     cl.set_defaults(fn=cmd_clone)
+
+    bn = sub.add_parser(
+        "branch",
+        help="named writable branches: create / ff (fast-forward publish) "
+             "/ drop / list (Iceberg branch-ref analogue)",
+    )
+    bn.add_argument("action", choices=["create", "ff", "drop", "list"])
+    bn.add_argument("--table", required=True)
+    bn.add_argument("--name", default=None,
+                    help="branch name (required except for list)")
+    bn.add_argument("--snapshot", type=int, default=None,
+                    help="create: fork a past snapshot_id")
+    bn.add_argument("--as-of", default=None,
+                    help="create: fork the state at this wall-clock time")
+    bn.add_argument("--force", action="store_true",
+                    help="drop: discard unpublished branch commits")
+    bn.set_defaults(fn=cmd_branch)
 
     ro = sub.add_parser(
         "rollback", help="roll back to a past snapshot (fence rolls back too)"

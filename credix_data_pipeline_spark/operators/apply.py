@@ -400,6 +400,14 @@ def apply_batch(
             lineage.record(res, note="fenced-duplicate")
         return res
 
+    # --- in-flight evolution BEFORE the profile pass and its empty-batch
+    # short-circuit: a batch whose SCHEMA carries new columns must evolve
+    # the target even when it holds zero applicable rows — a relayed
+    # upstream column add can arrive as a schema-only (empty or no-op)
+    # chunk, and the replica must still converge to the upstream layout
+    # (test_property_relay DDL-mix counterexample).  Idempotent: a
+    # redelivered batch's columns already exist and commit nothing.
+    _evolve_if_needed(table, batch_df)
     snap0 = table.current()
     key = snap0.key
     merge_mode = snap0.merge_mode
@@ -461,8 +469,7 @@ def apply_batch(
             lineage.record(res, note="all_quarantined")
         return res
 
-    # --- in-flight evolution before any column alignment.
-    _evolve_if_needed(table, events)
+    # (in-flight evolution already ran, before the empty short-circuit)
     # Position-delete MoR (Iceberg v2, merge_mode="mor"): arbitration
     # happens at WRITE time against the live prior versions, so no `_seq`
     # tie-break column is needed.  Requires BOTH the table preference AND

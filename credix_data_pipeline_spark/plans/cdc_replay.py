@@ -868,8 +868,62 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_branch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch → audit → fast-forward, oracle-checked: the PRE-evolution
+    batches replay into main, the POST-evolution batches (carrying the
+    in-flight ``props`` add) replay into a named BRANCH of it, and one
+    ``fast_forward`` publishes the branch head back — main's clean state
+    must equal the straight-replay oracle (SQL_CDC_REPLAY_EVENTS verbatim).
+    The Iceberg branch-ref / WAP-at-scale flow: main readers see either
+    the half state or the fully-audited final state, never the middle.
+    """
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+
+    cache_key = os.path.abspath(sf_dir)
+    if cache_key not in _EVENTS_BRANCH:
+        work = os.path.join(
+            tempfile.gettempdir(),
+            "cdc_branch_events_"
+            + os.path.basename(os.path.normpath(sf_dir)),
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        table = LakeTable.create(
+            spark,
+            work,
+            _TARGET_SCHEMA,
+            key=["user_id", "event_type"],
+            num_buckets=8,
+            bucket_by=["user_id"],
+        )
+        ch = _change_feed(spark, sf_dir)
+        for b in range(EVOLVE_FROM_BATCH):  # main gets the half state
+            batch = ch.filter(
+                F.pmod("event_id", F.lit(N_BATCHES)) == b
+            ).drop("props")
+            apply_batch(table, batch, b, collect_stats=False)
+        br = table.create_branch("audit")
+        for b in range(EVOLVE_FROM_BATCH, N_BATCHES):  # audit the rest
+            batch = ch.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b)
+            apply_batch(br, batch, b, collect_stats=False)
+        table.fast_forward("audit")
+        table.drop_branch("audit")  # adopted files transfer ownership
+        _EVENTS_BRANCH[cache_key] = work
+    return read_clean(
+        LakeTable.load(spark, _EVENTS_BRANCH[cache_key])
+    ).select("user_id", "event_type", "event_id", "ts", "value", "props")
+
+
+_EVENTS_BRANCH: dict[str, str] = {}
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    # the branch→fast-forward path must land main on the SAME final state
+    "cdc_branch_e2e": (q_cdc_branch_e2e, SQL_CDC_REPLAY_EVENTS),
     "cdc_catalog_e2e": (q_cdc_catalog_e2e, SQL_CDC_CATALOG_E2E),
     "cdc_fanin_e2e": (q_cdc_fanin_e2e, SQL_CDC_FANIN_E2E),
     # the relay chain must land the replica on the SAME final state the

@@ -1,0 +1,266 @@
+"""Named writable branches (Iceberg branch refs / Nessie merge): zero-copy
+fork under ``_branches/<name>``, isolated writes, atomic ``fast_forward``
+publish back to main, and drop with ownership transfer of adopted files.
+
+The sequence-number subtlety these tests pin: a branch's commits mint
+file/equality-delete sequence numbers ABOVE main's version counter, so a
+fast-forward carries seqs > version.  ``Snapshot.max_seq()`` floors every
+later mint above the carried values — otherwise an adopted purge entry
+would wrongly cover files main adds afterwards.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+
+def _mk(spark, path):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+        ]
+    )
+    return LakeTable.create(
+        spark, path, schema, key=["conv_id", "turn_idx"], num_buckets=4
+    )
+
+
+def _rows(n, lsn0=0):
+    return [(f"c{i % 5}", i // 5, f"t{i}", lsn0 + i) for i in range(n)]
+
+
+def _df(spark, t, rows):
+    return spark.createDataFrame(rows, t.current().schema)
+
+
+def _clean_set(t):
+    return {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in read_clean(t).collect()
+    }
+
+
+def test_branch_isolated_then_fast_forward(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+    main_before = _clean_set(t)
+
+    br = t.create_branch("dev")
+    assert t.list_branches() == ["dev"]
+    assert _clean_set(br) == main_before  # zero-copy fork sees main state
+    # branch data dir holds nothing yet (shared files)
+    assert not any(
+        files
+        for _, _, files in os.walk(os.path.join(br.path, "data"))
+    )
+
+    br.append(_df(spark, br, [("c9", 0, "branch-only", 100)]))
+    br.delete_keys(["c0"], cols=["conv_id"])
+    br_state = _clean_set(br)
+    assert _clean_set(t) == main_before  # main untouched by branch writes
+
+    new = t.fast_forward("dev")
+    assert new.summary["operation"] == "fast-forward"
+    assert _clean_set(t) == br_state
+    # re-publish with nothing new is a version-stable no-op
+    assert t.fast_forward("dev").version == new.version
+
+
+def test_fast_forward_seq_rule_reinsert_after_adopted_purge(spark, tmp_path):
+    """The adopted purge entry (seq above main's version) must not cover
+    rows main inserts AFTER the fast-forward."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+    br = t.create_branch("dev")
+    # several branch commits push the branch's seq space well above main's
+    for i in range(3):
+        br.append(_df(spark, br, [("cx", i, f"v{i}", 50 + i)]))
+    br.delete_keys(["c1"], cols=["conv_id"])
+    new = t.fast_forward("dev")
+    assert new.max_seq() > new.version  # carried seqs exceed the version
+    assert read_clean(t).filter(F.col("conv_id") == "c1").count() == 0
+    # re-insert the purged key on MAIN: minted seq must exceed the entry's
+    t.append(_df(spark, t, [("c1", 0, "reborn", 999)]))
+    reborn = read_clean(t).filter(F.col("conv_id") == "c1").collect()
+    assert [r.text for r in reborn] == ["reborn"]
+    # and a NEW purge on main covers everything current
+    t.delete_keys(["c1"], cols=["conv_id"])
+    assert read_clean(t).filter(F.col("conv_id") == "c1").count() == 0
+
+
+def test_fast_forward_ancestor_rule(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    br = t.create_branch("dev")
+    br.append(_df(spark, br, [("cz", 0, "b", 1)]))
+    t.append(_df(spark, t, [("cm", 0, "m", 2)]))  # main moves
+    with pytest.raises(CommitConflict, match="moved"):
+        t.fast_forward("dev")
+
+
+def test_branch_feed_resume_and_fence_carry(spark, tmp_path):
+    """The WAP-at-scale flow: replay half a feed into main, branch, resume
+    the SAME feed into the branch (carried fence), audit, fast-forward —
+    main then refuses re-replay (fence adopted) and equals a straight
+    full replay."""
+    feed = str(tmp_path / "feed")
+    spec = FeedSpec(
+        n_events=2_000,
+        n_conversations=40,
+        turns_per_conversation=10,
+        events_per_chunk=250,
+    )
+    write_feed(spark, feed, spec)
+    main = str(tmp_path / "t")
+    runner.replay(spark, feed, main, chunks_per_batch=2, num_buckets=8,
+                  max_batches=1)
+    t = LakeTable.load(spark, main)
+    n_half = read_clean(t).count()
+
+    br = t.create_branch("audit")
+    st = runner.replay(spark, feed, br.path, chunks_per_batch=2, num_buckets=8)
+    assert st.batches > 0
+    br = t.branch("audit")
+    n_full = read_clean(br).count()
+    assert n_full != n_half or n_full > 0
+    assert read_clean(t).count() == n_half  # main still at the half state
+
+    t.fast_forward("audit")
+    assert read_clean(t).count() == n_full
+    # adopted fence: main's own re-replay applies nothing
+    st2 = runner.replay(spark, feed, main, chunks_per_batch=2, num_buckets=8)
+    assert st2.batches == 0
+
+    # equivalence with a straight full replay of the same feed
+    ref = str(tmp_path / "ref")
+    runner.replay(spark, feed, ref, chunks_per_batch=2, num_buckets=8)
+    assert _sorted_rows(t) == _sorted_rows(LakeTable.load(spark, ref))
+
+
+def _sorted_rows(t):
+    df = read_clean(t)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_drop_branch_refuses_unpublished_then_transfers_ownership(
+    spark, tmp_path
+):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+    br = t.create_branch("dev")
+    br.append(_df(spark, br, [("cq", 0, "unpublished", 7)]))
+    with pytest.raises(RuntimeError, match="unpublished"):
+        t.drop_branch("dev")
+    t.fast_forward("dev")
+    state = _clean_set(t)
+    res = t.drop_branch("dev")
+    assert res["files_kept"] > 0  # adopted files survive in place
+    assert t.list_branches() == []
+    assert _clean_set(t) == state  # reads intact through adopted files
+    # a full rewrite releases them; retention then sweeps the residue
+    t.rebucket(8)
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert not os.path.exists(os.path.join(t.path, "_branches", "dev"))
+    assert _clean_set(t) == state
+
+
+def test_drop_unpublished_branch_force_discards(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    before = _clean_set(t)
+    br = t.create_branch("scratch")
+    br.append(_df(spark, br, [("cz", 9, "discard-me", 1)]))
+    res = t.drop_branch("scratch", force=True)
+    assert res["files_deleted"] > 0
+    assert _clean_set(t) == before
+    # fork pin removed: full retention pass leaves a readable table
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert _clean_set(t) == before
+
+
+def test_branch_retention_cannot_break_main_after_ff(spark, tmp_path):
+    """The ff pin: aggressive retention ON THE BRANCH after a fast-forward
+    must not delete files main adopted."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+    br = t.create_branch("dev")
+    for i in range(4):
+        br.append(_df(spark, br, [("cb", i, f"b{i}", 10 + i)]))
+    t.fast_forward("dev")
+    state = _clean_set(t)
+    br = t.branch("dev")
+    br.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert _clean_set(t) == state
+
+
+def test_repeated_fast_forward_cycles(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    br = t.create_branch("dev")
+    for cycle in range(3):
+        br.append(_df(spark, br, [("cyc", cycle, f"c{cycle}", 100 + cycle)]))
+        t.fast_forward("dev")
+        assert (
+            read_clean(t)
+            .filter(F.col("conv_id") == "cyc")
+            .count()
+            == cycle + 1
+        )
+    # seq monotonicity held across all cycles
+    cur = t.current()
+    assert cur.max_seq() >= cur.version
+
+
+def test_two_branches_share_fork_pin_safely(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    b1 = t.create_branch("b1")
+    b2 = t.create_branch("b2")  # same fork snapshot — per-branch pins
+    assert {"branch-pin-b1", "branch-pin-b2"} <= set(t.tags())
+    state_b2 = _clean_set(b2)
+    t.drop_branch("b1", force=True)
+    # b2's protection survives b1's drop: its own pin is untouched
+    assert "branch-pin-b2" in t.tags() and "branch-pin-b1" not in t.tags()
+    # aggressive main retention between the drops cannot break b2
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert _clean_set(t.branch("b2")) == state_b2
+    t.drop_branch("b2", force=True)
+    assert not any(n.startswith("branch-pin-") for n in t.tags())
+
+
+def test_branch_ddl_publishes_via_fast_forward(spark, tmp_path):
+    """Schema evolution developed on a branch lands on main atomically."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    br = t.create_branch("ddl")
+    br.rename_column("text", "body")
+    br.append(
+        spark.createDataFrame(
+            [("cn", 0, "new-shape", 55)], br.current().schema
+        )
+    )
+    t.fast_forward("ddl")
+    cols = [f.name for f in t.current().schema.fields]
+    assert "body" in cols and "text" not in cols
+    vals = {r.body for r in read_clean(t).collect()}
+    assert "new-shape" in vals and "t0" in vals  # old files project by id
+
+
+def test_invalid_branch_names_refused(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(5)))
+    for bad in ("", "a/b", "a b", "../x"):
+        with pytest.raises(ValueError):
+            t.create_branch(bad)

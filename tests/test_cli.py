@@ -298,3 +298,39 @@ def test_cli_clone(spark, tmp_path, capsys):
     # the clone answers lookups like any table
     conv = read_clean(dst).select("conv_id").first()[0]
     assert cli.main(["lookup", "--table", dev, "--conv", conv]) == 0
+
+
+def test_cli_branch_lifecycle(spark, tmp_path, capsys):
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    _run(capsys, "generate", "--feed", feed, "--events", "1200",
+         "--conversations", "25", "--events-per-chunk", "300")
+    _run(capsys, "replay", "--feed", feed, "--table", table,
+         "--chunks-per-batch", "2", "--buckets", "4", "--max-batches", "1")
+
+    rep = json.loads(_run(capsys, "branch", "create", "--table", table,
+                          "--name", "audit"))
+    assert rep["branch"] == "audit"
+    assert json.loads(
+        _run(capsys, "branch", "list", "--table", table)
+    )["branches"] == ["audit"]
+
+    # resume the same feed INTO the branch (carried fence), then publish
+    _run(capsys, "replay", "--feed", feed, "--table", rep["path"],
+         "--chunks-per-batch", "2", "--buckets", "4")
+    t = LakeTable.load(spark, table)
+    n_branch = read_clean(t.branch("audit")).count()
+    assert read_clean(t).count() != n_branch
+
+    ff = json.loads(_run(capsys, "branch", "ff", "--table", table,
+                         "--name", "audit"))
+    assert ff["operation"] == "fast-forward"
+    assert read_clean(LakeTable.load(spark, table)).count() == n_branch
+
+    res = json.loads(_run(capsys, "branch", "drop", "--table", table,
+                          "--name", "audit"))
+    assert res["files_kept"] > 0
+    assert json.loads(
+        _run(capsys, "branch", "list", "--table", table)
+    )["branches"] == []
+    assert read_clean(LakeTable.load(spark, table)).count() == n_branch
