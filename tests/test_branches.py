@@ -264,3 +264,42 @@ def test_invalid_branch_names_refused(spark, tmp_path):
     for bad in ("", "a/b", "a b", "../x"):
         with pytest.raises(ValueError):
             t.create_branch(bad)
+
+
+def test_concurrent_fast_forwards_one_loses_cleanly(spark, tmp_path):
+    """Two branches forked from the same main racing their publish: the
+    version CAS lets exactly one in; the loser gets CommitConflict (its
+    fork base is stale) and can rebase by recreating its branch."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    b1 = t.create_branch("r1")
+    b2 = t.create_branch("r2")
+    b1.append(_df(spark, b1, [("r1", 0, "one", 1)]))
+    b2.append(_df(spark, b2, [("r2", 0, "two", 2)]))
+    t.fast_forward("r1")
+    with pytest.raises(CommitConflict):
+        t.fast_forward("r2")
+    # rebase: recreate r2 from the new head and re-apply its work
+    t.drop_branch("r2", force=True)
+    b2 = t.create_branch("r2")
+    b2.append(_df(spark, b2, [("r2", 0, "two", 2)]))
+    t.fast_forward("r2")
+    got = {r.conv_id for r in read_clean(t).collect()}
+    assert {"r1", "r2"} <= got
+
+
+def test_fsck_green_on_adopted_branch_files(spark, tmp_path):
+    """A post-fast-forward table references branch-root files by absolute
+    path; fsck (shallow + deep) must account for every one of them."""
+    from credix_data_pipeline_spark.lakehouse.fsck import fsck
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+    br = t.create_branch("dev")
+    br.append(_df(spark, br, [("fz", 0, "adopted", 9)]))
+    t.fast_forward("dev")
+    rep = fsck(t, deep=True)
+    assert rep["errors"] == [] and rep["checked_files"] > 0
+    t.drop_branch("dev")
+    rep2 = fsck(t, deep=True)
+    assert rep2["errors"] == []
