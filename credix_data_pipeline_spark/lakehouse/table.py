@@ -915,6 +915,117 @@ class LakeTable:
         )
         return dest
 
+    @classmethod
+    def import_dataset(
+        cls,
+        spark: SparkSession,
+        src_dir: str,
+        dest_path: str,
+        key: list[str],
+        num_buckets: int | None = None,
+        validate: bool = True,
+    ) -> "LakeTable":
+        """Zero-copy adoption of an existing parquet dataset as a LakeTable
+        (Delta ``CONVERT TO DELTA`` / Iceberg ``add_files`` analogue): ONE
+        metadata commit referencing the source files by absolute path — no
+        data is read, copied, or rewritten, so converting 100 TB costs
+        O(files) footer stat reads (the same price Iceberg add_files pays,
+        and it buys manifest ts-stats from day one) plus one manifest write.
+
+        Placement: the table is born with ``num_buckets=1`` — every key
+        hashes to bucket 0, so the adopted files are correctly placed BY
+        DEFINITION with zero data movement.  Run ``rebucket(N)`` afterwards
+        to spread the table (that is the one full rewrite, deferred until
+        the user asks), or leave it at 1 bucket for read-mostly tables.
+
+        LWW seam: adopted files predate the ``_lsn`` column and read as
+        LSN 0 — older than every feed event — so replaying a change feed
+        on top gives feed events precedence, exactly the bootstrap
+        contract, but without rewriting the snapshot.  (Need a non-zero
+        seed LSN from a source column?  Use ``runner.bootstrap`` — that is
+        the rewrite path.)
+
+        ``validate=True`` runs ONE read-only distributed pass: null key
+        values and un-arbitrated duplicate keys are refused (a snapshot is
+        curated input; duplicates have no LWW tie-break at a shared LSN 0).
+        """
+        import glob as _glob
+
+        src_abs = os.path.abspath(src_dir)
+        files = sorted(
+            p
+            for p in _glob.glob(
+                os.path.join(src_abs, "**", "*.parquet"), recursive=True
+            )
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {src_dir}")
+        src_schema = spark.read.parquet(src_abs).schema
+        reserved = {"_lsn", "_deleted", "_bucket", "_seq", "_file", "_pos"}
+        clash = [f.name for f in src_schema.fields if f.name in reserved]
+        if clash:
+            raise ValueError(
+                f"source carries reserved engine column(s) {clash}; rename "
+                "them before importing"
+            )
+        missing = [k for k in key if k not in {f.name for f in src_schema}]
+        if missing:
+            raise ValueError(f"key column(s) {missing} not in source schema")
+        if validate:
+            df = spark.read.parquet(src_abs)
+            null_pred = None
+            for k in key:
+                c = F.col(k).isNull()
+                null_pred = c if null_pred is None else (null_pred | c)
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(null_pred, 1).otherwise(0)).alias("nulls"),
+                F.count_distinct(*[F.col(k) for k in key]).alias("dk"),
+            ).collect()[0]
+            if stats["nulls"]:
+                raise ValueError(
+                    f"{stats['nulls']} row(s) with NULL key — a snapshot "
+                    "is curated input; repair or filter before importing"
+                )
+            if stats["dk"] != stats["n"] - (stats["nulls"] or 0):
+                raise ValueError(
+                    "duplicate keys in source and no LWW arbiter (all "
+                    "imported rows share LSN 0) — dedup first, or use "
+                    "runner.bootstrap with lsn_col"
+                )
+        if num_buckets not in (None, 1):
+            raise ValueError(
+                "zero-copy import requires num_buckets=1 (every key hashes "
+                "to bucket 0 — correct placement with no data movement); "
+                "rebucket(N) afterwards to spread the table"
+            )
+        schema = T.StructType(
+            [
+                *src_schema.fields,
+                T.StructField("_lsn", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+            ]
+        )
+        t = cls.create(spark, dest_path, schema, key=key, num_buckets=1)
+        snap = t.current()
+        t._commit(
+            parent=snap,
+            schema=snap.schema,
+            key=snap.key,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            files={"0": files},
+            summary={
+                "operation": "import",
+                "import_source": src_abs,
+                "files_imported": len(files),
+            },
+            # adopted files predate every purge (the file_seq=0 legacy rule)
+            file_seq={p: 0 for p in files},
+        )
+        return t
+
     # -------------------------------------------------------------- branches
     def _branch_path(self, name: str) -> str:
         if not name or not all(c.isalnum() or c in "._-" for c in name):
@@ -1597,6 +1708,13 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # Files predating the `_lsn` column (zero-copy imports of foreign
+        # parquet) read as LSN 0 — older than every event, mirroring the
+        # file_seq=0 legacy convention — so LWW arbitration stays total.
+        if any(f.name == "_lsn" for f in snap.schema.fields):
+            out = out.withColumn(
+                "_lsn", F.coalesce(F.col("_lsn"), F.lit(0).cast("long"))
+            )
         if eq_entries:
             read_files = [f for fl in file_map.values() for f in fl]
             out = self._apply_eq_deletes(out, snap, eq_entries, read_files)

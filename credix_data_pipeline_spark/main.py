@@ -44,6 +44,10 @@ Subcommands:
 * ``clone``     — zero-copy shallow clone: one metadata commit referencing
                   the source's files (Delta SHALLOW CLONE analogue); clone
                   a past state with ``--snapshot`` / ``--as-of``
+* ``import``    — zero-copy adoption of an existing parquet dataset (Delta
+                  CONVERT / Iceberg add_files analogue): one metadata
+                  commit referencing the files in place, LWW seam at
+                  LSN 0; ``rebucket`` afterwards to spread
 * ``branch``    — named writable branches (Iceberg branch refs): ``create``
                   forks zero-copy under ``_branches/<name>``, ``ff``
                   publishes the branch head back as ONE atomic commit
@@ -797,6 +801,35 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    spark = _spark(args)
+    try:
+        t = LakeTable.import_dataset(
+            spark,
+            args.src,
+            args.table,
+            key=[k for k in args.key.split(",") if k],
+            validate=not args.no_validate,
+        )
+    except (ValueError, FileNotFoundError) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    cur = t.current()
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "files_imported": cur.summary["files_imported"],
+                "import_source": cur.summary["import_source"],
+                "num_buckets": cur.num_buckets,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_branch(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -1197,6 +1230,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip tagging the source snapshot (source "
                          "retention may then age out referenced files)")
     cl.set_defaults(fn=cmd_clone)
+
+    im = sub.add_parser(
+        "import",
+        help="zero-copy adoption of an existing parquet dataset (Delta "
+             "CONVERT / Iceberg add_files analogue): one metadata commit, "
+             "no data read or rewritten; rebucket afterwards to spread",
+    )
+    im.add_argument("--src", required=True,
+                    help="directory of parquet files to adopt in place")
+    im.add_argument("--table", required=True)
+    im.add_argument("--key", required=True,
+                    help="comma-separated key column(s)")
+    im.add_argument("--no-validate", action="store_true",
+                    help="skip the read-only null/duplicate-key check")
+    im.set_defaults(fn=cmd_import)
 
     bn = sub.add_parser(
         "branch",

@@ -1807,6 +1807,72 @@ FROM comp c
 
 
 # ---------------------------------------------------------------------------
+# dedup_canonical_quality (C26) — quality-aware canonical selection over the
+# near-dup components: production dedup keeps the BEST document per cluster
+# (RefinedWeb/FineWeb keep-longest / keep-highest-quality rules), not the
+# lowest id.  Canonical = argmax by (distinct-token permille, n_chars) with
+# doc_id as the deterministic tie-break — all exact integers, so the argmax
+# is engine-portable.  Scale shape: the component set is the DEDUP OUTPUT
+# (tiny vs the corpus), quality is a single projection, and the canonical
+# pick is one partitioned window over component members — no new candidate
+# generation, everything keyed.
+# ---------------------------------------------------------------------------
+def q_dedup_canonical_quality(spark, sf_dir):
+    comp = q_near_dup_components(spark, sf_dir).select(
+        "doc_id", "component_id", "component_size"
+    )
+    d = t(spark, sf_dir, "documents").withColumn("toks", _toks())
+    q = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "size(array_distinct(toks)) * 1000 div greatest(size(toks), 1)"
+        )
+        .cast("long")
+        .alias("distinct_permille"),
+    )
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("distinct_permille").desc(),
+        F.col("n_chars").desc(),
+        F.col("doc_id").asc(),
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        "component_size",
+        "distinct_permille",
+        "n_chars",
+        F.first("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
+    )
+
+
+SQL_DEDUP_CANONICAL_QUALITY = f"""
+WITH comp AS ({SQL_NEAR_DUP_COMPONENTS}),
+q AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(toks)) * 1000 // GREATEST(len(toks), 1)
+              AS BIGINT) AS distinct_permille
+  FROM (SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents)
+),
+j AS (
+  SELECT c.doc_id, c.component_id, c.component_size,
+         q.distinct_permille, q.n_chars
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT doc_id, component_id, component_size, distinct_permille, n_chars,
+       FIRST_VALUE(doc_id) OVER w AS canonical_id,
+       doc_id = FIRST_VALUE(doc_id) OVER w AS keep
+FROM j
+WINDOW w AS (PARTITION BY component_id
+             ORDER BY distinct_permille DESC, n_chars DESC, doc_id ASC)
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
 # tfidf_top_terms — top-K characteristic terms per document, integer-scaled
 # TF-IDF (idf_bp = n_docs*10⁴ DIV df — exact integers, no log/float ties),
 # deterministic rank tie-break by term.  The agg → broadcast-scalar → window
@@ -2656,6 +2722,10 @@ CORPUS_QUERIES = {
     "source_quota_cap": (q_source_quota_cap, SQL_SOURCE_QUOTA_CAP),
     "dup_passage_score": (q_dup_passage_score, SQL_DUP_PASSAGE_SCORE),
     "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
+    "dedup_canonical_quality": (
+        q_dedup_canonical_quality,
+        SQL_DEDUP_CANONICAL_QUALITY,
+    ),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "corpus_mixture_weights": (
         q_corpus_mixture_weights,
