@@ -49,6 +49,33 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+# The Spark-side schema of the sidecar (timestamps are TIMESTAMP, longs are
+# LONG) — used only for the typed EMPTY frame when no batch ever recorded.
+_ARROW_SPARK_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": t, "nullable": True, "metadata": {}}
+            for n, t in [
+                ("batch_id", "long"),
+                ("source", "string"),
+                ("rows_in", "long"),
+                ("lsn_min", "long"),
+                ("lsn_max", "long"),
+                ("snapshot_id", "long"),
+                ("rows_applied", "long"),
+                ("rows_deduped", "long"),
+                ("rows_quarantined", "long"),
+                ("partition_stats", "string"),
+                ("wall_ms", "long"),
+                ("note", "string"),
+                ("committed_at", "timestamp"),
+            ]
+        ],
+    }
+)
+
+
 class LineageLog:
     def __init__(self, table_path: str):
         self.dir = os.path.join(os.path.abspath(table_path), LINEAGE_DIR)
@@ -79,6 +106,19 @@ class LineageLog:
         os.rename(tmp, final)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        # A table that never replayed a batch (zero-copy import, fresh
+        # clone) has an empty sidecar — return a typed empty frame so the
+        # monitor reports zeros instead of failing schema inference.
+        if not any(
+            f.endswith(".parquet") for f in os.listdir(self.dir)
+        ):
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(
+                    json.loads(_ARROW_SPARK_SCHEMA_JSON)
+                )
+            )
         # mergeSchema: tables written before the `source` column existed
         # mix footer shapes with post-upgrade rows
         return spark.read.option("mergeSchema", "true").parquet(self.dir)

@@ -158,10 +158,61 @@ def monitor(
         "layout": layout_health(spark, table_path),
         "maintenance": maintenance_pressure(spark, table_path),
         "fanin": fanin_progress(spark, table_path),
+        "branches": branch_status(spark, table_path),
         "catalog": (
             catalog_staleness(spark, catalog_root) if catalog_root else None
         ),
     }
+
+
+def branch_status(spark: SparkSession, table_path: str) -> list[dict] | None:
+    """Per-branch divergence view: fork base vs main's current version,
+    unpublished data commits, and wall-clock age of the branch head — a
+    long-lived unpublished branch is pinned storage (its fork pin blocks
+    retention on the shared files) and a merge conflict waiting to happen.
+    Metadata-only: one manifest read per branch.  None when the table has
+    no branches."""
+    import time as _time
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+
+    t = LakeTable.load(spark, table_path)
+    names = t.list_branches()
+    if not names:
+        return None
+    cur = t.current()
+    out = []
+    now_ms = int(_time.time() * 1000)
+    for name in names:
+        br = t.branch(name)
+        head = br.current()
+        props = head.properties
+        eff = LakeTable._effective_head(br)
+        published = eff.summary.get("operation") == "clone" or str(
+            eff.snapshot_id
+        ) == props.get("branch.published-snapshot-id")
+        base_version = int(props.get("branch.base-version", -1))
+        out.append(
+            {
+                "name": name,
+                "base_version": base_version,
+                "main_version": cur.version,
+                "fast_forwardable": cur.version == base_version,
+                "unpublished": not published,
+                "head_age_sec": max(0, (now_ms - head.committed_at_ms))
+                // 1000,
+                "status": (
+                    "PUBLISHED"
+                    if published
+                    else (
+                        "READY"
+                        if cur.version == base_version
+                        else "DIVERGED"  # main moved: needs a rebase
+                    )
+                ),
+            }
+        )
+    return out
 
 
 def catalog_staleness(spark: SparkSession, catalog_root: str) -> dict:

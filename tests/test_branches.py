@@ -303,3 +303,30 @@ def test_fsck_green_on_adopted_branch_files(spark, tmp_path):
     t.drop_branch("dev")
     rep2 = fsck(t, deep=True)
     assert rep2["errors"] == []
+
+
+def test_monitor_branch_status(spark, tmp_path):
+    """The monitor's branch view: READY (publishable), DIVERGED (main
+    moved), PUBLISHED; None for branchless tables."""
+    from credix_data_pipeline_spark.streaming.monitoring import branch_status
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(10)))
+    assert branch_status(spark, t.path) is None
+
+    br = t.create_branch("dev")
+    br.append(_df(spark, br, [("bm", 0, "x", 1)]))
+    [st] = branch_status(spark, t.path)
+    assert (st["name"], st["status"], st["unpublished"]) == (
+        "dev", "READY", True,
+    )
+    t.append(_df(spark, t, [("mm", 0, "y", 2)]))  # main moves
+    [st] = branch_status(spark, t.path)
+    assert st["status"] == "DIVERGED" and not st["fast_forwardable"]
+    # rebase + publish flips it to PUBLISHED
+    t.drop_branch("dev", force=True)
+    br = t.create_branch("dev")
+    br.append(_df(spark, br, [("bm", 0, "x", 1)]))
+    t.fast_forward("dev")
+    [st] = branch_status(spark, t.path)
+    assert st["status"] == "PUBLISHED" and not st["unpublished"]
