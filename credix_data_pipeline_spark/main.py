@@ -833,11 +833,21 @@ def cmd_import(args) -> int:
 def cmd_branch(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
+    from credix_data_pipeline_spark.lakehouse.table import CommitConflict
+
     if args.action != "list" and not args.name:
         print(json.dumps({"error": "--name is required"}))
         return 1
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
+    try:
+        return _branch_action(args, t)
+    except (CommitConflict, RuntimeError, ValueError, FileExistsError) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+
+
+def _branch_action(args, t) -> int:
     if args.action == "create":
         br = t.create_branch(
             args.name,
@@ -855,6 +865,16 @@ def cmd_branch(args) -> int:
     elif args.action == "drop":
         res = t.drop_branch(args.name, force=args.force)
         print(json.dumps({"branch": args.name, **res}))
+    elif args.action == "rebase":
+        from credix_data_pipeline_spark.operators.rebase import rebase_branch
+
+        nb = rebase_branch(t, args.name)
+        print(json.dumps({
+            "branch": args.name,
+            "base_version": int(
+                nb.current().properties["branch.base-version"]
+            ),
+        }))
     else:  # list
         print(json.dumps({"branches": t.list_branches()}))
     return 0
@@ -1251,7 +1271,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="named writable branches: create / ff (fast-forward publish) "
              "/ drop / list (Iceberg branch-ref analogue)",
     )
-    bn.add_argument("action", choices=["create", "ff", "drop", "list"])
+    bn.add_argument("action",
+                    choices=["create", "ff", "rebase", "drop", "list"])
     bn.add_argument("--table", required=True)
     bn.add_argument("--name", default=None,
                     help="branch name (required except for list)")
