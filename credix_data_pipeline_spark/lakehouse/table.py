@@ -1061,6 +1061,10 @@ class LakeTable:
         if LakeTable(self.spark, bp).exists():
             raise FileExistsError(f"branch {name!r} already exists")
         pin_name = f"branch-pin-{name}"
+        if pin_name in self.tags():
+            # crash residue: the branch itself doesn't exist (checked
+            # above), so the stale pin is ours to re-point
+            self.untag(pin_name)
         self.tag(pin_name, snap.snapshot_id)
         br = self.clone_to(bp, snapshot_id=snap.snapshot_id, pin=False)
         br.alter_properties(

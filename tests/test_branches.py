@@ -426,3 +426,16 @@ def test_rebase_lww_conflict_resolution(spark, tmp_path):
     nb2 = rebase_branch(t2, "dev")
     [row2] = read_clean(nb2).filter(F.col("conv_id") == "k").collect()
     assert row2.text == "main-win"
+
+
+def test_create_branch_recovers_stale_pin_residue(spark, tmp_path):
+    """A crash between the pin tag and the clone leaves a stale
+    branch-pin tag; the next create of the same name must re-point it
+    instead of wedging on the tag CAS."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(5)))
+    t.tag("branch-pin-dev")  # simulate the crash residue
+    t.append(_df(spark, t, [("zz", 0, "later", 9)]))
+    br = t.create_branch("dev")  # must not raise CommitConflict
+    assert t.tags()["branch-pin-dev"] == t.current().snapshot_id
+    assert _clean_set(br) == _clean_set(t)
