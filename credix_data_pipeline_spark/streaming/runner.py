@@ -714,6 +714,16 @@ def stream(
     fails again rather than corrupting the table).
     """
     manifest = feed_mod.read_manifest(feed_path)
+    if manifest.get("ddl"):
+        # SS pins the source schema at query start, so a mid-stream rename/
+        # widen/drop cannot apply at the right chunk boundary — the replica
+        # would silently mis-align.  Refuse loudly; replay() owns the DDL
+        # replication channel (it splits micro-batches at DDL chunks).
+        raise RuntimeError(
+            f"relay feed at {feed_path} carries a DDL channel; Structured "
+            "Streaming pins the source schema at query start — replicate "
+            "DDL-bearing feeds with replay()"
+        )
     feed_format: str = manifest.get("format", "parquet")
     feed_schema = T.StructType.fromJson(manifest["schema"])
     target_schema = _target_schema_base(feed_schema, manifest)

@@ -615,3 +615,28 @@ def test_relay_ddl_idempotent_on_redelivery(spark, tmp_path):
         }
 
     assert _s(t2) == _s(t1)
+
+
+def test_stream_refuses_ddl_bearing_relay_feed(spark, tmp_path):
+    """SS pins the source schema at query start, so stream() must refuse a
+    relay feed that carries DDL events instead of silently mis-aligning;
+    replay() owns the DDL channel."""
+    import pytest
+
+    from credix_data_pipeline_spark.sources import feed as feed_mod
+
+    feed, t1p, relay = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    up = LakeTable.load(spark, t1p)
+    publish_changes(up, relay)
+    up.rename_column("text", "body")
+    publish_changes(up, relay)
+    man = feed_mod.read_manifest(relay)
+    assert man.get("ddl")  # the rename shipped as a DDL event
+    with pytest.raises(RuntimeError, match="DDL channel"):
+        runner.stream(
+            spark, relay, str(tmp_path / "down_ss"), num_buckets=2
+        )
