@@ -258,20 +258,31 @@ def cmd_stream(args) -> int:
     from credix_data_pipeline_spark.streaming import runner
 
     spark = _spark(args)
-    q = runner.stream(
-        spark,
-        args.feed,
-        args.table,
+    common = dict(
         num_buckets=args.buckets,
         transform=with_normalized_text if not args.no_normalize else None,
-        available_now=not args.continuous,
-        processing_time=args.trigger,
         collect_stats=not args.fast,
         merge_mode=args.merge_mode,
         wap=args.wap,
         publish_to=args.publish_to,
         occ_retries=args.occ_retries,
         source=args.source,
+    )
+    if args.ddl:
+        if args.continuous:
+            print("--ddl implies availableNow (drain-to-now); "
+                  "--continuous is not supported", file=sys.stderr)
+            return 1
+        res = runner.stream_ddl(spark, args.feed, args.table, **common)
+        print(json.dumps(res))
+        return 0
+    q = runner.stream(
+        spark,
+        args.feed,
+        args.table,
+        available_now=not args.continuous,
+        processing_time=args.trigger,
+        **common,
     )
     q.awaitTermination()
     return 0
@@ -1040,6 +1051,11 @@ def build_parser() -> argparse.ArgumentParser:
                                 "feed inside each foreachBatch")
             r.add_argument("--source", default=None,
                            help="join a fan-in table as this named shard")
+            r.add_argument("--ddl", action="store_true",
+                           help="DDL-bearing relay feed: drain-to-now via "
+                                "per-segment availableNow queries, applying "
+                                "relayed DDL at each boundary (restart-on-"
+                                "schema-change)")
         r.set_defaults(fn=fn)
 
     for name, fn in (("metrics", cmd_metrics), ("gold", cmd_gold)):

@@ -715,14 +715,15 @@ def stream(
     """
     manifest = feed_mod.read_manifest(feed_path)
     if manifest.get("ddl"):
-        # SS pins the source schema at query start, so a mid-stream rename/
-        # widen/drop cannot apply at the right chunk boundary — the replica
-        # would silently mis-align.  Refuse loudly; replay() owns the DDL
-        # replication channel (it splits micro-batches at DDL chunks).
+        # SS pins the source schema at query start, so ONE long-lived query
+        # cannot apply a mid-stream rename/widen/drop at the right chunk
+        # boundary — the replica would silently mis-align.  Refuse loudly;
+        # stream_ddl() drains DDL-bearing feeds with per-segment queries
+        # (restart-on-schema-change) and replay() handles them natively.
         raise RuntimeError(
             f"relay feed at {feed_path} carries a DDL channel; Structured "
-            "Streaming pins the source schema at query start — replicate "
-            "DDL-bearing feeds with replay()"
+            "Streaming pins the source schema at query start — use "
+            "stream_ddl() (segmented availableNow) or replay()"
         )
     feed_format: str = manifest.get("format", "parquet")
     feed_schema = T.StructType.fromJson(manifest["schema"])
@@ -799,3 +800,264 @@ def stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def _ddl_segments(
+    chunks: list[str | None], ddl_map: dict[str, list]
+) -> list[tuple[int, int, list | None]]:
+    """Split a relay feed's chunk list at DDL boundaries.
+
+    Returns ``[(start_ordinal, end_ordinal_exclusive, ddl_events)]`` in feed
+    order.  A chunk that recorded DDL STARTS its segment (its row data is
+    aligned to the post-DDL layout, so the ALTERs must land first) — the
+    same rule ``replay`` enforces at micro-batch granularity.  Chunk 0
+    never applies DDL (a fresh replica is born with the post-DDL schema;
+    pre-fix manifests may still carry it).
+    """
+    if not chunks:
+        return []
+    starts = [0]
+    for i, c in enumerate(chunks):
+        if i > 0 and c is not None and c in ddl_map:
+            starts.append(i)
+    segs: list[tuple[int, int, list | None]] = []
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else len(chunks)
+        c0 = chunks[s]
+        ddl = ddl_map.get(c0) if (s > 0 and c0 is not None) else None
+        segs.append((s, e, ddl))
+    return segs
+
+
+def _merged_reader_schema(
+    manifest: dict, rels: list[str]
+) -> T.StructType:
+    """One pinned SS reader schema for a segment: the by-name superset of
+    the segment chunks' registry schemas.  Within a segment only column
+    ADDS occur (rename/widen/drop mint DDL and therefore a boundary), so a
+    superset is exact — parquet fills a pre-add file's missing columns with
+    NULL, the same alignment ``read_chunks``'s unionByName produces.  A
+    same-name type conflict inside one segment means the manifest is
+    corrupt; refuse rather than coerce."""
+    schemas = manifest.get("schemas") or {}
+    fields: dict[str, T.StructField] = {}
+    order: list[str] = []
+    for rel in rels:
+        sub = rel.split("/", 1)[0]
+        sj = schemas.get(sub, manifest["schema"])
+        for f in T.StructType.fromJson(sj).fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = f
+                order.append(f.name)
+            elif prev.dataType != f.dataType:
+                raise RuntimeError(
+                    f"relay feed chunk {rel!r}: column {f.name!r} changes "
+                    f"type mid-segment ({prev.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}) with no DDL boundary — "
+                    "manifest is inconsistent"
+                )
+    return T.StructType([fields[n] for n in order])
+
+
+def stream_ddl(
+    spark: SparkSession,
+    feed_path: str,
+    table_path: str,
+    *,
+    num_buckets: int = 16,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    max_files_per_trigger: int | None = None,
+    write_salt: int = 4,
+    collect_stats: bool = True,
+    merge_mode: str = "cow",
+    wap: bool = False,
+    publish_to: str | None = None,
+    occ_retries: int = 0,
+    source: str | None = None,
+) -> dict:
+    """Structured Streaming over a DDL-bearing relay feed: drain-to-now via
+    per-segment ``availableNow`` queries, restarting at every DDL boundary.
+
+    SS pins the source schema at query start, so one long-lived query
+    cannot apply a mid-stream rename/widen/drop at the right chunk — that
+    is why ``stream()`` refuses DDL channels.  This is the standard
+    restart-on-schema-change pattern (Delta streaming's
+    ``schemaTrackingLocation`` contract: the stream STOPS at a non-additive
+    schema change and resumes under the new schema): the feed's chunk list
+    is split at DDL-bearing chunks, each segment runs as its own
+    ``availableNow`` file-source query pinned to that segment's superset
+    registry schema, and the segment's DDL events apply to the replica
+    between queries — exactly where ``replay`` applies them.
+
+    Exactly-once across restarts and redeliveries:
+
+    - each segment keeps its own SS checkpoint (``_ss_checkpoint[_<src>]``
+      for the ordinal-0 segment — the SAME dir ``stream()`` uses, so a
+      replica that started on a plain feed upgrades seamlessly when DDL
+      first appears — and ``…_seg<start_ordinal>`` after);
+    - segment batch ids are offset by ``start_ordinal << 32`` so the
+      table's fence stays monotone across segments (SS batch ids restart
+      at 0 per checkpoint);
+    - fully drained CLOSED segments (every segment but the feed's last —
+      append-only manifests can only grow the tail) are recorded in
+      ``_ss_ddl_segments[_<src>].json`` and skipped on resume; the final
+      segment always re-runs and its own checkpoint makes that
+      incremental.  A crash anywhere re-runs at most one segment, whose
+      fence + idempotent ``apply_ddl`` make re-application a no-op.
+
+    Vacuumed feeds: a fresh replica bootstraps at the ``rebase_chunk``
+    (full state as inserts); a replica whose undrained segments were
+    vacuumed away fails loudly — its un-consumed history is gone (the same
+    never-skip-a-span rule as ``replay``).
+
+    Returns ``{"segments_run": n, "ddl_applied": k, "batches": m}``.
+    """
+    from credix_data_pipeline_spark.operators.relay import apply_ddl
+    from credix_data_pipeline_spark.schema import target_schema_for
+
+    manifest = feed_mod.read_manifest(feed_path)
+    ddl_map: dict[str, list] = manifest.get("ddl") or {}
+    chunks: list[str | None] = manifest["chunks"]
+    feed_format: str = manifest.get("format", "parquet")
+
+    suffix = f"_{source}" if source else ""
+    marker_path = os.path.join(table_path, f"_ss_ddl_segments{suffix}.json")
+    drained: set[int] = set()
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            drained = set(json.load(f)["drained_starts"])
+
+    segs = _ddl_segments(chunks, ddl_map)
+    pending = [s for s in segs if s[0] not in drained]
+
+    # fresh replica over a vacuumed feed: bootstrap at the rebase chunk
+    fresh = not drained and not os.path.isdir(
+        os.path.join(table_path, f"_ss_checkpoint{suffix}")
+    )
+    if fresh and chunks and chunks[0] is None:
+        rb = manifest.get("rebase_chunk")
+        if rb is None or chunks[rb] is None:
+            raise RuntimeError(
+                f"relay feed at {feed_path} was vacuumed and records no "
+                "live rebase chunk — nothing to bootstrap a replica from"
+            )
+        pending = [s for s in pending if s[1] > rb]
+        s0, e0, _ = pending[0]
+        # the rebase chunk is a full-state re-anchor: start there, no DDL
+        pending[0] = (max(s0, rb), e0, None if max(s0, rb) == rb else pending[0][2])
+    for s, e, _ in pending:
+        if any(chunks[i] is None for i in range(s, e)):
+            raise RuntimeError(
+                f"relay feed at {feed_path} was vacuumed past this "
+                f"replica's progress (segment at chunk {s}); its "
+                "un-consumed history is gone — re-bootstrap the replica "
+                "from the rebase chunk (fresh table + checkpoint)"
+            )
+
+    if not pending:
+        return {"segments_run": 0, "ddl_applied": 0, "batches": 0}
+
+    # create the replica from the FIRST consumed chunk's registry schema
+    # (later columns evolve in flight, exactly as in replay)
+    first_rel = chunks[pending[0][0]]
+    create_schema = target_schema_for(
+        _merged_reader_schema(manifest, [first_rel])
+    )
+    table = LakeTable.create_if_not_exists(
+        spark,
+        table_path,
+        create_schema,
+        key=["conv_id", "turn_idx"],
+        num_buckets=num_buckets,
+        bucket_by=["conv_id"],
+        merge_mode=merge_mode,
+    )
+    lineage = LineageLog(table_path)
+    dead = quarantine_writer(table_path)
+
+    from credix_data_pipeline_spark.streaming.listener import (
+        LineageProgressListener,
+    )
+
+    attached = getattr(spark, "_graft_listeners", {})
+    if table_path not in attached:
+        listener = LineageProgressListener(table_path)
+        spark.streams.addListener(listener)
+        attached[table_path] = listener
+        spark._graft_listeners = attached
+
+    total_batches = 0
+    ddl_applied = 0
+    last_start = segs[-1][0]
+    for start, end, ddl in pending:
+        if ddl:
+            # idempotent: a crash between apply and drain re-applies as no-op
+            ddl_applied += apply_ddl(table, ddl)
+        rels = [chunks[i] for i in range(start, end)]
+        reader_schema = _merged_reader_schema(manifest, rels)
+        glob = os.path.join(
+            feed_path,
+            rels[0] if len(rels) == 1 else "{" + ",".join(rels) + "}",
+        )
+        reader = (
+            spark.readStream.schema(reader_schema)
+            .option("recursiveFileLookup", "true")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if feed_format == "parquet":
+            src = reader.parquet(glob)
+        else:
+            src = reader.format(feed_format).load(glob)
+
+        offset = start << 32  # SS ids restart per checkpoint; keep the fence monotone
+        seg_batches = [0]
+
+        def _sink(batch_df: DataFrame, batch_id: int, _off=offset) -> None:
+            apply_batch(
+                table,
+                batch_df,
+                _off + batch_id,
+                transform=transform,
+                lineage=lineage,
+                dead_letter=dead,
+                write_salt=write_salt,
+                collect_stats=collect_stats,
+                wap=wap,
+                occ_retries=occ_retries,
+                source=source,
+            )
+            seg_batches[0] += 1
+            if publish_to:
+                from credix_data_pipeline_spark.operators.relay import (
+                    publish_changes,
+                )
+
+                publish_changes(table, publish_to)
+
+        ckpt = (
+            os.path.join(table_path, f"_ss_checkpoint{suffix}")
+            if start == 0
+            else os.path.join(table_path, f"_ss_checkpoint{suffix}_seg{start}")
+        )
+        q = (
+            src.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        total_batches += seg_batches[0]
+        if start != last_start:  # only CLOSED segments are final
+            drained.add(start)
+            tmp = marker_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"drained_starts": sorted(drained)}, f)
+            os.replace(tmp, marker_path)
+
+    return {
+        "segments_run": len(pending),
+        "ddl_applied": ddl_applied,
+        "batches": total_batches,
+    }
