@@ -184,6 +184,15 @@ def replay(
     are snapshots like any other: crash-safe, fenced replays unaffected.
     """
     manifest = feed_mod.read_manifest(feed_path)
+    if source is not None and manifest.get("ddl"):
+        # same rule as replay_fanin: N upstream DDL streams converging on
+        # one fan-in table have no well-defined merge order — one shard's
+        # rename would mis-align every other shard's still-old-named rows
+        raise RuntimeError(
+            f"fan-in source {source!r}: relay feed at {feed_path} carries "
+            "a DDL channel; replicate DDL-bearing feeds one-to-one with "
+            "a sourceless replay()/stream_ddl()"
+        )
     chunks: list[str] = manifest["chunks"]
     feed_format: str = manifest.get("format", "parquet")
     feed_schema = T.StructType.fromJson(manifest["schema"])
@@ -918,6 +927,13 @@ def stream_ddl(
 
     manifest = feed_mod.read_manifest(feed_path)
     ddl_map: dict[str, list] = manifest.get("ddl") or {}
+    if source is not None and ddl_map:
+        # same rule as replay_fanin: no per-shard DDL on a fan-in table
+        raise RuntimeError(
+            f"fan-in source {source!r}: relay feed at {feed_path} carries "
+            "a DDL channel; replicate DDL-bearing feeds one-to-one with "
+            "a sourceless replay()/stream_ddl()"
+        )
     chunks: list[str | None] = manifest["chunks"]
     feed_format: str = manifest.get("format", "parquet")
 

@@ -197,3 +197,10 @@ def test_stream_refuses_ddl_feed_pointing_at_stream_ddl(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="stream_ddl"):
         runner.stream(spark, relay, t2p, num_buckets=4)
+
+    # per-shard DDL on a fan-in table is refused in BOTH modes (the
+    # replay_fanin rule: N upstream DDL streams have no merge order)
+    with pytest.raises(RuntimeError, match="fan-in source"):
+        runner.replay(spark, relay, t2p, num_buckets=4, source="s0")
+    with pytest.raises(RuntimeError, match="fan-in source"):
+        runner.stream_ddl(spark, relay, t2p, num_buckets=4, source="s0")
