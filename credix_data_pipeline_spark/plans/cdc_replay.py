@@ -920,6 +920,104 @@ def q_cdc_branch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_BRANCH: dict[str, str] = {}
 
 
+BOOST_EVERY = 10  # events with event_id % 10 == 0 are re-asserted post-DDL
+BOOST_LSN = 10**15  # keeps lsn unique (event_id is unique) and in range
+BOOST_VALUE = 1000.0  # exact in binary64 for the data's value range
+
+
+def q_cdc_stream_ddl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming DDL replication, oracle-checked: the replayed
+    events table is zero-copy CLONED, published (chunk 0 = full state as
+    inserts — the clone's history has no empty create commit), then the
+    clone renames ``value``→``score`` and drops ``props`` and applies one
+    more deterministic batch under the NEW layout (every 10th event
+    re-asserted with lsn + 10^15 and value + 1000).  The second publish
+    ships that chunk WITH its DDL events, and a fresh replica drains the
+    feed through ``runner.stream_ddl`` — per-segment availableNow queries,
+    ALTERs applied at the segment boundary.  The replica's clean state
+    must equal the pure-SQL LWW over base ∪ boosted events with the
+    renamed column and no ``props`` — proving the SS path (not just
+    ``replay``) converges through rename/drop with no manual ALTER."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+    from credix_data_pipeline_spark.streaming.runner import stream_ddl
+
+    work, _mid = _replayed_events(spark, sf_dir)
+    replica_path = work + "_sddl_replica"
+    if work not in _EVENTS_STREAM_DDL:
+        up_path, relay_dir = work + "_sddl_up", work + "_sddl_relay"
+        for p in (up_path, relay_dir, replica_path):
+            shutil.rmtree(p, ignore_errors=True)
+        LakeTable.load(spark, work).clone_to(up_path)
+        up = LakeTable.load(spark, up_path)
+        publish_changes(up, relay_dir)  # chunk 0: full state as inserts
+
+        up.rename_column("value", "score")
+        up.drop_column("props")
+        boost = (
+            _change_feed(spark, sf_dir)
+            .filter(F.pmod("event_id", F.lit(BOOST_EVERY)) == 0)
+            .select(
+                F.lit("U").alias("op"),
+                (F.col("lsn") + F.lit(BOOST_LSN)).alias("lsn"),
+                "commit_ts",
+                "user_id",
+                "event_type",
+                "event_id",
+                "ts",
+                (F.col("value") + F.lit(BOOST_VALUE)).alias("score"),
+            )
+        )
+        apply_batch(up, boost, N_BATCHES, collect_stats=False)
+        publish_changes(up, relay_dir)  # chunk 1 + rename/drop DDL events
+
+        # fresh replica: pre-create with the engine keys (stream_ddl's
+        # default create targets the transcript shape), then SS-drain
+        LakeTable.create(
+            spark,
+            replica_path,
+            _TARGET_SCHEMA,  # pre-evolution: `props` arrives in-flight
+            key=["user_id", "event_type"],
+            num_buckets=8,
+            bucket_by=["user_id"],
+        )
+        stream_ddl(spark, relay_dir, replica_path, num_buckets=8)
+        _EVENTS_STREAM_DDL[work] = replica_path
+    return read_clean(LakeTable.load(spark, replica_path)).select(
+        "user_id", "event_type", "event_id", "ts", "score"
+    )
+
+
+_EVENTS_STREAM_DDL: dict[str, str] = {}
+
+
+SQL_CDC_STREAM_DDL_E2E = f"""
+WITH ch AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {LSN_TS_BASE} + event_id AS lsn,
+         CASE WHEN event_id % {DELETE_EVERY} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), all_ev AS (
+  SELECT user_id, event_type, event_id, ts, value, lsn, op FROM ch
+  UNION ALL
+  SELECT user_id, event_type, event_id, ts,
+         value + {BOOST_VALUE} AS value,
+         lsn + {BOOST_LSN} AS lsn, 'U' AS op
+  FROM ch WHERE event_id % {BOOST_EVERY} = 0
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY lsn DESC) AS rn
+  FROM all_ev
+)
+SELECT user_id, event_type, event_id, ts, value AS score
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
     # the branch→fast-forward path must land main on the SAME final state
@@ -937,4 +1035,7 @@ CDC_QUERIES = {
     ),
     "gdpr_purge_e2e": (q_gdpr_purge_e2e, SQL_GDPR_PURGE_E2E),
     "cdc_ttl_e2e": (q_cdc_ttl_e2e, SQL_CDC_TTL_E2E),
+    # the SS restart-on-schema-change path (stream_ddl) must converge the
+    # replica through a mid-stream rename+drop with no manual ALTER
+    "cdc_stream_ddl_e2e": (q_cdc_stream_ddl_e2e, SQL_CDC_STREAM_DDL_E2E),
 }
