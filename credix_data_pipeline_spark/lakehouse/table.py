@@ -951,13 +951,31 @@ class LakeTable:
         """
         import glob as _glob
 
+        if num_buckets not in (None, 1):
+            raise ValueError(
+                "zero-copy import requires num_buckets=1 (every key hashes "
+                "to bucket 0 — correct placement with no data movement); "
+                "rebucket(N) afterwards to spread the table"
+            )
         src_abs = os.path.abspath(src_dir)
+
+        def _hidden(p: str) -> bool:
+            # Hadoop's hidden-path rule applies to every path COMPONENT
+            # (`_temporary/...`, `.staging/...`), not just the basename —
+            # the validation/schema pass (spark.read.parquet) skips such
+            # files, so adopting them would commit data the validator
+            # never saw (e.g. duplicate rows from crashed-job residue).
+            rel = os.path.relpath(p, src_abs)
+            return any(
+                part.startswith(("_", ".")) for part in rel.split(os.sep)
+            )
+
         files = sorted(
             p
             for p in _glob.glob(
                 os.path.join(src_abs, "**", "*.parquet"), recursive=True
             )
-            if not os.path.basename(p).startswith(("_", "."))
+            if not _hidden(p)
         )
         if not files:
             raise FileNotFoundError(f"no parquet files under {src_dir}")
@@ -994,12 +1012,6 @@ class LakeTable:
                     "imported rows share LSN 0) — dedup first, or use "
                     "runner.bootstrap with lsn_col"
                 )
-        if num_buckets not in (None, 1):
-            raise ValueError(
-                "zero-copy import requires num_buckets=1 (every key hashes "
-                "to bucket 0 — correct placement with no data movement); "
-                "rebucket(N) afterwards to spread the table"
-            )
         schema = T.StructType(
             [
                 *src_schema.fields,
@@ -1100,6 +1112,20 @@ class LakeTable:
                 return s
         return br.current()
 
+    @staticmethod
+    def _is_published(br: "LakeTable") -> bool:
+        """True when branch ``br`` holds no unpublished DATA commits: its
+        effective head is still the fork clone, or matches the snapshot id
+        the last ``fast_forward`` recorded.  The ONE definition used by
+        ``fast_forward``, ``drop_branch`` and the monitor's branch view —
+        and the reason ``fast_forward`` records the EFFECTIVE head's id
+        (a trailing ``alter_properties`` commit must not read as
+        unpublished work forever after)."""
+        eff = LakeTable._effective_head(br)
+        return eff.summary.get("operation") == "clone" or str(
+            eff.snapshot_id
+        ) == br.current().properties.get("branch.published-snapshot-id")
+
     def fast_forward(self, name: str) -> Snapshot:
         """Publish branch ``name``'s head onto this table as ONE atomic
         commit (Iceberg ``fast_forward`` / Nessie merge): adopts the
@@ -1121,9 +1147,7 @@ class LakeTable:
             raise ValueError(f"{self._branch_path(name)} is not a managed branch")
         cur = self.current()
         eff = self._effective_head(br)
-        if eff.summary.get("operation") == "clone" or str(eff.snapshot_id) == (
-            props.get("branch.published-snapshot-id")
-        ):
+        if self._is_published(br):
             return cur  # nothing unpublished — no-op
         base_version = int(props["branch.base-version"])
         if cur.version != base_version:
@@ -1196,7 +1220,10 @@ class LakeTable:
         br.alter_properties(
             {
                 "branch.base-version": str(new.version),
-                "branch.published-snapshot-id": str(head.snapshot_id),
+                # the EFFECTIVE head's id: _is_published compares against
+                # it, and a trailing set-properties commit (head != eff)
+                # must not leave the branch reading as unpublished forever
+                "branch.published-snapshot-id": str(eff.snapshot_id),
             }
         )
         return new
@@ -1210,13 +1237,8 @@ class LakeTable:
         sweeps them once unreferenced (dropped-branch roots join the orphan
         walk).  Both branch pins are removed."""
         br = self.branch(name)
-        head = br.current()
-        props = head.properties
-        eff = self._effective_head(br)
-        published = eff.summary.get("operation") == "clone" or str(
-            eff.snapshot_id
-        ) == props.get("branch.published-snapshot-id")
-        if not (published or force):
+        props = br.current().properties
+        if not (self._is_published(br) or force):
             raise RuntimeError(
                 f"branch {name!r} has unpublished commits; fast_forward it "
                 "or pass force=True to discard"
@@ -1272,6 +1294,21 @@ class LakeTable:
         snap = self.current()
         props = dict(snap.properties)
         for k, v in (set_props or {}).items():
+            if k in ("retention.ttl-ms", "retention.ttl-days"):
+                # fail at DECLARATION, not in the middle of a scheduled
+                # maintain() run: row TTL is planned/applied over the
+                # event-time column, so a table without one can never
+                # honor the policy (the CHECK-constraint eager-parse rule)
+                tsf = next(
+                    (f for f in snap.schema.fields if f.name == "ts"), None
+                )
+                if tsf is None or not isinstance(
+                    tsf.dataType, T.TimestampType
+                ):
+                    raise ValueError(
+                        f"cannot set {k}: row TTL needs a timestamp 'ts' "
+                        "column, which this table's schema lacks"
+                    )
             props[str(k)] = str(v)
         for k in unset or []:
             props.pop(k, None)

@@ -41,6 +41,8 @@ from __future__ import annotations
 import time
 from typing import Any
 
+from pyspark.sql import types as T
+
 from credix_data_pipeline_spark.lakehouse.table import LakeTable
 
 
@@ -107,6 +109,23 @@ def plan_maintenance(table: LakeTable) -> dict[str, Any]:
         ttl_cutoff = int(time.time() * 1000) - horizon
     ttl_report = None
     if ttl_cutoff is not None:
+        tsf = next((f for f in snap.schema.fields if f.name == "ts"), None)
+        if tsf is None or not isinstance(tsf.dataType, T.TimestampType):
+            # the property predates a drop/retype of `ts`
+            # (alter_properties refuses to SET it on such a schema):
+            # surface the dead policy instead of crashing maintain()
+            # mid-run and aborting the compaction/retention it also owns
+            return {
+                "compact_buckets": sorted(targets),
+                "reasons": reasons,
+                "expire": props.get("retention.auto", "").lower() == "true",
+                "keep_last": int(props.get("retention.keep-last", "5")),
+                "ttl": {
+                    "cutoff_ms": ttl_cutoff,
+                    "skipped": "table has no timestamp 'ts' column — "
+                    "unset retention.ttl-* or restore the column",
+                },
+            }
         # manifest-only preview: what the cutoff would touch right now
         droppable = sum(
             1 for s in snap.ts_stats.values() if s[1] < ttl_cutoff
@@ -141,7 +160,7 @@ def maintain(table: LakeTable, dry_run: bool = False) -> dict[str, Any]:
     if dry_run:
         return {**plan, "dry_run": True}
     report: dict[str, Any] = dict(plan)
-    if plan["ttl"] is not None:
+    if plan["ttl"] is not None and not plan["ttl"].get("skipped"):
         before = table.current()
         snap = table.delete_older_than(plan["ttl"]["cutoff_ms"])
         report["ttl"] = {

@@ -187,10 +187,7 @@ def branch_status(spark: SparkSession, table_path: str) -> list[dict] | None:
         br = t.branch(name)
         head = br.current()
         props = head.properties
-        eff = LakeTable._effective_head(br)
-        published = eff.summary.get("operation") == "clone" or str(
-            eff.snapshot_id
-        ) == props.get("branch.published-snapshot-id")
+        published = LakeTable._is_published(br)
         base_version = int(props.get("branch.base-version", -1))
         out.append(
             {
@@ -224,8 +221,9 @@ def catalog_staleness(spark: SparkSession, catalog_root: str) -> dict:
     consumers reading through it get an ever-older consistent view.  The
     signal is per-table ``commits_behind`` / ``ms_behind`` between the
     pinned snapshot and the table's current one, plus the age of the
-    newest catalog version itself.  O(tables) metadata reads, no Spark
-    job."""
+    newest catalog version itself.  Metadata only — one snapshot-id
+    lookup per table (O(retained snapshots) manifest reads, no data
+    scan), no Spark job."""
     import time as _time
 
     from credix_data_pipeline_spark.lakehouse import LakeTable
@@ -240,15 +238,18 @@ def catalog_staleness(spark: SparkSession, catalog_root: str) -> dict:
         t = LakeTable.load(spark, ent["path"])
         cur = t.current()
         pin = int(ent["snapshot_id"])
-        commits_behind = sum(
-            1 for s in t.history() if s.snapshot_id > pin
-        )
         try:
-            pin_ms = t.snapshot(pin).committed_at_ms
+            # one id lookup resolves BOTH signals: commits_behind is
+            # version arithmetic (snapshot ids are not ordering-safe —
+            # two same-millisecond commits can invert), and no separate
+            # full-history count is needed
+            pin_snap = t.snapshot(pin)
+            pin_ms = pin_snap.committed_at_ms
             ms_behind = max(0, cur.committed_at_ms - pin_ms)
+            commits_behind = max(0, cur.version - pin_snap.version)
         except KeyError:  # pin expired out from under the catalog
-            pin_ms, ms_behind = None, None
-        worst_behind = max(worst_behind, commits_behind)
+            pin_ms, ms_behind, commits_behind = None, None, None
+        worst_behind = max(worst_behind, commits_behind or 0)
         tables[name] = {
             "pinned_snapshot_id": pin,
             "current_snapshot_id": cur.snapshot_id,

@@ -32,7 +32,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from credix_data_pipeline_spark.lakehouse.table import LakeTable
 from credix_data_pipeline_spark.operators.apply import ApplyResult, apply_batch
@@ -685,6 +685,67 @@ def _target_schema_base(feed_schema: T.StructType, manifest: dict) -> T.StructTy
     return target_schema_for(feed_schema)
 
 
+def _guard_continuous_batch(
+    feed_path: str, pinned_cols: set[str], batch_df: DataFrame
+) -> DataFrame:
+    """Per-batch safety gate for a CONTINUOUS (processingTime) stream over
+    a chunked feed.  The open ``feed_path/*`` glob a long-lived query needs
+    in order to discover future chunks also matches (a) chunks published
+    after the query pinned its schema and (b) chunk dirs never committed
+    to the feed manifest (data-before-link residue of a crashed or
+    OCC-losing publish).  Re-reads the manifest (one tiny JSON) and
+    raises — failing the query loudly — when the feed gained a DDL
+    channel, evolved its schema past the pinned columns, or the batch
+    contains files from uncommitted chunk dirs.  The failed batch is not
+    committed to the SS checkpoint, so a restart re-reads it safely.
+    Returns the batch with the ``_graft_src_file`` helper column dropped.
+    """
+    man = feed_mod.read_manifest(feed_path)
+    if man.get("ddl"):
+        raise RuntimeError(
+            f"relay feed at {feed_path} gained a DDL channel while this "
+            "stream was running; restart via stream_ddl() (SS pins the "
+            "source schema at query start)"
+        )
+    new_cols = [
+        f["name"]
+        for f in man["schema"]["fields"]
+        if f["name"] not in pinned_cols
+    ]
+    if new_cols:
+        raise RuntimeError(
+            f"feed at {feed_path} evolved mid-stream (added column(s) "
+            f"{new_cols}); restart stream() to re-pin the schema — the "
+            "un-committed batch re-reads under the new layout on restart"
+        )
+    committed = {c.split("/", 1)[0] for c in man["chunks"] if c}
+    root = os.path.abspath(feed_path)
+    batch_subs = {
+        r[0]
+        for r in batch_df.select(
+            F.element_at(
+                F.split(
+                    F.regexp_replace("_graft_src_file", "^file:(//)?", ""),
+                    "/",
+                ),
+                len(root.split(os.sep)) + 1,
+            )
+        )
+        .distinct()
+        .collect()
+    }
+    stray = sorted(s for s in batch_subs if s and s not in committed)
+    if stray:
+        raise RuntimeError(
+            f"stream over {feed_path} read chunk dir(s) {stray} that are "
+            "not committed to the feed manifest — crashed/conflicting "
+            "publish residue (or a publish racing this batch; retry). "
+            "Sweep the residue or use availableNow/stream_ddl, which read "
+            "only committed chunks"
+        )
+    return batch_df.drop("_graft_src_file")
+
+
 def stream(
     spark: SparkSession,
     feed_path: str,
@@ -714,6 +775,16 @@ def stream(
     The classic exactly-once pattern: SS checkpoint gives offset tracking and
     monotone batch ids; the fence inside apply_batch de-duplicates the
     at-least-once `foreachBatch` redelivery window (SURVEY §2.8 ST3).
+
+    Source discovery: ``availableNow`` reads exactly the chunks committed
+    to the feed manifest at call time (brace glob — uncommitted
+    publish residue and schema-unpinned late chunks are excluded; the
+    next call picks those up under a re-pinned schema).  Continuous mode
+    (``available_now=False``) keeps the open glob so future chunks are
+    discovered, and guards EVERY micro-batch (``_guard_continuous_batch``)
+    against mid-stream DDL, schema adds, and uncommitted chunk dirs —
+    the query fails loudly instead of silently mis-reading, and the
+    un-committed batch re-reads under the corrected setup on restart.
 
     ``wap=True``: each foreachBatch commit goes through the write-audit-
     publish gate; a contract violation raises inside the sink, failing the
@@ -764,6 +835,56 @@ def stream(
         attached[table_path] = listener
         spark._graft_listeners = attached
 
+    live_chunks = [c for c in manifest["chunks"] if c]
+    if available_now:
+        # Read exactly the chunks COMMITTED to the feed manifest (brace
+        # glob, as in stream_ddl) — never `feed_path/*`, which also
+        # matches chunk dirs whose manifest link never landed (a crashed
+        # or OCC-losing publish leaves data-before-link residue) and
+        # chunks published between the manifest read and query start,
+        # whose registry schema this query did not pin.  Un-matched new
+        # chunks are consumed by the NEXT call, which re-pins the evolved
+        # schema; the SS checkpoint's seen-files log makes the growing
+        # glob incremental.
+        if any(c is None for c in manifest["chunks"]):
+            # vacuumed feed: this replica's progress lives inside the SS
+            # checkpoint, so we cannot prove its un-consumed span wasn't
+            # vacuumed away.  A FRESH replica bootstraps at the rebase
+            # chunk (the live chunks start there); an existing one must
+            # use stream_ddl()/replay(), which track chunk progress
+            # explicitly — or re-bootstrap.
+            ckpt_probe = os.path.join(
+                table_path,
+                f"_ss_checkpoint_{source}" if source else "_ss_checkpoint",
+            )
+            if (checkpoint_dir and os.path.isdir(checkpoint_dir)) or (
+                not checkpoint_dir and os.path.isdir(ckpt_probe)
+            ):
+                raise RuntimeError(
+                    f"relay feed at {feed_path} was vacuumed; stream() "
+                    "cannot prove this replica consumed the dropped span "
+                    "(its progress is inside the SS checkpoint) — drive "
+                    "vacuumed feeds with stream_ddl()/replay(), or "
+                    "re-bootstrap the replica"
+                )
+            if manifest.get("rebase_chunk") is None or not live_chunks:
+                raise RuntimeError(
+                    f"relay feed at {feed_path} was vacuumed and records "
+                    "no live rebase chunk — nothing to bootstrap from"
+                )
+        if not live_chunks:
+            raise RuntimeError(f"relay feed at {feed_path} has no chunks")
+        src_path = os.path.join(
+            feed_path,
+            live_chunks[0]
+            if len(live_chunks) == 1
+            else "{" + ",".join(live_chunks) + "}",
+        )
+    else:
+        # continuous mode must discover future chunks, so the open glob
+        # stays — guarded per batch in the sink below
+        src_path = feed_path + "/*"
+
     reader = (
         spark.readStream.schema(feed_schema)
         .option("recursiveFileLookup", "true")
@@ -771,11 +892,24 @@ def stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if feed_format == "parquet":
-        src = reader.parquet(feed_path + "/*")
+        src = reader.parquet(src_path)
     else:
-        src = reader.format(feed_format).load(feed_path + "/*")
+        src = reader.format(feed_format).load(src_path)
+    if not available_now:
+        src = src.withColumn("_graft_src_file", F.input_file_name())
+
+    pinned_cols = set(feed_schema.fieldNames())
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not available_now:
+            # a long-lived query picks up chunks published AFTER the
+            # schema was pinned: stop loudly before mis-aligning them
+            # (the failed batch is un-committed in the SS checkpoint, so
+            # a restarted stream re-reads it under the evolved schema —
+            # no data is lost, unlike a silent narrow-schema read)
+            batch_df = _guard_continuous_batch(
+                feed_path, pinned_cols, batch_df
+            )
         apply_batch(
             table,
             batch_df,
@@ -908,12 +1042,23 @@ def stream_ddl(
     - segment batch ids are offset by ``start_ordinal << 32`` so the
       table's fence stays monotone across segments (SS batch ids restart
       at 0 per checkpoint);
-    - fully drained CLOSED segments (every segment but the feed's last —
-      append-only manifests can only grow the tail) are recorded in
-      ``_ss_ddl_segments[_<src>].json`` and skipped on resume; the final
-      segment always re-runs and its own checkpoint makes that
-      incremental.  A crash anywhere re-runs at most one segment, whose
-      fence + idempotent ``apply_ddl`` make re-application a no-op.
+    - progress is recorded in ``_ss_ddl_segments[_<src>].json`` as
+      ``drained_through`` — the exclusive END ordinal of the consumed
+      chunk prefix, advanced after every segment's ``availableNow``
+      query completes (the query provably consumed every chunk its
+      brace glob covered).  Chunk END ordinals are stable under
+      ``vacuum_relay`` (dropped entries stay as ``None`` placeholders)
+      whereas segment BOUNDARIES are not — vacuum strips dropped chunks'
+      DDL entries, merging segments — so keying progress by boundary
+      ordinals (the original design) silently skipped merged segments
+      and wedged rebase-bootstrapped replicas.  A segment that GREW
+      since the last run (or was merged by vacuum) is clipped to its
+      un-consumed suffix, which runs under a checkpoint keyed by that
+      effective start.  A crash anywhere re-runs at most one segment,
+      whose fence + idempotent ``apply_ddl`` make re-application a
+      no-op.  Legacy ``drained_starts`` markers migrate on load when
+      their boundaries still exist, and fail loudly (re-bootstrap) when
+      the feed was vacuumed under one.
 
     Vacuumed feeds: a fresh replica bootstraps at the ``rebase_chunk``
     (full state as inserts); a replica whose undrained segments were
@@ -938,18 +1083,65 @@ def stream_ddl(
     feed_format: str = manifest.get("format", "parquet")
 
     suffix = f"_{source}" if source else ""
-    marker_path = os.path.join(table_path, f"_ss_ddl_segments{suffix}.json")
-    drained: set[int] = set()
-    if os.path.exists(marker_path):
-        with open(marker_path) as f:
-            drained = set(json.load(f)["drained_starts"])
-
     segs = _ddl_segments(chunks, ddl_map)
-    pending = [s for s in segs if s[0] not in drained]
+    marker_path = os.path.join(table_path, f"_ss_ddl_segments{suffix}.json")
+    marker_exists = os.path.exists(marker_path)
+    drained_through = 0  # chunks [0, drained_through) are fully consumed
+    if marker_exists:
+        with open(marker_path) as f:
+            m = json.load(f)
+        if "drained_through" in m:
+            drained_through = int(m["drained_through"])
+        else:
+            # legacy marker: the set of drained segment-START ordinals.
+            # Segments drain strictly in order, so a valid legacy marker
+            # names a contiguous boundary prefix of the CURRENT
+            # segmentation; anything else means the feed was vacuumed or
+            # rebased under a legacy marker (boundaries shifted) and the
+            # replica's true progress is unknowable — refuse.
+            rest = set(m["drained_starts"])
+            for s, e, _ in segs:
+                if s == drained_through and s in rest:
+                    rest.discard(s)
+                    drained_through = e
+            if rest:
+                raise RuntimeError(
+                    f"legacy stream_ddl marker at {marker_path} references "
+                    "segment boundaries no longer in the feed manifest "
+                    "(the feed was vacuumed/rebased under the old marker "
+                    "format) — re-bootstrap the replica (fresh table + "
+                    "checkpoint)"
+                )
+
+    def _clip(
+        seg_list: list[tuple[int, int, list | None]], floor: int
+    ) -> list[tuple[int, int, list | None]]:
+        # Skip fully-consumed segments; clip one that straddles ``floor``.
+        # A straddle only arises when vacuum merged boundaries below the
+        # floor — the ordinal-0 segment, which never carries DDL — or at
+        # the rebase-bootstrap floor, where the rebase chunk is a
+        # full-state re-anchor already laid out post-DDL; in both cases
+        # the clipped segment applies no DDL.
+        out: list[tuple[int, int, list | None]] = []
+        for s, e, ddl in seg_list:
+            if e <= floor:
+                continue
+            s_eff = max(s, floor)
+            out.append((s_eff, e, ddl if s_eff == s else None))
+        return out
+
+    pending = _clip(segs, drained_through)
 
     # fresh replica over a vacuumed feed: bootstrap at the rebase chunk
-    fresh = not drained and not os.path.isdir(
-        os.path.join(table_path, f"_ss_checkpoint{suffix}")
+    fresh = (
+        not marker_exists
+        and drained_through == 0
+        and not any(
+            d.startswith(f"_ss_checkpoint{suffix}")
+            for d in (
+                os.listdir(table_path) if os.path.isdir(table_path) else []
+            )
+        )
     )
     if fresh and chunks and chunks[0] is None:
         rb = manifest.get("rebase_chunk")
@@ -958,16 +1150,19 @@ def stream_ddl(
                 f"relay feed at {feed_path} was vacuumed and records no "
                 "live rebase chunk — nothing to bootstrap a replica from"
             )
-        pending = [s for s in pending if s[1] > rb]
-        s0, e0, _ = pending[0]
         # the rebase chunk is a full-state re-anchor: start there, no DDL
-        pending[0] = (max(s0, rb), e0, None if max(s0, rb) == rb else pending[0][2])
+        # (a fresh replica is born with the post-DDL registry schema even
+        # when the rebase chunk itself sits on a DDL boundary)
+        pending = [
+            (s, e, None if s == rb else ddl)
+            for s, e, ddl in _clip(pending, rb)
+        ]
     for s, e, _ in pending:
         if any(chunks[i] is None for i in range(s, e)):
             raise RuntimeError(
                 f"relay feed at {feed_path} was vacuumed past this "
-                f"replica's progress (segment at chunk {s}); its "
-                "un-consumed history is gone — re-bootstrap the replica "
+                f"replica's progress (un-consumed chunk in [{s}, {e})); "
+                "its history is gone — re-bootstrap the replica "
                 "from the rebase chunk (fresh table + checkpoint)"
             )
 
@@ -1005,7 +1200,6 @@ def stream_ddl(
 
     total_batches = 0
     ddl_applied = 0
-    last_start = segs[-1][0]
     for start, end, ddl in pending:
         if ddl:
             # idempotent: a crash between apply and drain re-applies as no-op
@@ -1065,12 +1259,16 @@ def stream_ddl(
         )
         q.awaitTermination()
         total_batches += seg_batches[0]
-        if start != last_start:  # only CLOSED segments are final
-            drained.add(start)
-            tmp = marker_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"drained_starts": sorted(drained)}, f)
-            os.replace(tmp, marker_path)
+        # an availableNow query provably consumed every chunk its brace
+        # glob covered, so the FINAL segment advances the marker too —
+        # a later vacuum can then never wedge a fully-caught-up replica
+        # whose progress would otherwise live only inside the SS
+        # checkpoint.  END ordinals are stable under vacuum (dropped
+        # entries stay as None placeholders).
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"drained_through": end}, f)
+        os.replace(tmp, marker_path)
 
     return {
         "segments_run": len(pending),

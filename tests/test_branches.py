@@ -439,3 +439,36 @@ def test_create_branch_recovers_stale_pin_residue(spark, tmp_path):
     br = t.create_branch("dev")  # must not raise CommitConflict
     assert t.tags()["branch-pin-dev"] == t.current().snapshot_id
     assert _clean_set(br) == _clean_set(t)
+
+
+def test_trailing_set_properties_does_not_unpublish(spark, tmp_path):
+    """A set-properties commit at the branch head must not break published
+    detection.  Regression: fast_forward recorded the HEAD's snapshot id
+    while every published check compares the EFFECTIVE head's (last data
+    commit), so an alter_properties before the ff left the branch reading
+    as unpublished forever — duplicate adoption commits on every ff,
+    drop_branch refusing without force, monitor stuck on 'unpublished'."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+
+    br = t.create_branch("dev")
+    br.append(_df(spark, br, _rows(5, lsn0=100)))
+    br.alter_properties({"owner": "audit-team"})  # head != effective head
+    new = t.fast_forward("dev")
+    assert t.current().version == new.version
+    assert LakeTable._is_published(t.branch("dev"))
+
+    # second ff is a no-op (no duplicate adoption commit)
+    again = t.fast_forward("dev")
+    assert again.version == new.version
+
+    # monitor agrees
+    from credix_data_pipeline_spark.streaming.monitoring import branch_status
+
+    st = {b["name"]: b for b in branch_status(spark, t.path)}
+    assert st["dev"]["status"] == "PUBLISHED"
+    assert not st["dev"]["unpublished"]
+
+    # drop without force succeeds (nothing unpublished)
+    t.drop_branch("dev")
+    assert t.list_branches() == []

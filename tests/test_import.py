@@ -200,3 +200,40 @@ def test_import_clone_and_branch_compose(spark, tmp_path):
     t.fast_forward("dev")
     rows = {r.doc_id: r.text for r in read_clean(t).collect()}
     assert rows[7] == "branched" and len(rows) == 100
+
+
+def test_import_skips_hidden_dir_residue(spark, tmp_path):
+    """Files under `_`/`.`-prefixed DIRECTORIES (crashed-Spark-job
+    `_temporary` residue) are excluded from adoption, matching the
+    Hadoop hidden-path rule the validation/schema pass applies.
+    Regression: only basenames were filtered, so residue duplicating
+    committed keys was adopted PAST the duplicate-key validation —
+    un-arbitrated duplicates at a shared LSN 0."""
+    src = _src(spark, tmp_path)
+    resid = os.path.join(src, "_temporary", "0", "task_1")
+    os.makedirs(resid)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [(5, "residue duplicate of doc 5", "en")], schema
+    ).coalesce(1).write.parquet(os.path.join(resid, "dup"))
+    # move the parquet part up so only the _temporary ancestor is hidden
+    import glob as _glob
+    import shutil as _shutil
+
+    part = _glob.glob(os.path.join(resid, "dup", "*.parquet"))[0]
+    _shutil.move(part, os.path.join(resid, "part-00000.parquet"))
+    _shutil.rmtree(os.path.join(resid, "dup"))
+
+    t = LakeTable.import_dataset(
+        spark, src, str(tmp_path / "t"), key=["doc_id"], validate=True
+    )
+    rows = read_clean(t).where(F.col("doc_id") == 5).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "doc 5"
+    assert read_clean(t).count() == 100

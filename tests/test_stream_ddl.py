@@ -112,9 +112,10 @@ def test_stream_ddl_converges_after_rename_widen_drop(spark, tmp_path):
         "user", "post-ddl insert",
     )
 
-    # closed segment recorded; re-drain is a no-op (fence + SS checkpoint)
+    # consumed prefix recorded (chunk END ordinal — stable under vacuum);
+    # re-drain is a no-op (marker + fence + SS checkpoint)
     marker = json.load(open(os.path.join(t2p, "_ss_ddl_segments.json")))
-    assert marker["drained_starts"] == [0]
+    assert marker["drained_through"] == 2
     res3 = runner.stream_ddl(spark, relay, t2p, num_buckets=4)
     assert res3["batches"] == 0
     assert _state(t2, ("speaker", "text")) == _state(t1, ("speaker", "text"))
@@ -204,3 +205,134 @@ def test_stream_refuses_ddl_feed_pointing_at_stream_ddl(spark, tmp_path):
         runner.replay(spark, relay, t2p, num_buckets=4, source="s0")
     with pytest.raises(RuntimeError, match="fan-in source"):
         runner.stream_ddl(spark, relay, t2p, num_buckets=4, source="s0")
+
+
+def _post_ddl_batch(spark, t1: LakeTable, lsn: int, conv: str, text: str):
+    """One post-DDL-layout upsert batch for t1 (speaker/bigint/no tool)."""
+    base = datetime(2024, 6, 2, tzinfo=timezone.utc)
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("commit_ts", T.TimestampType(), True),
+            T.StructField("conv_id", T.StringType(), True),
+            T.StructField("turn_idx", T.LongType(), True),
+            T.StructField("speaker", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [("I", lsn, base, conv, 1, "user", text, base)], schema
+    )
+    apply_batch(t1, batch, last_applied_batch_id(t1) + 1, collect_stats=False)
+
+
+def test_stream_ddl_survives_vacuum_and_rebase(spark, tmp_path):
+    """After a caught-up replica's feed is re-anchored (publish rebase) and
+    vacuumed — which DROPS the DDL boundary chunk and merges segments —
+    the replica keeps consuming new chunks and converges.  Regression: the
+    original marker stored segment-START ordinals; vacuum shifted the
+    boundaries, the merged segment inherited 'drained', and every chunk
+    after the vacuum was silently skipped with a success result."""
+    from credix_data_pipeline_spark.operators.relay import vacuum_relay
+
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)                      # chunk 0
+    runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+    _ddl_burst(spark, t1)
+    publish_changes(t1, relay)                      # chunk 1 (DDL boundary)
+    runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2, ("speaker", "text")) == _state(t1, ("speaker", "text"))
+
+    # upstream re-anchors and vacuums: chunks 0-1 drop, boundary at 1 gone
+    _post_ddl_batch(spark, t1, 60_000_001, "convVAC1", "post-vacuum row 1")
+    publish_changes(t1, relay, rebase=True)         # chunk 2 (re-anchor)
+    assert vacuum_relay(relay)["vacuumed_chunks"] == 2
+    _post_ddl_batch(spark, t1, 60_000_002, "convVAC2", "post-vacuum row 2")
+    publish_changes(t1, relay)                      # chunk 3
+
+    res = runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+    assert res["segments_run"] >= 1 and res["batches"] >= 1
+    t2 = LakeTable.load(spark, t2p)
+    got = _state(t2, ("speaker", "text"))
+    assert got == _state(t1, ("speaker", "text"))
+    assert got[("convVAC2", 1)] == ("user", "post-vacuum row 2")
+
+
+def test_stream_ddl_fresh_bootstrap_then_resume(spark, tmp_path):
+    """A fresh replica bootstrapped at the rebase chunk of a vacuumed feed
+    keeps consuming on later calls.  Regression: the bootstrap recorded the
+    ADJUSTED segment start in the marker while resume segmented from 0, so
+    the second call raised 'vacuumed past this replica's progress' on a
+    perfectly healthy replica."""
+    from credix_data_pipeline_spark.operators.relay import vacuum_relay
+
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)                      # chunk 0
+    _ddl_burst(spark, t1)
+    publish_changes(t1, relay)                      # chunk 1 (DDL)
+    publish_changes(t1, relay, rebase=True)         # chunk 2 (re-anchor)
+    vacuum_relay(relay)
+
+    res1 = runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+    assert res1["segments_run"] == 1 and res1["ddl_applied"] == 0
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2, ("speaker", "text")) == _state(t1, ("speaker", "text"))
+
+    _post_ddl_batch(spark, t1, 61_000_001, "convBOOT", "after bootstrap")
+    publish_changes(t1, relay)                      # chunk 3
+    res2 = runner.stream_ddl(spark, relay, t2p, num_buckets=4)  # raised pre-fix
+    assert res2["batches"] >= 1
+    t2 = LakeTable.load(spark, t2p)
+    got = _state(t2, ("speaker", "text"))
+    assert got == _state(t1, ("speaker", "text"))
+    assert got[("convBOOT", 1)] == ("user", "after bootstrap")
+
+
+def test_stream_ddl_legacy_marker_migration(spark, tmp_path):
+    """A legacy drained_starts marker migrates when its boundaries still
+    exist; one referencing vanished boundaries (feed vacuumed under the old
+    format) fails loudly instead of guessing."""
+    import pytest
+
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+    _ddl_burst(spark, t1)
+    publish_changes(t1, relay)
+    runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+
+    marker = os.path.join(t2p, "_ss_ddl_segments.json")
+    with open(marker, "w") as f:
+        json.dump({"drained_starts": [0]}, f)  # the pre-fix format
+    _post_ddl_batch(spark, t1, 62_000_001, "convLEG", "post-migration")
+    publish_changes(t1, relay)
+    res = runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+    assert res["batches"] >= 1
+    t2 = LakeTable.load(spark, t2p)
+    assert _state(t2, ("speaker", "text")) == _state(t1, ("speaker", "text"))
+    assert "drained_through" in json.load(open(marker))
+
+    # a legacy marker naming a boundary that no longer exists = unknowable
+    # progress -> refuse
+    with open(marker, "w") as f:
+        json.dump({"drained_starts": [99]}, f)
+    with pytest.raises(RuntimeError, match="legacy stream_ddl marker"):
+        runner.stream_ddl(spark, relay, t2p, num_buckets=4)

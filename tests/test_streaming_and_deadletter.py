@@ -287,3 +287,141 @@ def test_stream_mode_wap_violation_fails_query_then_clean_restart(
     assert got == [
         (c, ti, x) for c, ti, x in oracle_sorted_rows(SPEC, normalize=False)
     ]
+
+
+def test_stream_available_now_ignores_uncommitted_chunk_residue(
+    spark, tmp_path
+):
+    """availableNow stream() reads exactly the chunks COMMITTED to the
+    feed manifest (brace glob).  Regression: the old open `feed/*` glob
+    also consumed chunk dirs whose manifest link never landed — the
+    data-before-link residue of a crashed or OCC-losing publish — applying
+    rows the feed never committed."""
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+
+    feed, t1p, relay, t2p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+
+    # simulate a crashed publish: a chunk dir with valid data, NO manifest
+    # entry (copy the committed chunk's files under a stray uuid dir and
+    # doctor one row so a leak is detectable)
+    import json as _json
+    import shutil as _shutil
+
+    man = _json.load(open(os.path.join(relay, "_feed.json")))
+    committed_sub = [c for c in man["chunks"] if c][0].split("/", 1)[0]
+    stray = os.path.join(relay, "deadbeef-crashed-publish")
+    _shutil.copytree(os.path.join(relay, committed_sub), stray)
+    df = spark.read.parquet(stray)
+    doctored = df.limit(1).withColumn(
+        "conv_id", F.lit("convSTRAY")
+    ).withColumn("lsn", F.lit(99_000_001).cast("long"))
+    doctored.write.mode("overwrite").parquet(stray + "_w")
+    _shutil.rmtree(stray)
+    os.rename(stray + "_w", stray)
+
+    q = runner.stream(spark, relay, t2p, num_buckets=4)
+    q.awaitTermination()
+    t2 = LakeTable.load(spark, t2p)
+    convs = {
+        r.conv_id for r in read_clean(t2).select("conv_id").collect()
+    }
+    assert "convSTRAY" not in convs
+    # and the committed rows all arrived
+    assert read_clean(t2).count() == read_clean(t1).count()
+
+
+def test_stream_vacuumed_feed_refused_with_checkpoint_fresh_bootstraps(
+    spark, tmp_path
+):
+    """stream() cannot prove an existing replica consumed a vacuumed span
+    (its progress is inside the SS checkpoint) — refuse; a FRESH replica
+    bootstraps at the rebase chunk."""
+    from credix_data_pipeline_spark.operators.relay import (
+        publish_changes,
+        vacuum_relay,
+    )
+
+    feed, t1p, relay, t2p, t3p = (
+        str(tmp_path / d) for d in ("feed", "t1", "relay", "t2", "t3")
+    )
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+    q = runner.stream(spark, relay, t2p, num_buckets=4)
+    q.awaitTermination()
+
+    publish_changes(t1, relay, rebase=True)
+    vacuum_relay(relay)
+
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        runner.stream(spark, relay, t2p, num_buckets=4)
+
+    # fresh replica: live chunks start at the rebase re-anchor
+    q = runner.stream(spark, relay, t3p, num_buckets=4)
+    q.awaitTermination()
+    t3 = LakeTable.load(spark, t3p)
+    a = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in read_clean(t1).select("conv_id", "turn_idx", "text").collect()
+    )
+    b = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in read_clean(t3).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert a == b
+
+
+def test_guard_continuous_batch(spark, tmp_path):
+    """The per-batch gate continuous streams run: DDL channel, mid-stream
+    schema adds, and uncommitted chunk dirs all raise; a clean batch passes
+    with the helper column dropped."""
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+    from credix_data_pipeline_spark.streaming.runner import (
+        _guard_continuous_batch,
+    )
+
+    feed, t1p, relay = (str(tmp_path / d) for d in ("feed", "t1", "relay"))
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, t1p, chunks_per_batch=2, num_buckets=8)
+    t1 = LakeTable.load(spark, t1p)
+    publish_changes(t1, relay)
+
+    import json as _json
+
+    man = _json.load(open(os.path.join(relay, "_feed.json")))
+    pinned = {f["name"] for f in man["schema"]["fields"]}
+    sub = [c for c in man["chunks"] if c][0].split("/", 1)[0]
+    committed_file = "file://" + os.path.join(
+        os.path.abspath(relay), sub, "part-0.parquet"
+    )
+    stray_file = "file://" + os.path.join(
+        os.path.abspath(relay), "deadbeef-stray", "part-0.parquet"
+    )
+    batch_ok = spark.createDataFrame(
+        [("a", committed_file)], "conv_id string, _graft_src_file string"
+    )
+    out = _guard_continuous_batch(relay, pinned, batch_ok)
+    assert "_graft_src_file" not in out.columns
+
+    batch_bad = spark.createDataFrame(
+        [("a", stray_file)], "conv_id string, _graft_src_file string"
+    )
+    with pytest.raises(RuntimeError, match="not committed"):
+        _guard_continuous_batch(relay, pinned, batch_bad)
+
+    # feed schema gained a column after the stream pinned its own
+    with pytest.raises(RuntimeError, match="evolved mid-stream"):
+        _guard_continuous_batch(relay, pinned - {"text"}, batch_ok)
+
+    # feed gained a DDL channel
+    t1.rename_column("role", "speaker")
+    publish_changes(t1, relay)
+    with pytest.raises(RuntimeError, match="DDL channel"):
+        _guard_continuous_batch(relay, pinned, batch_ok)

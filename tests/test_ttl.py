@@ -434,3 +434,43 @@ def test_ttl_mor_posdel_equals_cow(spark, tmp_path):
     # compaction after TTL still collapses cleanly
     mor.compact()
     assert _payload(mor) == _payload(cow)
+
+
+def test_ttl_policy_requires_ts_column(spark, tmp_path):
+    """retention.ttl-* is refused at DECLARATION on a table with no
+    timestamp ``ts`` column, and a policy stranded by a later
+    drop_column('ts') makes maintain() SKIP the TTL (surfaced in the
+    plan) instead of crashing mid-run and aborting the compaction and
+    retention work it also owns."""
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.operators.maintenance import (
+        maintain,
+        plan_maintenance,
+    )
+
+    # (a) no ts column at all -> refused when SET
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("note", T.StringType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+        ]
+    )
+    t0 = LakeTable.create(
+        spark, str(tmp_path / "nots"), schema,
+        key=["conv_id", "turn_idx"], num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="timestamp 'ts' column"):
+        t0.alter_properties({"retention.ttl-days": "30"})
+
+    # (b) policy set while ts existed, then ts dropped -> skip, not crash
+    t = _replay(spark, tmp_path, name="drop_ts")
+    t.alter_properties({"retention.ttl-days": "30"})
+    t.drop_column("ts")
+    plan = plan_maintenance(t)
+    assert plan["ttl"] is not None and "skipped" in plan["ttl"]
+    rep = maintain(t)  # pre-fix: ValueError aborted the whole run
+    assert "skipped" in rep["ttl"]
+    assert "compacted" in rep  # the rest of the policy still evaluated
