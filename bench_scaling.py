@@ -119,19 +119,34 @@ def _worker(cpus: int, feed: str, warm_feed: str) -> None:
         t0 = time.monotonic()
         stats = runner.replay(
             spark, feed, os.path.join(work, "t"),
-            # one chunk-exhausting batch: the serial per-batch driver work
-            # (profile collect, checkpoint fsync, manifest commit, listing)
-            # is Amdahl overhead whose share quadruples at 4N cores — the
-            # metric is sustained batch-compute throughput, so use the
-            # fewest batches the feed allows at every level alike
-            chunks_per_batch=32, num_buckets=32,
+            # one chunk-exhausting batch by default: the serial per-batch
+            # driver work (profile collect, checkpoint fsync, manifest
+            # commit, listing) is Amdahl overhead whose share quadruples
+            # at 4N cores — the metric is sustained batch-compute
+            # throughput, so use the fewest batches the feed allows at
+            # every level alike.  SPARK_GRAFT_SCALE_CPB overrides for the
+            # multi-batch SUSTAINED runs (the 64M-event table), where the
+            # growing-table re-merge cost is the thing being measured.
+            chunks_per_batch=int(os.environ.get("SPARK_GRAFT_SCALE_CPB", "32")),
+            num_buckets=32,
             transform=with_normalized_text, collect_stats=False,
         )
         wall = time.monotonic() - t0
+        rows = None
+        if os.environ.get("SPARK_GRAFT_SCALE_COUNT"):
+            # replay-determinism evidence for the sustained table: the
+            # final live-row count must be identical across levels/rounds
+            from credix_data_pipeline_spark.lakehouse import LakeTable
+            from credix_data_pipeline_spark.operators.apply import read_clean
+
+            rows = read_clean(
+                LakeTable.load(spark, os.path.join(work, "t"))
+            ).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
                       "batches": stats.batches,
+                      "final_rows": rows,
                       "profile_sec": round(stats.profile_ms / 1000, 3),
                       "merge_sec": round(stats.merge_ms / 1000, 3)}))
 

@@ -40,6 +40,7 @@ pipeline.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -259,6 +260,13 @@ class Catalog:
                         t, sid = spec, spec.current().snapshot_id
                     sid = int(sid)
                     t.snapshot(sid)  # must exist NOW (publish-time check)
+                    # register the path BEFORE tagging: expire() must be
+                    # able to find this table's tags even when every
+                    # catalog version naming it has been dropped (or the
+                    # publish crashes right after tagging) — without the
+                    # registry such a tag pins the table's snapshot
+                    # forever (unbounded retention leak)
+                    self._register_path(t.path)
                     tag = self._tag_name(next_v, name)
                     t.tag(tag, snapshot_id=sid)
                     created.append((t, tag))
@@ -386,6 +394,39 @@ class Catalog:
         return names
 
     # -------------------------------------------------------------- retention
+    def _register_path(self, path: str) -> None:
+        """Record ``path`` in the catalog's append-only pinned-path
+        registry (``_pins/``; one marker file per path, content-stable so
+        concurrent publishers racing on the same path write identical
+        bytes).  ``expire()`` unions the registry into its tag sweep: a
+        table whose last NAMING catalog version is dropped — or whose
+        publish crashed right after tagging — would otherwise never be
+        visited again and its pin tag would protect a snapshot forever."""
+        d = os.path.join(self.root, "_pins")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.abspath(path)
+        fp = os.path.join(
+            d, hashlib.sha1(p.encode()).hexdigest()[:16] + ".json"
+        )
+        if os.path.exists(fp):
+            return
+        tmp = fp + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"path": p}, f)
+        os.replace(tmp, fp)
+
+    def _registered_paths(self) -> dict[str, str]:
+        """marker-file path -> registered table path."""
+        d = os.path.join(self.root, "_pins")
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, str] = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json") and ".tmp-" not in fn:
+                with open(os.path.join(d, fn)) as f:
+                    out[os.path.join(d, fn)] = json.load(f)["path"]
+        return out
+
     def expire(self, keep_last: int = 5, grace_ms: int = 900_000) -> dict:
         """Drop catalog versions older than the newest ``keep_last`` and
         sweep this catalog's tags whose pinned STATE no longer appears in
@@ -409,6 +450,12 @@ class Catalog:
                 still_pinned.add((ent["path"], int(ent["snapshot_id"])))
         for v in doomed:
             paths.update(e["path"] for e in self._read(v).tables.values())
+        # the registry covers tables whose last NAMING version is being
+        # (or was previously) dropped, and crash residue from publishes
+        # that tagged but never committed — neither appears in any
+        # retained/doomed version, so without it their tags leak forever
+        registry = self._registered_paths()
+        paths.update(registry.values())
         for v in doomed:
             os.unlink(os.path.join(self.root, f"v{v}.json"))
         from credix_data_pipeline_spark.lakehouse.table import META_DIR
@@ -416,6 +463,7 @@ class Catalog:
         now = _now_ms()
         prefix = f"tag-catalog-{self.cid}-"
         dropped_tags = 0
+        tags_left: set[str] = set()
         for path in sorted(paths):
             meta_dir = os.path.join(path, META_DIR)
             if not os.path.isdir(meta_dir):
@@ -426,9 +474,26 @@ class Catalog:
                 with open(os.path.join(meta_dir, fn)) as f:
                     m = json.load(f)
                 if (path, int(m["snapshot_id"])) in still_pinned:
+                    tags_left.add(path)
                     continue
                 if now - int(m.get("created_at_ms", 0)) < grace_ms:
+                    tags_left.add(path)
                     continue  # possibly an in-flight publish's pin
                 os.unlink(os.path.join(meta_dir, fn))
                 dropped_tags += 1
+        # prune registry markers whose path holds no remaining catalog
+        # tags and appears in no retained version — nothing left to
+        # sweep.  Same grace window as tags: a concurrent publish
+        # registers BEFORE tagging, so a younger marker may belong to a
+        # tag that lands a moment later.
+        live_paths = {p for p, _ in still_pinned} | tags_left
+        for marker, path in registry.items():
+            if path in live_paths:
+                continue
+            try:
+                if now - os.path.getmtime(marker) * 1000 < grace_ms:
+                    continue
+                os.unlink(marker)
+            except FileNotFoundError:
+                pass
         return {"expired_versions": doomed, "dropped_tags": dropped_tags}

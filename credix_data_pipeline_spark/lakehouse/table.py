@@ -805,6 +805,13 @@ class LakeTable:
             file_stats=dict(target.file_stats),
             ts_stats=dict(target.ts_stats),
             delete_files=dict(target.delete_files),
+            # the position-delete INVARIANT is a property of the target's
+            # FILE SET, not of the current snapshot: rolling back from a
+            # compacted (mor_deletes=True) state to a blind-append-era
+            # target must also roll the flag back, or reads take the
+            # anti-join path over multi-version files and return
+            # duplicate keys
+            mor_deletes=target.mor_deletes,
             eq_deletes=list(target.eq_deletes),
             # the target's file sequence numbers must roll back WITH its
             # files: backfilling re-appearing files at the NEW version
@@ -875,8 +882,17 @@ class LakeTable:
             for fl in snap.files.values()
             for f in fl
         }
-        if pin:
-            self.tag(f"clone-{snap.snapshot_id}", snap.snapshot_id)
+        # unique per-clone pin (catalog-tag nonce pattern): two clones cut
+        # from the same snapshot must not collide on the tag name, and
+        # must not SHARE one pin — deleting clone #1 (untag) would strip
+        # clone #2's retention protection.  The clone records its own tag
+        # name in the commit summary so delete/materialize workflows untag
+        # exactly their pin.
+        pin_tag = (
+            f"clone-{snap.snapshot_id}-{uuid.uuid4().hex[:8]}" if pin else None
+        )
+        if pin_tag:
+            self.tag(pin_tag, snap.snapshot_id)
         dest._commit(
             parent=None,
             version_base=snap.version + 1,
@@ -893,6 +909,7 @@ class LakeTable:
                 "operation": "clone",
                 "clone_source": os.path.abspath(self.path),
                 "clone_source_snapshot_id": snap.snapshot_id,
+                "clone_pin_tag": pin_tag,
             },
             merge_mode=snap.merge_mode,
             column_ids=dict(snap.column_ids),
@@ -1150,6 +1167,28 @@ class LakeTable:
         if self._is_published(br):
             return cur  # nothing unpublished — no-op
         base_version = int(props["branch.base-version"])
+        if (
+            cur.summary.get("operation") == "fast-forward"
+            and cur.summary.get("branch") == name
+            and cur.summary.get("branch_snapshot_id") == head.snapshot_id
+        ):
+            # crash-recovery: the adoption commit already landed but the
+            # bookkeeping after it (main tag re-point + branch published
+            # properties) didn't — finish those idempotently instead of
+            # failing the retry on the ancestor rule (main moved by the
+            # adoption commit itself)
+            try:
+                self.untag(f"branch-{name}")
+            except KeyError:
+                pass
+            self.tag(f"branch-{name}", cur.snapshot_id)
+            br.alter_properties(
+                {
+                    "branch.base-version": str(cur.version),
+                    "branch.published-snapshot-id": str(eff.snapshot_id),
+                }
+            )
+            return cur
         if cur.version != base_version:
             raise CommitConflict(
                 f"main moved (v{cur.version}) since branch {name!r} forked "
@@ -1163,6 +1202,16 @@ class LakeTable:
                 if os.path.isabs(p)
                 else os.path.abspath(os.path.join(br.path, p))
             )
+
+        # Pin the published head on the BRANCH *before* main's adoption
+        # commit references its files: a crash between the two leaves only
+        # a harmless extra pin (dropped with the branch), whereas the old
+        # commit-then-pin order left main referencing branch files that
+        # branch retention was free to delete.
+        try:
+            br.tag(f"ff-{head.snapshot_id}", head.snapshot_id)
+        except CommitConflict:
+            pass  # re-published after a crash — pin already present
 
         new = self._commit(
             parent=cur,
@@ -1204,14 +1253,10 @@ class LakeTable:
                 if not k.startswith("branch.")
             },
         )
-        # Pin the published head on the BRANCH (branch retention must not
-        # age out files main now references) and the adoption commit on
-        # MAIN (main retention must not age it out while the branch lives);
-        # both pins drop with the branch.
-        try:
-            br.tag(f"ff-{head.snapshot_id}", head.snapshot_id)
-        except CommitConflict:
-            pass  # re-published after a crash — pin already present
+        # The ff pin on the BRANCH landed before the adoption commit (see
+        # above); re-point the adoption pin on MAIN (main retention must
+        # not age the adoption out while the branch lives).  Both pins
+        # drop with the branch.
         try:
             self.untag(f"branch-{name}")
         except KeyError:
@@ -1294,6 +1339,20 @@ class LakeTable:
         snap = self.current()
         props = dict(snap.properties)
         for k, v in (set_props or {}).items():
+            if k == "compaction.sort-order":
+                # fail at DECLARATION (same rule as the TTL keys): a
+                # sort order naming unknown columns would otherwise fail
+                # every scheduled maintain()/compact() run instead
+                unknown = [
+                    c
+                    for c in self._sort_order_cols(str(v))
+                    if c not in {f.name for f in snap.schema.fields}
+                ]
+                if unknown:
+                    raise ValueError(
+                        f"compaction.sort-order references unknown "
+                        f"column(s) {unknown}"
+                    )
             if k in ("retention.ttl-ms", "retention.ttl-days"):
                 # fail at DECLARATION, not in the middle of a scheduled
                 # maintain() run: row TTL is planned/applied over the
@@ -1410,21 +1469,52 @@ class LakeTable:
                 if s is not None:
                     stats[rel] = s
         # Event-time bounds (same footer-read rule, epoch-ms ints): carried
-        # for survivors, read once for files new in this commit.
-        tstats = {
-            p: s
-            for p, s in (
-                ts_stats
-                if ts_stats is not None
-                else (parent.ts_stats if parent else {})
-            ).items()
-            if p in live_files
-        }
+        # for survivors, read once for files new in this commit.  Stats
+        # are only valid for the FIELD ID currently bound to the logical
+        # ``ts`` column: a drop+re-add or a rename onto/away from ``ts``
+        # re-binds the name, after which old files' PHYSICAL ts column is
+        # a retired field that reads as NULL (or a different column
+        # entirely) — trusting its bounds would let ``delete_older_than``
+        # metadata-drop rows whose logical ts is NULL and let
+        # ``read(ts_between=…)`` skip in-window rows.  So: a ts-binding
+        # change clears every carried stat, and the footer backfill only
+        # runs for files whose write-time registry binds physical ``ts``
+        # to the SAME id (dirs without a registry record predate all DDL
+        # on this table — any DDL registers every live dir — so their
+        # physical ts IS the current binding).
+        ts_id = ids.get("ts")
+        # explicit ts_stats come from one coherent snapshot together with
+        # the ids (rollback/fast-forward/clone) — only stats INHERITED
+        # from the parent can be stale against a new binding
+        ts_rebound = (
+            ts_stats is None
+            and parent is not None
+            and parent.column_ids.get("ts") != ts_id
+        )
+        tstats = (
+            {}
+            if ts_rebound
+            else {
+                p: s
+                for p, s in (
+                    ts_stats
+                    if ts_stats is not None
+                    else (parent.ts_stats if parent else {})
+                ).items()
+                if p in live_files
+            }
+        )
         if any(
             f.name == "ts" and isinstance(f.dataType, T.TimestampType)
             for f in schema.fields
         ):
             for rel in sorted(live_files - set(tstats)):
+                rec = dsch.get(_commit_dir(rel))
+                if (
+                    rec is not None
+                    and rec.get("ids", {}).get("ts") != ts_id
+                ):
+                    continue  # physical ts is a retired/other field
                 s = self._footer_stats(rel, "ts")
                 if s is not None:
                     tstats[rel] = s
@@ -1541,13 +1631,14 @@ class LakeTable:
         column / all-null / unreadable — the file is then never skipped)."""
         return self._footer_stats(rel_path, "_lsn")
 
-    def _footer_stats(self, rel_path: str, col: str) -> list[int] | None:
-        """[min, max] of ``col`` from the parquet footer as ints (epoch ms
-        for timestamp columns), or None (missing column / all-null /
-        unreadable — the file is then never skipped)."""
+    def _footer_profile(self, rel_path: str, col: str):
+        """One parquet-footer open serving every footer-proof consumer:
+        ``(groups, col_present)`` where ``groups`` is the per-row-group
+        ``statistics`` list (None entries for stat-less groups), or None
+        when the footer is unreadable.  The scaffolding lives HERE alone —
+        the _footer_stats/_null_free/_all_null front-ends interpret the
+        same profile under their own proof rules."""
         try:
-            import datetime as _dt
-
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
@@ -1557,6 +1648,23 @@ class LakeTable:
                     idx = i
                     break
             if idx is None:
+                return [], False
+            return [
+                md.row_group(rg).column(idx).statistics
+                for rg in range(md.num_row_groups)
+            ], True
+        except Exception:
+            return None
+
+    def _footer_stats(self, rel_path: str, col: str) -> list[int] | None:
+        """[min, max] of ``col`` from the parquet footer as ints (epoch ms
+        for timestamp columns), or None (missing column / all-null /
+        unreadable — the file is then never skipped)."""
+        try:
+            import datetime as _dt
+
+            prof = self._footer_profile(rel_path, col)
+            if prof is None or not prof[1]:
                 return None
 
             def _ms(v):
@@ -1570,8 +1678,7 @@ class LakeTable:
                 return int(v)
 
             lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
+            for st in prof[0]:
                 if st is None or not st.has_min_max:
                     # all-null row groups carry no min/max; if the whole
                     # group is null the file still has no usable bound
@@ -2284,21 +2391,15 @@ class LakeTable:
         file.  Unknown (missing stats, unreadable) is False — callers must
         then take the safe path."""
         try:
-            import pyarrow.parquet as pq
-
-            md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
-            idx = None
-            for i in range(md.num_columns):
-                if md.schema.column(i).name == col:
-                    idx = i
-                    break
-            if idx is None:
+            prof = self._footer_profile(rel_path, col)
+            if prof is None or not prof[1]:
                 return False
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or st.null_count is None or st.null_count > 0:
-                    return False
-            return True
+            return all(
+                st is not None
+                and st.null_count is not None
+                and st.null_count == 0
+                for st in prof[0]
+            )
         except Exception:
             return False
 
@@ -2307,21 +2408,17 @@ class LakeTable:
         in the file — then no row of it can ever satisfy a ``col``-based
         predicate.  Unknown is False."""
         try:
-            import pyarrow.parquet as pq
-
-            md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
-            idx = None
-            for i in range(md.num_columns):
-                if md.schema.column(i).name == col:
-                    idx = i
-                    break
-            if idx is None:
+            prof = self._footer_profile(rel_path, col)
+            if prof is None:
+                return False
+            if not prof[1]:
                 return True  # column not stored: reads project NULL
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or st.num_values is None or st.num_values > 0:
-                    return False
-            return True
+            return all(
+                st is not None
+                and st.num_values is not None
+                and st.num_values == 0
+                for st in prof[0]
+            )
         except Exception:
             return False
 
@@ -2736,6 +2833,17 @@ class LakeTable:
             raise KeyError(f"no field {field!r} in struct {parent!r}")
         return parent, field
 
+    @staticmethod
+    def _sort_order_cols(order: str) -> list[str]:
+        """Column names a ``compaction.sort-order`` value references —
+        both the plain ``a,b`` list and the ``zorder(a,b)`` form."""
+        from credix_data_pipeline_spark.lakehouse.zorder import parse_zorder
+
+        z = parse_zorder(order)
+        return z if z is not None else [
+            c.strip() for c in order.split(",") if c.strip()
+        ]
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Metadata-only column rename (Iceberg ALTER TABLE RENAME COLUMN).
 
@@ -2812,6 +2920,21 @@ class LakeTable:
         for k in list(ids):
             if k.startswith(old + "."):
                 ids[new + k[len(old):]] = ids.pop(k)
+        # properties referencing the column follow the rename (a rename
+        # keeps the column's meaning) — otherwise the next scheduled
+        # maintain()/compact() raises on an unknown sort column forever
+        props = None
+        order = snap.properties.get("compaction.sort-order")
+        if order and old in self._sort_order_cols(order):
+            cols = [
+                new if c == old else c for c in self._sort_order_cols(order)
+            ]
+            props = dict(snap.properties)
+            props["compaction.sort-order"] = (
+                f"zorder({','.join(cols)})"
+                if order.strip().lower().startswith("zorder(")
+                else ",".join(cols)
+            )
         return self._commit(
             parent=snap,
             schema=T.StructType(new_fields),
@@ -2822,6 +2945,7 @@ class LakeTable:
             summary={"operation": "rename-column", "from": old, "to": new},
             column_ids=ids,
             dir_schemas=dirs,
+            properties=props,
         )
 
     def drop_column(self, name: str) -> Snapshot:
@@ -2863,6 +2987,13 @@ class LakeTable:
             raise ValueError(f"cannot drop key/bucket column {name!r}")
         if name.startswith("_"):
             raise ValueError(f"cannot drop engine column {name!r}")
+        order = snap.properties.get("compaction.sort-order")
+        if order and name in self._sort_order_cols(order):
+            raise ValueError(
+                f"column {name!r} is referenced by compaction.sort-order="
+                f"{order!r}; unset or change the property first (else "
+                "every later maintain()/compact() fails on it)"
+            )
         dirs = self._dirs_registered(snap)
         return self._commit(
             parent=snap,
@@ -2996,17 +3127,12 @@ class LakeTable:
         """Fence / high-water summary keys from the newest commits that set
         them.  Maintenance commits (compact, expire-tombstones) merge this
         into their own summary so retention can never bury the exactly-once
-        fence or an incremental model's high-water (ADVICE r2)."""
-        want = ("batch_id", "fences", "lsn_min", "lsn_max", "source_lsn_hw",
-                "source_snapshot_id")
-        out: dict[str, Any] = {}
-        for snap in reversed(self.history()):
-            for k in want:
-                if k in snap.summary and k not in out:
-                    out[k] = snap.summary[k]
-            if "batch_id" in out and "source_lsn_hw" in out:
-                break
-        return out
+        fence or an incremental model's high-water (ADVICE r2).
+
+        Exactly ``_fence_as_of`` at the current version — ONE walk owns
+        the fence key list, so a new fence key can never reach one path
+        and miss the other."""
+        return self._fence_as_of(self.current().version)
 
     def compact(
         self,
@@ -3057,6 +3183,26 @@ class LakeTable:
         eq_buckets = {
             int(b) for e in snap.eq_deletes for b in e["buckets"]
         }
+        # adopted references (clone_to / import_dataset) live OUTSIDE this
+        # table's root; compaction is the documented deep-copy-on-demand,
+        # so such buckets always rewrite — otherwise a clone of an
+        # already-compacted source is a permanent compact() no-op and the
+        # docstring's "untag when fully materialized" workflow would let
+        # source retention delete files the clone still references.
+        # (Branch files under ``_branches/`` are INSIDE the root: ff
+        # adoption keeps its ownership-transfer semantics.)
+        root_prefix = os.path.abspath(self.path) + os.sep
+
+        def _external(f: str) -> bool:
+            return os.path.isabs(f) and not os.path.abspath(f).startswith(
+                root_prefix
+            )
+
+        ext_buckets = {
+            int(b)
+            for b, fl in snap.files.items()
+            if any(_external(f) for f in fl)
+        }
         if snap.merge_mode == "mor" and not snap.mor_deletes:
             # invariant broken (blind appends): rewrite every non-empty
             # bucket — any single file may hide multiple key versions
@@ -3072,6 +3218,7 @@ class LakeTable:
                     len(snap.files[str(b)]) > 1
                     or snap.delete_files.get(str(b))
                     or b in eq_buckets
+                    or b in ext_buckets
                 )
             ]
         else:
@@ -3084,7 +3231,7 @@ class LakeTable:
                 fl = snap.files.get(str(b), [])
                 if not fl:
                     return False
-                if len(fl) > 1 or b in eq_buckets:
+                if len(fl) > 1 or b in eq_buckets or b in ext_buckets:
                     return True
                 return any(
                     not _dir_compatible(

@@ -801,11 +801,7 @@ def cmd_clone(args) -> int:
                 "files_referenced": sum(
                     len(fl) for fl in snap.files.values()
                 ),
-                "pinned_tag": (
-                    None
-                    if args.no_pin
-                    else f"clone-{snap.summary['clone_source_snapshot_id']}"
-                ),
+                "pinned_tag": snap.summary.get("clone_pin_tag"),
             }
         )
     )

@@ -472,3 +472,49 @@ def test_trailing_set_properties_does_not_unpublish(spark, tmp_path):
     # drop without force succeeds (nothing unpublished)
     t.drop_branch("dev")
     assert t.list_branches() == []
+
+
+def test_fast_forward_crash_window_is_recoverable(spark, tmp_path, monkeypatch):
+    """The ff pin lands on the branch BEFORE main's adoption commit, and a
+    crash between the adoption commit and the bookkeeping (main tag
+    re-point + published properties) is healed by the next fast_forward.
+    Regression: the old order could leave main referencing branch files
+    with no pin, and the retry wedged forever on the ancestor rule (main
+    moved by the adoption commit itself)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(_df(spark, t, _rows(20)))
+    br0 = t.create_branch("dev")
+    br0.append(_df(spark, br0, _rows(5, lsn0=100)))
+    head_id = br0.current().snapshot_id
+
+    real = LakeTable.alter_properties
+    calls = {"n": 0}
+
+    def crash_once(self, *a, **k):
+        if "branch.published-snapshot-id" in (a[0] if a else k.get(
+            "set_props", {}
+        )) and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before branch bookkeeping")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "alter_properties", crash_once)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.fast_forward("dev")
+    monkeypatch.setattr(LakeTable, "alter_properties", real)
+
+    # mid-crash invariants: adoption landed AND the branch head is pinned
+    cur = t.current()
+    assert cur.summary["operation"] == "fast-forward"
+    assert f"ff-{head_id}" in t.branch("dev").tags()
+    assert not LakeTable._is_published(t.branch("dev"))
+
+    healed = t.fast_forward("dev")  # raised CommitConflict pre-fix
+    assert healed.version == cur.version  # no duplicate adoption commit
+    assert LakeTable._is_published(t.branch("dev"))
+    assert t.tags()[f"branch-dev"] == cur.snapshot_id
+    # branch lifecycle continues normally
+    br = t.branch("dev")
+    br.append(_df(spark, br, _rows(3, lsn0=200)))
+    t.fast_forward("dev")
+    assert LakeTable._is_published(t.branch("dev"))

@@ -450,3 +450,36 @@ def test_catalog_rollback(spark, tmp_path, capsys):
     assert out["summary"]["to_version"] == cv.version
     assert out["tables"]["silver"]["snapshot_id"] == \
         cv.tables["silver"]["snapshot_id"]
+
+
+def test_expire_sweeps_tags_of_tables_dropped_from_every_version(
+    spark, tmp_path
+):
+    """Regression: a pin tag spared by the grace window whose last NAMING
+    catalog version was expired in the same run could never be visited
+    again (expire builds its path set from retained+doomed versions only)
+    — the tag then pinned the table's snapshot forever.  The pinned-path
+    registry closes the hole."""
+    _, silver, gold = _pipeline(spark, tmp_path)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    cat.publish({"silver": silver})          # v2 pins silver
+    cat.publish({"gold": gold}, drop=["silver"])  # v3: silver dropped
+    cat.publish({"gold": gold})              # v4
+    cat.publish({"gold": gold})              # v5
+
+    def _cat_tags(t):
+        return [n for n in t.tags() if n.startswith(f"catalog-{cat.cid}-")]
+
+    assert _cat_tags(silver)
+    # first expire: versions naming silver are dropped, but the GRACE
+    # window spares its fresh tag — the pre-fix path set never contains
+    # silver again after this run
+    cat.expire(keep_last=1, grace_ms=10**12)
+    assert _cat_tags(silver), "grace must spare the young tag"
+    # second expire past the grace: the registry still knows silver's
+    # path, so the stale tag is swept (leaked forever pre-fix)
+    rep = cat.expire(keep_last=1, grace_ms=0)
+    assert not _cat_tags(silver)
+    assert rep["dropped_tags"] >= 1
+    # gold's live pin is untouched
+    assert _cat_tags(gold)

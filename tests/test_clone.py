@@ -76,8 +76,11 @@ def test_clone_is_zero_copy_and_byte_equal(spark, tmp_path, source):
     assert snap.column_ids == src.current().column_ids
     assert snap.num_buckets == src.current().num_buckets
 
-    # the source snapshot is pinned by a tag
-    assert f"clone-{src.current().snapshot_id}" in src.tags()
+    # the source snapshot is pinned by a per-clone tag (nonce suffix so a
+    # second clone of the same snapshot neither collides nor shares a pin)
+    pin_tag = snap.summary["clone_pin_tag"]
+    assert pin_tag.startswith(f"clone-{src.current().snapshot_id}-")
+    assert src.tags()[pin_tag] == src.current().snapshot_id
 
 
 def test_clone_diverges_cow_both_directions(spark, tmp_path, source):
@@ -241,3 +244,48 @@ def test_clone_rejects_existing_dest_and_double_probe(spark, tmp_path,
         src.clone_to(dest, pin=False)
     with pytest.raises(ValueError):
         src.clone_to(str(tmp_path / "x"), snapshot_id=1, as_of_ms=1)
+
+
+def test_compact_fully_materializes_compacted_source_clone(
+    spark, tmp_path, source
+):
+    """compact() must deep-copy EVERY adopted reference, including
+    single-file delete-free buckets.  Regression: a clone of an
+    already-compacted source was a permanent compact() no-op, so the
+    docstring's 'untag when fully materialized' workflow let source
+    retention delete files the clone still referenced."""
+    _, src = source
+    src.compact()  # one file per bucket: the no-op-hazard layout
+    dest = src.clone_to(str(tmp_path / "dev"))
+    before = _state(dest)
+
+    dest.compact()
+    snap = dest.current()
+    assert all(
+        not os.path.isabs(f) for fl in snap.files.values() for f in fl
+    ), "materialized clone must hold no external references"
+    assert _state(dest) == before
+
+    # the documented workflow ('untag when fully materialized') is safe now
+    src.untag(dest.history()[0].summary["clone_pin_tag"])
+    assert _state(dest) == before
+
+
+def test_two_clones_of_same_snapshot_pin_independently(
+    spark, tmp_path, source
+):
+    """Regression: the shared tag name clone-<sid> made a second clone of
+    the same snapshot raise CommitConflict, and (had it been pre-dropped)
+    both clones would have SHARED one pin — deleting clone #1 stripped
+    clone #2's retention protection."""
+    _, src = source
+    d1 = src.clone_to(str(tmp_path / "dev1"))
+    d2 = src.clone_to(str(tmp_path / "dev2"))  # raised pre-fix
+    t1 = d1.current().summary["clone_pin_tag"]
+    t2 = d2.current().summary["clone_pin_tag"]
+    assert t1 != t2
+    sid = src.current().snapshot_id
+    assert src.tags()[t1] == sid and src.tags()[t2] == sid
+    # deleting clone #1 releases ONLY its own pin
+    src.untag(t1)
+    assert t2 in src.tags()

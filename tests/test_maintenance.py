@@ -168,3 +168,35 @@ def test_cli_maintain(spark, tmp_path, capsys):
     assert cli.main(["maintain", "--table", table, "--dry-run"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["dry_run"] and rep["compact_buckets"] == []
+
+
+def test_sort_order_property_follows_column_ddl(spark, tmp_path):
+    """compaction.sort-order is validated at DECLARATION, follows a
+    rename, and blocks a drop of a referenced column.  Regression: a
+    rename left the property naming a vanished column, so every scheduled
+    maintain()/compact() raised ValueError forever."""
+    import pytest
+
+    t = _mk(spark, str(tmp_path / "t"))
+
+    _fill(spark, t, n_appends=2)
+
+    with pytest.raises(ValueError, match="unknown column"):
+        t.alter_properties({"compaction.sort-order": "zorder(nope,text)"})
+
+    t.alter_properties({"compaction.sort-order": "zorder(conv_id,turn_idx)"})
+    t.rename_column("conv_id", "conversation_id")
+    assert (
+        t.current().properties["compaction.sort-order"]
+        == "zorder(conversation_id,turn_idx)"
+    )
+    t.compact()  # raised 'unknown column(s)' pre-fix
+
+    # plain-list form follows a rename and blocks a drop too
+    t.alter_properties({"compaction.sort-order": "text"})
+    with pytest.raises(ValueError, match="referenced by compaction"):
+        t.drop_column("text")
+    t.rename_column("text", "body")
+    assert t.current().properties["compaction.sort-order"] == "body"
+    t.alter_properties(unset=["compaction.sort-order"])
+    t.drop_column("body")  # allowed once the property is gone

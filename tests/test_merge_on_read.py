@@ -369,3 +369,50 @@ def test_mor_blind_append_clears_invariant_and_merge_falls_back(
     )
     assert {r.text for r in read_clean(t).collect()} == {"v4"}
     assert t.current().all_delete_files()
+
+
+def test_rollback_restores_mor_invariant_flag(spark, tmp_path):
+    """rollback_to must roll the position-delete INVARIANT back with the
+    target's files.  Regression: mor_deletes was inherited from the
+    CURRENT snapshot, so rolling back from a compacted (invariant-true)
+    state to a blind-append-era target took the anti-join read path over
+    multi-version files and returned BOTH versions of a key."""
+    from datetime import datetime, timezone
+
+    from credix_data_pipeline_spark.schema import (
+        CHANGE_SCHEMA,
+        target_schema_for,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+        merge_mode="mor",
+    )
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            [("I", 1, base, "c0", 0, "user", "v1", None, base)],
+            CHANGE_SCHEMA,
+        ),
+        0,
+        collect_stats=False,
+    )
+    # blind append of a NEWER version of the same key: invariant cleared
+    schema = t.current().schema  # payload + _lsn/_deleted
+    t.append(
+        spark.createDataFrame(
+            [("c0", 0, "user", "v2", None, base, 2, False)], schema
+        )
+    )
+    appended = t.current()
+    assert not appended.mor_deletes
+    # full compaction collapses versions and restores the invariant
+    t.compact()
+    assert t.current().mor_deletes
+
+    rolled = t.rollback_to(appended.snapshot_id)
+    assert rolled.mor_deletes == appended.mor_deletes is False
+    rows = read_clean(t).collect()
+    assert len(rows) == 1 and rows[0].text == "v2"  # LWW, no duplicates

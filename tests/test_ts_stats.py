@@ -226,9 +226,67 @@ def test_compaction_sort_order_ts_restores_file_pruning(spark, tmp_table):
 
 
 def test_compaction_sort_order_unknown_column_refused(spark, tmp_table):
+    """Refused at DECLARATION now (hardening batch #3) — a bad sort order
+    used to surface only when the next scheduled compact()/maintain()
+    blew up.  compact() keeps its own check as defense-in-depth for
+    properties written before the eager validation existed."""
     import pytest
 
     t = _mk_days(spark, tmp_table, n_days=2)
-    t.alter_properties({"compaction.sort-order": "nope"})
+    with pytest.raises(ValueError, match="unknown"):
+        t.alter_properties({"compaction.sort-order": "nope"})
+    # defense-in-depth: a stale pre-validation property still fails loud
+    # at use, not silently
+    snap = t.current()
+    t._commit(
+        parent=snap,
+        schema=snap.schema,
+        key=snap.key,
+        bucket_by=snap.bucket_by,
+        num_buckets=snap.num_buckets,
+        files=snap.files,
+        summary={**t.carry_fence(), "operation": "set-properties"},
+        properties={**snap.properties, "compaction.sort-order": "nope"},
+    )
     with pytest.raises(ValueError, match="unknown"):
         t.compact()
+
+
+def test_ts_rebinding_invalidates_stats(spark, tmp_table):
+    """drop+re-add of ``ts`` retires the field id — old files' physical ts
+    reads as typed NULL.  Regression: ts_stats were carried by PATH across
+    the rebind, so delete_older_than metadata-dropped whole files whose
+    every logical ts is NULL (the TTL contract says NULL-ts rows survive),
+    and read(ts_between=…) skipped files by the retired column's bounds."""
+    t = _mk_days(spark, tmp_table, n_days=3)
+    n = t.read().count()
+    assert t.current().ts_stats  # recorded pre-DDL
+
+    t.drop_column("ts")
+    t.add_columns([T.StructField("ts", T.TimestampType(), True)])
+    snap = t.current()
+    assert snap.ts_stats == {}  # rebind cleared every carried stat
+
+    # a later commit must NOT backfill stats from the RETIRED physical
+    # column (dir registry binds ts to a different id)
+    t.alter_properties({"k": "v"})
+    t.append(
+        spark.createDataFrame(
+            [("convNEW", 0, "fresh", T0 + dt.timedelta(days=10), 10**9,
+              False)],
+            SCHEMA,
+        )
+    )
+    snap = t.current()
+    old_files = set(t.snapshot(t.history()[0].snapshot_id).all_files())
+    assert not (set(snap.ts_stats) & old_files)
+    # the NEW file (written under the re-added binding) gets stats again
+    assert snap.ts_stats
+
+    # TTL at a cutoff far past every old (now NULL-ts) row: nothing drops
+    cutoff = T0_MS + 100 * DAY_MS
+    t.delete_older_than(cutoff)
+    # every pre-DDL row survives (logical ts NULL — expiry unprovable);
+    # only the fresh non-NULL-ts row (day 10 < cutoff) expires
+    assert t.read().count() == n
+    assert "convNEW" not in {r.conv_id for r in t.read().collect()}
