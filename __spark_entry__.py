@@ -16,8 +16,15 @@ from credix_data_pipeline_spark.plans.cdc_replay import CDC_QUERIES
 from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
 from credix_data_pipeline_spark.plans.monitoring import MONITOR_QUERIES
 from credix_data_pipeline_spark.plans.reference_queries import QUERIES
+from credix_data_pipeline_spark.plans.temporal_ops import TEMPORAL_QUERIES
 
-ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES, **CDC_QUERIES}
+ALL_QUERIES = {
+    **QUERIES,
+    **CORPUS_QUERIES,
+    **MONITOR_QUERIES,
+    **CDC_QUERIES,
+    **TEMPORAL_QUERIES,
+}
 
 SF0001 = "/root/testdata/sf0.001"
 

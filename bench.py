@@ -71,6 +71,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
     from credix_data_pipeline_spark.plans.monitoring import MONITOR_QUERIES
     from credix_data_pipeline_spark.plans.reference_queries import QUERIES
+    from credix_data_pipeline_spark.plans.temporal_ops import TEMPORAL_QUERIES
 
     # Warm the parquet readers / codegen on every input table once so the
     # first timed query doesn't absorb one-time session setup.
@@ -97,7 +98,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # whose two trials disagree wildly is host weather, not a plan change —
     # readable from the JSON alone (VERDICT r3: self-attesting bench).
     trials: dict[str, list[float]] = {}
-    all_queries = {**QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES}
+    all_queries = {
+        **QUERIES,
+        **CORPUS_QUERIES,
+        **MONITOR_QUERIES,
+        **TEMPORAL_QUERIES,
+    }
     for trial in range(2):
         for name, (fn, _sql) in all_queries.items():
             t0 = time.monotonic()

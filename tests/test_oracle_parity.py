@@ -16,12 +16,19 @@ from credix_data_pipeline_spark.plans.cdc_replay import CDC_QUERIES
 from credix_data_pipeline_spark.plans.corpus_ops import CORPUS_QUERIES
 from credix_data_pipeline_spark.plans.monitoring import MONITOR_QUERIES
 from credix_data_pipeline_spark.plans.reference_queries import QUERIES
+from credix_data_pipeline_spark.plans.temporal_ops import TEMPORAL_QUERIES
 from tests.duck_compare import compare, compare_strict, duckdb_conn
 
 SF_FAST = "/root/testdata/sf0.001"
 SF_DRIVER = "/root/testdata/sf0.01"
 
-ALL_QUERIES = {**QUERIES, **CORPUS_QUERIES, **MONITOR_QUERIES, **CDC_QUERIES}
+ALL_QUERIES = {
+    **QUERIES,
+    **CORPUS_QUERIES,
+    **MONITOR_QUERIES,
+    **CDC_QUERIES,
+    **TEMPORAL_QUERIES,
+}
 
 
 @pytest.fixture(scope="module")

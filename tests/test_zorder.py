@@ -118,9 +118,12 @@ def test_zorder_validation(spark, tmp_path):
     )
     t.append(_grid_rows(spark, days=1, convs=4))
     t.append(_grid_rows(spark, days=1, convs=4, lsn0=999, turn0=100))
-    t.alter_properties({"compaction.sort-order": "zorder(conv_id,nope)"})
+    # validation moved to DECLARATION time (cross-feature hardening: a bad
+    # order used to fail every scheduled maintain() instead of the alter)
     with pytest.raises(ValueError, match="unknown"):
-        t.compact()
+        t.alter_properties({"compaction.sort-order": "zorder(conv_id,nope)"})
+    assert "compaction.sort-order" not in t.current().properties
+    t.compact()  # table stays healthy — the bad property never landed
 
 
 def test_zorder_constant_and_null_dimensions(spark, tmp_path):
