@@ -392,6 +392,33 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """General conditional MERGE INTO: Delta-style update/delete/insert
+    clauses for ad-hoc corrections and backfills (operators/merge.py);
+    O(dirty buckets), fence-preserving, CHECK-constraint bound."""
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.merge import merge_into
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    src = spark.read.parquet(args.src)
+    upd = {}
+    for kv in args.set or []:
+        col, _, expr = kv.partition("=")
+        if not expr:
+            raise SystemExit(f"--set needs COL=SQL_EXPR, got {kv!r}")
+        upd[col.strip()] = expr
+    res = merge_into(
+        t,
+        src,
+        when_matched_update=upd or None,
+        when_matched_delete=args.delete_when,
+        when_not_matched_insert=not args.no_insert,
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_ttl(args) -> int:
     """Row TTL / retention delete: drop rows with event time before the
     cutoff — whole files by manifest stats alone, boundary buckets by a
@@ -1089,6 +1116,32 @@ def build_parser() -> argparse.ArgumentParser:
         help="purge key columns (default: the table's bucket columns)",
     )
     pu.set_defaults(fn=cmd_purge)
+
+    mg = sub.add_parser(
+        "merge",
+        help="conditional MERGE INTO (update/delete/insert) from a parquet "
+        "source keyed like the table",
+    )
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--src", required=True, help="parquet dir of source rows")
+    mg.add_argument(
+        "--set",
+        action="append",
+        metavar="COL=SQL_EXPR",
+        help="WHEN MATCHED THEN UPDATE SET col = expr (t./s. namespaces); "
+        "repeatable",
+    )
+    mg.add_argument(
+        "--delete-when",
+        metavar="SQL_EXPR",
+        help="WHEN MATCHED AND expr THEN DELETE (t./s. namespaces)",
+    )
+    mg.add_argument(
+        "--no-insert",
+        action="store_true",
+        help="drop unmatched source rows instead of inserting them",
+    )
+    mg.set_defaults(fn=cmd_merge)
 
     tt = sub.add_parser(
         "ttl",

@@ -872,6 +872,73 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Engine extras: PIVOT (wide conditional aggregation) and CUBE (all grouping
+# sets) — the two OLAP reshapes the reference's dbt layer would reach for
+# next.  The pivot passes FIXED value lists so Spark skips the
+# distinct-values pre-job (one pass, one shuffle — the 100 TB shape);
+# missing cells coalesce to 0 on both engines.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_hourly_type_mix(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    p = (
+        e.withColumn("hour_start", F.date_trunc("hour", "ts"))
+        .groupBy("hour_start")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "hour_start",
+        *[
+            F.coalesce(F.col(v), F.lit(0)).alias(f"n_{v}")
+            for v in EVENT_TYPES
+        ],
+    )
+
+
+SQL_PIVOT_HOURLY_TYPE_MIX = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY 1
+"""
+
+
+def q_cube_daily_by_type(spark, sf_dir):
+    """CUBE over (event_type, day): every grouping set — per-cell,
+    per-type, per-day, grand total — in ONE pass; like the ROLLUP twin,
+    Spark expands the sets before the partial aggregate so the subtotals
+    ride the same shuffle (no second scan at 100 TB)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.col("ts").cast("date"))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "day", "gid", "n_events", "total_value")
+    )
+
+
+SQL_CUBE_DAILY_BY_TYPE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
 QUERIES = {
     "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -890,4 +957,6 @@ QUERIES = {
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW_ROLLUP),
     "rollup_daily_by_type": (q_rollup_daily_by_type, SQL_ROLLUP_DAILY_BY_TYPE),
     "approx_distinct_kmv": (q_approx_distinct_kmv, SQL_APPROX_DISTINCT_KMV),
+    "pivot_hourly_type_mix": (q_pivot_hourly_type_mix, SQL_PIVOT_HOURLY_TYPE_MIX),
+    "cube_daily_by_type": (q_cube_daily_by_type, SQL_CUBE_DAILY_BY_TYPE),
 }
