@@ -939,6 +939,115 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
 
 
+# ---------------------------------------------------------------------------
+# Engine extras: ordered-set aggregates (exact interpolated percentiles),
+# the analytic window-function battery, and JSON path extraction over the
+# semi-structured ``props`` column — the remaining SQL-surface families a
+# consumer of the lakehouse SQL views would reach for.
+# ---------------------------------------------------------------------------
+def q_percentile_report(spark, sf_dir):
+    """Exact interpolated percentiles per event type (ordered-set agg).
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both linearly
+    interpolate, so the values agree to rounding.  Exact percentiles sort
+    within each group; at 100 TB the swap is ``approx_percentile``
+    (t-digest, one pass, no sort) — kept exact here because the oracle
+    gate needs bit-agreement, and the KMV query already demonstrates the
+    sketch-based pattern."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_PERCENTILE_REPORT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(quantile_cont(value, 0.5)  AS DOUBLE), 4) AS p50_value,
+       ROUND(CAST(quantile_cont(value, 0.9)  AS DOUBLE), 4) AS p90_value,
+       ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_window_battery(spark, sf_dir):
+    """The analytic window-function battery over one per-user ordering —
+    rank/dense_rank/ntile/percent_rank/cume_dist/lag/lead plus a running
+    sum — every function rides the SAME exchange+sort (one shuffle on
+    user_id), which is the shape that matters at scale: N analytics for
+    the price of one sort."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.sum("value").over(wrun), 4).alias("running_value"),
+    )
+
+
+SQL_WINDOW_BATTERY = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured path: extract a JSON field from the ``props`` string
+    column (``get_json_object`` — codegen'd JVM path, no UDF), type it,
+    and aggregate.  The 100 TB note: repeated extraction belongs in a
+    silver projection (parse once, store typed) — this query IS that
+    projection plus its first consumer."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
+SQL_JSON_PROPS_STATS = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       ROUND(AVG(k), 4) AS k_avg,
+       COUNT(DISTINCT k) AS k_distinct
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "user_activity_summary": (q_user_activity_summary, SQL_USER_ACTIVITY_SUMMARY),
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -959,4 +1068,7 @@ QUERIES = {
     "approx_distinct_kmv": (q_approx_distinct_kmv, SQL_APPROX_DISTINCT_KMV),
     "pivot_hourly_type_mix": (q_pivot_hourly_type_mix, SQL_PIVOT_HOURLY_TYPE_MIX),
     "cube_daily_by_type": (q_cube_daily_by_type, SQL_CUBE_DAILY_BY_TYPE),
+    "percentile_report": (q_percentile_report, SQL_PERCENTILE_REPORT),
+    "window_battery": (q_window_battery, SQL_WINDOW_BATTERY),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
 }
