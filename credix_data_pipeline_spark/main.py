@@ -70,6 +70,12 @@ Subcommands:
 * ``fsck``      — metadata-first integrity audit (files exist, manifests
                   load, fences coherent, orphans reported); ``--deep``
                   re-checks bucket placement row-by-row
+* ``diff``      — anti-entropy divergence check between two same-layout
+                  tables (Dynamo-style): per-bucket xor-of-hash
+                  fingerprints first (no join when identical), key-level
+                  classification of divergent buckets only
+* ``repair``    — converge a replica onto its upstream via merge_into
+                  scoped to the divergent keys
 * ``ttl``       — retention delete (``DELETE WHERE ts < cutoff``): files
                   wholly below the cutoff drop by manifest ts-stats alone
                   (metadata-only), boundary buckets rewrite copy-on-write;
@@ -722,6 +728,42 @@ def cmd_fsck(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_diff(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.repair import diff_tables
+
+    spark = _spark(args)
+    d = diff_tables(
+        LakeTable.load(spark, args.left), LakeTable.load(spark, args.right)
+    )
+    out = {k: v for k, v in d.items() if k != "keys"}
+    if not d["identical"]:
+        kinds = {
+            r["kind"]: r["n"]
+            for r in d["keys"].groupBy("kind").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        out["divergent_keys"] = kinds
+        out["sample"] = [
+            r.asDict() for r in d["keys"].limit(args.sample).collect()
+        ]
+    print(json.dumps(out, sort_keys=True, default=str))
+    return 0 if d["identical"] else 1
+
+
+def cmd_repair(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.repair import repair_replica
+
+    spark = _spark(args)
+    res = repair_replica(
+        LakeTable.load(spark, args.replica),
+        LakeTable.load(spark, args.upstream),
+    )
+    print(json.dumps(res, sort_keys=True, default=str))
+    return 0
+
+
 def cmd_changes(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
     from credix_data_pipeline_spark.operators.changelog import read_changes
@@ -1009,6 +1051,28 @@ def build_parser() -> argparse.ArgumentParser:
     fk.add_argument("--table", required=True)
     fk.add_argument("--deep", action="store_true")
     fk.set_defaults(fn=cmd_fsck)
+
+    df = sub.add_parser(
+        "diff",
+        help="anti-entropy check: per-bucket fingerprints, then a "
+             "key-level diff of divergent buckets only; exit 1 if the "
+             "tables differ",
+    )
+    df.add_argument("--left", required=True)
+    df.add_argument("--right", required=True)
+    df.add_argument("--sample", type=int, default=20,
+                    help="max divergent keys to print")
+    df.set_defaults(fn=cmd_diff)
+
+    rr = sub.add_parser(
+        "repair",
+        help="converge a replica onto its upstream: merge_into scoped to "
+             "the divergent keys (upsert what upstream has, delete what "
+             "it lacks)",
+    )
+    rr.add_argument("--replica", required=True)
+    rr.add_argument("--upstream", required=True)
+    rr.set_defaults(fn=cmd_repair)
 
     rq = sub.add_parser(
         "requeue",

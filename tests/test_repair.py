@@ -1,0 +1,162 @@
+"""Anti-entropy diff + repair (operators/repair.py): a relay replica that
+an operator corrupted out-of-band is detected by per-bucket fingerprints
+(no join when identical), diffed only on the divergent buckets, and
+converged back onto the upstream via merge_into."""
+
+from __future__ import annotations
+
+import pytest
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.operators.merge import merge_into
+from credix_data_pipeline_spark.operators.relay import publish_changes
+from credix_data_pipeline_spark.operators.repair import (
+    diff_tables,
+    repair_replica,
+)
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+SPEC = FeedSpec(
+    n_events=2_000,
+    n_conversations=30,
+    turns_per_conversation=6,
+    delete_pct=5,
+    duplicate_pct=3,
+    events_per_chunk=500,
+)
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    up, rep = str(tmp_path / "up"), str(tmp_path / "rep")
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, up, chunks_per_batch=2, num_buckets=4)
+    t1 = LakeTable.load(spark, up)
+    relay = str(tmp_path / "relay")
+    publish_changes(t1, relay)
+    runner.replay(spark, relay, rep, chunks_per_batch=4, num_buckets=4)
+    return t1, LakeTable.load(spark, rep)
+
+
+def _state(t):
+    return {
+        (r.conv_id, r.turn_idx): (r.text, r.role)
+        for r in read_clean(t).collect()
+    }
+
+
+def test_converged_replica_is_identical(spark, pair):
+    up, rep = pair
+    d = diff_tables(up, rep)
+    assert d["identical"] is True
+    assert d["divergent_buckets"] == []
+
+
+def test_diff_classifies_and_scopes(spark, pair):
+    up, rep = pair
+    keys = sorted(_state(rep))
+    k_mut, k_extra_gone = keys[0], keys[1]
+    # corrupt the replica out-of-band: mutate one row, delete one row,
+    # invent one row the upstream never had
+    merge_into(
+        rep,
+        spark.createDataFrame(
+            [(k_mut[0], k_mut[1], "CORRUPTED"),
+             (k_extra_gone[0], k_extra_gone[1], None),
+             ("convGHOST", 7, "phantom")],
+            "conv_id string, turn_idx int, text string",
+        ),
+        when_matched_update={"text": "s.text"},
+        when_matched_delete="s.text IS NULL",
+        when_not_matched_insert=True,
+    )
+    d = diff_tables(up, rep)
+    assert d["identical"] is False
+    kinds = {
+        (r.conv_id, r.turn_idx): r.kind for r in d["keys"].collect()
+    }
+    assert kinds[k_mut] == "differing"
+    assert kinds[k_extra_gone] == "missing_right"  # upstream has, replica lost
+    assert kinds[("convGHOST", 7)] == "missing_left"
+    assert len(kinds) == 3
+    # phase-2 scope: at most the buckets those three keys hash to
+    assert 0 < len(d["divergent_buckets"]) <= 3
+
+
+def test_repair_converges_and_is_idempotent(spark, pair):
+    up, rep = pair
+    keys = sorted(_state(rep))
+    merge_into(
+        rep,
+        spark.createDataFrame(
+            [(keys[0][0], keys[0][1], "BAD"),
+             (keys[1][0], keys[1][1], None),
+             ("convGHOST", 7, "phantom")],
+            "conv_id string, turn_idx int, text string",
+        ),
+        when_matched_update={"text": "s.text"},
+        when_matched_delete="s.text IS NULL",
+        when_not_matched_insert=True,
+    )
+    assert _state(rep) != _state(up)
+    res = repair_replica(rep, up)
+    assert res["identical"] is False
+    assert res["upserted"] == 2 and res["deleted"] == 1
+    assert _state(rep) == _state(up)
+    assert diff_tables(up, rep)["identical"] is True
+    again = repair_replica(rep, up)
+    assert again["identical"] is True
+
+
+def test_cli_diff_and_repair(spark, pair, capsys):
+    """`diff` exits 1 with a classified JSON report on divergence and 0
+    once `repair` has converged the replica."""
+    import json
+
+    from credix_data_pipeline_spark import main as cli
+
+    up, rep = pair
+    assert cli.main(["diff", "--left", up.path, "--right", rep.path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["identical"] is True
+
+    k = sorted(_state(rep))[0]
+    merge_into(
+        rep,
+        spark.createDataFrame(
+            [(k[0], k[1], "CORRUPTED")],
+            "conv_id string, turn_idx int, text string",
+        ),
+        when_matched_update={"text": "s.text"},
+        when_not_matched_insert=False,
+    )
+    assert cli.main(["diff", "--left", up.path, "--right", rep.path]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["identical"] is False
+    assert out["divergent_keys"] == {"differing": 1}
+    assert len(out["sample"]) == 1
+
+    assert cli.main(
+        ["repair", "--replica", rep.path, "--upstream", up.path]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["upserted"] == 1 and out["deleted"] == 0
+    assert cli.main(["diff", "--left", up.path, "--right", rep.path]) == 0
+    capsys.readouterr()
+    assert _state(rep) == _state(up)
+
+
+def test_layout_mismatch_refused(spark, tmp_path, pair):
+    up, _ = pair
+    other = LakeTable.create(
+        spark,
+        str(tmp_path / "other"),
+        up.current().schema,
+        key=list(up.current().key),
+        num_buckets=up.current().num_buckets * 2,
+    )
+    with pytest.raises(ValueError, match="bucket layout"):
+        diff_tables(up, other)
