@@ -59,9 +59,24 @@ def _check_compatible(left: LakeTable, right: LakeTable):
     return ls, lp
 
 
+def _row_hash(prefix: str, cols: list[str]):
+    """Position-anchored row hash.  Spark's ``xxhash64`` SKIPS null inputs
+    (the running hash is unchanged at that position), so ``(NULL, 'v')``
+    and ``('v', NULL)`` over two same-typed columns collide — a value
+    migrated between columns would read as identical.  Interleaving each
+    column with its (never-null) nullness flag re-anchors every position.
+    """
+    parts: list = []
+    for c in cols:
+        col = F.col(f"{prefix}{c}") if prefix else F.col(c)
+        parts.append(col)
+        parts.append(col.isNull())
+    return F.xxhash64(*parts)
+
+
 def _fingerprints(t: LakeTable, cols: list[str]) -> dict[int, tuple[int, int]]:
     df = read_clean(t)
-    h = F.xxhash64(*[F.col(c) for c in cols])
+    h = _row_hash("", cols)
     rows = (
         # bit_xor: bit-granular, order-independent, overflow-free digest
         df.withColumn("_h", h)
@@ -100,8 +115,8 @@ def diff_tables(
     for k in key:
         c = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = c if cond is None else cond & c
-    lh = F.xxhash64(*[F.col(f"l.{c}") for c in cols])
-    rh = F.xxhash64(*[F.col(f"r.{c}") for c in cols])
+    lh = _row_hash("l.", cols)
+    rh = _row_hash("r.", cols)
     l = l.withColumn("_lp", F.lit(True))
     r = r.withColumn("_rp", F.lit(True))
     keys = (
@@ -140,10 +155,18 @@ def repair_replica(
     key = list(snap.key)
     keys = d["keys"].cache()
     try:
+        # One job over the (small, cached) key set drives both branches —
+        # no per-branch limit(1).count() probe jobs.
+        kinds = {
+            r["kind"]: r["n"]
+            for r in keys.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_up = sum(n for k, n in kinds.items() if k != "missing_left")
+        n_kill = kinds.get("missing_left", 0)
         up_keys = keys.filter(F.col("kind") != "missing_left").select(*key)
         src = read_clean(upstream).join(up_keys, key, "left_semi")
         res_up = {"inserted": 0, "updated": 0}
-        if src.limit(1).count():
+        if n_up:
             payload = [
                 f.name
                 for f in snap.schema.fields
@@ -157,7 +180,7 @@ def repair_replica(
             )
         kill = keys.filter(F.col("kind") == "missing_left").select(*key)
         res_del = {"deleted": 0}
-        if kill.limit(1).count():
+        if n_kill:
             res_del = merge_into(
                 replica,
                 kill,

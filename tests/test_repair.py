@@ -160,3 +160,39 @@ def test_layout_mismatch_refused(spark, tmp_path, pair):
     )
     with pytest.raises(ValueError, match="bucket layout"):
         diff_tables(up, other)
+
+
+def test_null_swap_between_columns_detected(spark, pair):
+    """Spark's xxhash64 skips NULL inputs, so a value migrated between two
+    same-typed columns (each NULL where the other is set) would hash
+    identically without position anchoring — the fingerprint must still
+    flag it (repair.py interleaves each column with its nullness)."""
+    from pyspark.sql import functions as F
+
+    up, rep = pair
+    victim = read_clean(rep).select("conv_id", "turn_idx").limit(1).collect()[0]
+    scope = lambda t: read_clean(t).filter(  # noqa: E731
+        (F.col("conv_id") == victim.conv_id)
+        & (F.col("turn_idx") == victim.turn_idx)
+    )
+    # Build the exact collision: upstream (role=NULL, text='v'), replica
+    # (role='v', text=NULL) — plain xxhash64 hashes both to the SAME value
+    # (the null column is skipped, 'v' slides into its position).
+    merge_into(
+        up,
+        scope(up).withColumn("text", F.lit("v")),
+        when_matched_update={"role": "cast(null as string)", "text": "s.text"},
+    )
+    merge_into(
+        rep,
+        scope(rep).withColumn("role", F.lit("v")),
+        when_matched_update={"role": "s.role", "text": "cast(null as string)"},
+    )
+
+    d = diff_tables(up, rep)
+    assert d["identical"] is False
+    kinds = {r["kind"] for r in d["keys"].collect()}
+    assert kinds == {"differing"}
+
+    repair_replica(rep, up)
+    assert diff_tables(up, LakeTable.load(spark, rep.path))["identical"]
