@@ -1018,6 +1018,101 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+
+def q_cdc_antientropy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy end-to-end, oracle-checked: a zero-copy clone of the
+    replayed events table is corrupted out-of-band in all three divergence
+    classes — ``user_id % 5 = 0`` keys purged (missing on the replica),
+    ``value`` of ``user_id % 5 = 2`` rows shifted (+1000, differing), and
+    ghost rows the upstream never had inserted (missing upstream) — then
+    ``diff_tables`` must localize the damage and ``repair_replica`` must
+    converge the clone back onto the upstream.  The final replica state is
+    the plain replay oracle (SQL_CDC_REPLAY_EVENTS) plus a ``was_repaired``
+    flag derived from the same deterministic corruption rule, so the oracle
+    verifies purged keys were restored bit-exact, shifted values healed,
+    and ghosts deleted.
+
+    Reference parity: the reference has no self-healing path — a bad manual
+    write to the BigQuery mart requires a full re-run of the Dagster asset
+    graph (credix_pipeline/README.md); here convergence costs O(divergent
+    buckets)."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    from credix_data_pipeline_spark.operators.merge import merge_into
+    from credix_data_pipeline_spark.operators.repair import (
+        diff_tables,
+        repair_replica,
+    )
+
+    work, _ = _replayed_events(spark, sf_dir)
+    replica_path = work + "_ae_replica"
+    if work not in _EVENTS_AE:
+        shutil.rmtree(replica_path, ignore_errors=True)
+        up = LakeTable.load(spark, work)
+        # pin=False: nothing expires inside a driver run, and the shared
+        # upstream's metadata stays untouched for the other cached queries.
+        rep = up.clone_to(replica_path, pin=False)
+
+        # (1) purge every user_id % 5 == 0 conversation of keys
+        victims = [
+            r["user_id"]
+            for r in read_clean(rep)
+            .filter(F.pmod("user_id", F.lit(5)) == 0)
+            .select("user_id")
+            .distinct()
+            .collect()
+        ]
+        if victims:
+            rep.delete_keys(victims)
+        # (2) shift value on user_id % 5 == 2 rows
+        mut = read_clean(rep).filter(F.pmod("user_id", F.lit(5)) == 2)
+        merge_into(rep, mut.withColumn("value", F.col("value") + 1000.0),
+                   when_matched_update={"value": "s.value"})
+        # (3) ghost rows the upstream never had
+        ghosts = spark.range(1, 9).select(
+            (F.col("id") * -1).alias("user_id"),
+            F.lit("ghost").alias("event_type"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        merge_into(rep, ghosts, when_not_matched_insert=True)
+
+        d = diff_tables(up, rep)
+        if d["identical"]:
+            raise RuntimeError("anti-entropy diff missed the corruption")
+        kinds = {r["kind"] for r in d["keys"].select("kind").distinct().collect()}
+        if kinds != {"missing_left", "missing_right", "differing"}:
+            raise RuntimeError(f"diff kinds incomplete: {kinds}")
+        repair_replica(rep, up)
+        if not diff_tables(up, LakeTable.load(spark, replica_path))["identical"]:
+            raise RuntimeError("repair did not converge the replica")
+        _EVENTS_AE[work] = replica_path
+    return read_clean(LakeTable.load(spark, replica_path)).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        "props",
+        (
+            (F.pmod("user_id", F.lit(5)) == 0)
+            | (F.pmod("user_id", F.lit(5)) == 2)
+        ).alias("was_repaired"),
+    )
+
+
+_EVENTS_AE: dict[str, str] = {}
+
+
+SQL_CDC_ANTIENTROPY_E2E = f"""
+SELECT user_id, event_type, event_id, ts, value, props,
+       (user_id % 5 = 0 OR user_id % 5 = 2) AS was_repaired
+FROM ({SQL_CDC_REPLAY_EVENTS}) final_state
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
     # the branch→fast-forward path must land main on the SAME final state
@@ -1038,4 +1133,6 @@ CDC_QUERIES = {
     # the SS restart-on-schema-change path (stream_ddl) must converge the
     # replica through a mid-stream rename+drop with no manual ALTER
     "cdc_stream_ddl_e2e": (q_cdc_stream_ddl_e2e, SQL_CDC_STREAM_DDL_E2E),
+    # corrupt a clone three ways, diff + repair must converge it back
+    "cdc_antientropy_e2e": (q_cdc_antientropy_e2e, SQL_CDC_ANTIENTROPY_E2E),
 }
