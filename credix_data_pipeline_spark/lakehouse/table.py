@@ -1353,6 +1353,26 @@ class LakeTable:
                         f"compaction.sort-order references unknown "
                         f"column(s) {unknown}"
                     )
+            if k == "governance.row-filter":
+                # row filters hide rows from the governed SQL surface;
+                # validate resolution NOW (empty-relation analysis, no job)
+                self._validate_governance_expr(snap, str(v), cast_to=T.BooleanType())
+            if str(k).startswith("governance.mask."):
+                col = str(k)[len("governance.mask."):]
+                fld = next(
+                    (f for f in snap.schema.fields if f.name == col), None
+                )
+                if fld is None:
+                    raise ValueError(f"cannot set {k}: no column {col!r}")
+                if col.startswith("_"):
+                    raise ValueError(f"cannot mask engine column {col!r}")
+                # the mask references its column via the {col} placeholder
+                # and must cast back to the column's declared type
+                self._validate_governance_expr(
+                    snap,
+                    str(v).replace("{col}", f"`{col}`"),
+                    cast_to=fld.dataType,
+                )
             if k in ("retention.ttl-ms", "retention.ttl-days"):
                 # fail at DECLARATION, not in the middle of a scheduled
                 # maintain() run: row TTL is planned/applied over the
@@ -2844,6 +2864,43 @@ class LakeTable:
             c.strip() for c in order.split(",") if c.strip()
         ]
 
+    def _validate_governance_expr(
+        self,
+        snap: Snapshot,
+        expr_s: str,
+        cast_to: T.DataType | None = None,
+        without: str | None = None,
+    ) -> None:
+        """Analysis-only validation of a governance expression against the
+        table schema (no Spark job — an empty local relation resolves the
+        plan).  The CHECK-constraint / sort-order eager rule: a broken
+        expression fails at DECLARATION naming itself, not inside every
+        later consumer query."""
+        fields = [
+            f for f in snap.schema.fields
+            if without is None or f.name != without
+        ]
+        df = self.spark.createDataFrame([], T.StructType(fields))
+        try:
+            c = F.expr(expr_s)
+            if cast_to is not None:
+                c = c.cast(cast_to)
+            df.select(c)
+        except Exception as e:
+            raise ValueError(
+                f"invalid governance expression {expr_s!r}: {e}"
+            ) from e
+
+    def _expr_references(self, snap: Snapshot, expr_s: str, col: str) -> bool:
+        """True when the expression stops resolving once ``col`` is removed
+        from the schema — i.e. it references the column (robust against
+        quoting/comments, unlike token scans: the ANALYZER decides)."""
+        try:
+            self._validate_governance_expr(snap, expr_s, without=col)
+            return False
+        except ValueError:
+            return True
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Metadata-only column rename (Iceberg ALTER TABLE RENAME COLUMN).
 
@@ -2935,6 +2992,21 @@ class LakeTable:
                 if order.strip().lower().startswith("zorder(")
                 else ",".join(cols)
             )
+        # governance follows the rename: the mask key is re-keyed (mask
+        # expressions reference their column only via the {col}
+        # placeholder, so the expression needs no rewrite); a row filter
+        # naming the column is arbitrary SQL that CANNOT be rewritten
+        # safely — refuse, the drop_column/sort-order rule
+        gf = snap.properties.get("governance.row-filter")
+        if gf and self._expr_references(snap, gf, old):
+            raise ValueError(
+                f"column {old!r} is referenced by governance.row-filter="
+                f"{gf!r}; unset or re-set the property first"
+            )
+        mkey = f"governance.mask.{old}"
+        if mkey in snap.properties:
+            props = dict(props if props is not None else snap.properties)
+            props[f"governance.mask.{new}"] = props.pop(mkey)
         return self._commit(
             parent=snap,
             schema=T.StructType(new_fields),
@@ -2994,6 +3066,20 @@ class LakeTable:
                 f"{order!r}; unset or change the property first (else "
                 "every later maintain()/compact() fails on it)"
             )
+        gf = snap.properties.get("governance.row-filter")
+        if gf and self._expr_references(snap, gf, name):
+            raise ValueError(
+                f"column {name!r} is referenced by governance.row-filter="
+                f"{gf!r}; unset or re-set the property first"
+            )
+        # a mask on the dropped column goes with it (the sort-order rule
+        # refuses instead, because a stale sort column breaks maintain();
+        # a mask of a gone column binds nothing and would block the DDL
+        # for no reader-visible reason)
+        props = None
+        mkey = f"governance.mask.{name}"
+        if mkey in snap.properties:
+            props = {k: v for k, v in snap.properties.items() if k != mkey}
         dirs = self._dirs_registered(snap)
         return self._commit(
             parent=snap,
@@ -3006,6 +3092,7 @@ class LakeTable:
             files=snap.files,
             summary={"operation": "drop-column", "column": name},
             dir_schemas=dirs,
+            properties=props,
         )
 
     def widen_column(self, name: str, new_type: T.DataType) -> Snapshot:

@@ -575,6 +575,7 @@ def cmd_sql(args) -> int:
         args.view,
         as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
         ts_between=ts_between,
+        privileged=args.privileged,
     )
     df = spark.sql(args.query)
     if args.json:
@@ -1295,6 +1296,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "ms, inclusive) — plans only warm files")
     sq.add_argument("--ts-to", default=None,
                     help="event-time slice upper bound (inclusive)")
+    sq.add_argument("--privileged", action="store_true",
+                    help="bypass governance.mask.*/row-filter table "
+                    "properties (the pipeline-operator view)")
     sq.add_argument("--limit", type=int, default=100)
     sq.add_argument("--json", action="store_true",
                     help="print JSON lines instead of a table")

@@ -771,12 +771,57 @@ def read_clean(
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
 
+def governance_rules(snap) -> tuple[dict[str, str], str | None]:
+    """Column masks + row filter carried by the table itself (the BigQuery
+    column-level-security / Delta-Unity masking-policy analogue):
+
+    * ``governance.mask.<col> = <SQL expr>`` — the governed surface shows
+      the expression's value in place of the column; ``{col}`` inside the
+      expression refers to the (true) column value, and the result is cast
+      back to the column's declared type.
+    * ``governance.row-filter = <SQL boolean expr>`` — rows where the
+      filter is not TRUE are hidden from the governed surface.  The filter
+      evaluates over TRUE (unmasked) values, the BigQuery row-access-policy
+      order.
+
+    Both validate at DECLARATION (``alter_properties``).  Governance binds
+    the SQL read surface (``register_sql_views`` / ``main.py sql`` /
+    catalog views); engine paths — replay, merge, relay, repair — stay
+    privileged, the pipeline-service-account exemption."""
+    pfx = "governance.mask."
+    masks = {
+        k[len(pfx):]: v
+        for k, v in snap.properties.items()
+        if k.startswith(pfx) and v
+    }
+    return masks, snap.properties.get("governance.row-filter") or None
+
+
+def apply_governance(df: DataFrame, snap) -> DataFrame:
+    """Apply the table's governance rules to a read: row filter first
+    (over true values), then masks, each cast back to the column's type."""
+    masks, row_filter = governance_rules(snap)
+    if row_filter:
+        df = df.filter(F.coalesce(F.expr(row_filter), F.lit(False)))
+    for col in sorted(masks):
+        if col in df.columns:
+            fld = next(f for f in snap.schema.fields if f.name == col)
+            df = df.withColumn(
+                col,
+                F.expr(masks[col].replace("{col}", f"`{col}`")).cast(
+                    fld.dataType
+                ),
+            )
+    return df
+
+
 def register_sql_views(
     table: LakeTable,
     name: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     ts_between: tuple[int | None, int | None] | None = None,
+    privileged: bool = False,
 ) -> DataFrame:
     """Register the table as Spark SQL temp views — the dbt-model read
     surface (the reference's consumers query silver/gold models as SQL
@@ -799,10 +844,16 @@ def register_sql_views(
             raise ValueError("pass snapshot_id or as_of_ms, not both")
         snapshot_id = table.snapshot_as_of(as_of_ms).snapshot_id
     clean = read_clean(table, snapshot_id=snapshot_id, ts_between=ts_between)
+    raw = read_current(table, snapshot_id=snapshot_id, ts_between=ts_between)
+    if not privileged:
+        # governance policy is LIVE (current properties), even for a
+        # time-travel read — otherwise `--as-of` would bypass a mask that
+        # was added after the pinned snapshot
+        snap = table.current()
+        clean = apply_governance(clean, snap)
+        raw = apply_governance(raw, snap)
     clean.createOrReplaceTempView(name)
-    read_current(
-        table, snapshot_id=snapshot_id, ts_between=ts_between
-    ).createOrReplaceTempView(f"{name}_raw")
+    raw.createOrReplaceTempView(f"{name}_raw")
     return clean
 
 

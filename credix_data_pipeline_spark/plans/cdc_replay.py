@@ -1113,6 +1113,56 @@ FROM ({SQL_CDC_REPLAY_EVENTS}) final_state
 """
 
 
+
+def q_cdc_governance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed SQL surface end-to-end, oracle-checked: a zero-copy clone
+    of the replayed events table declares ``governance.mask.user_id``
+    (pseudonymize: ``{col} % 7``), ``governance.mask.props`` (redact to
+    ``'***'``), and ``governance.row-filter`` (hide ``click`` events) as
+    table properties, and the query reads THROUGH the governed view that
+    ``register_sql_views`` serves to SQL consumers.  The oracle applies the
+    same mask/filter SQL over the replay oracle — so the driver verifies
+    the governed surface shows exactly the policy-transformed state, no
+    more (rows hidden by the filter must not leak) and no less.
+
+    Reference parity: the reference's BigQuery marts rely on BigQuery
+    column-level security / row access policies for the same contract
+    (policy declared on the table, enforced for every SQL consumer,
+    pipeline service account exempt)."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import register_sql_views
+
+    work, _ = _replayed_events(spark, sf_dir)
+    gov_path = work + "_gov"
+    if work not in _EVENTS_GOV:
+        shutil.rmtree(gov_path, ignore_errors=True)
+        up = LakeTable.load(spark, work)
+        gov = up.clone_to(gov_path, pin=False)
+        gov.alter_properties({
+            "governance.mask.user_id": "{col} % 7",
+            "governance.mask.props":
+                "case when {col} is null then null else '***' end",
+            "governance.row-filter": "event_type <> 'click'",
+        })
+        _EVENTS_GOV[work] = gov_path
+    view = f"gov_events_{abs(hash(gov_path)) % 10_000}"
+    register_sql_views(LakeTable.load(spark, gov_path), view)
+    return spark.sql(
+        f"SELECT user_id, event_type, event_id, ts, value, props FROM {view}"
+    )
+
+
+_EVENTS_GOV: dict[str, str] = {}
+
+
+SQL_CDC_GOVERNANCE_E2E = f"""
+SELECT user_id % 7 AS user_id, event_type, event_id, ts, value,
+       CASE WHEN props IS NULL THEN NULL ELSE '***' END AS props
+FROM ({SQL_CDC_REPLAY_EVENTS}) final_state
+WHERE event_type <> 'click'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
     # the branch→fast-forward path must land main on the SAME final state
@@ -1135,4 +1185,7 @@ CDC_QUERIES = {
     "cdc_stream_ddl_e2e": (q_cdc_stream_ddl_e2e, SQL_CDC_STREAM_DDL_E2E),
     # corrupt a clone three ways, diff + repair must converge it back
     "cdc_antientropy_e2e": (q_cdc_antientropy_e2e, SQL_CDC_ANTIENTROPY_E2E),
+    # masks + row filter declared as table properties must bind the
+    # SQL view surface exactly (no leaks past the filter, types kept)
+    "cdc_governance_e2e": (q_cdc_governance_e2e, SQL_CDC_GOVERNANCE_E2E),
 }

@@ -1,0 +1,144 @@
+"""Table-carried governance: ``governance.mask.<col>`` column masks and a
+``governance.row-filter`` row filter (the BigQuery column-level-security /
+Delta-Unity masking-policy analogue).  Declared once as table properties,
+they bind the SQL read surface — ``register_sql_views`` / ``main.py sql`` —
+for every consumer; engine paths stay privileged.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from credix_data_pipeline_spark import main as cli
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.operators.apply import (
+    read_clean,
+    register_sql_views,
+)
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(spark, feed, FeedSpec(
+        n_events=1_500, n_conversations=30, turns_per_conversation=6,
+        delete_pct=5, events_per_chunk=750,
+    ))
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4)
+    return LakeTable.load(spark, tp)
+
+
+def _govern(table):
+    table.alter_properties({
+        "governance.mask.text":
+            "case when {col} is null then null else '***' end",
+        "governance.mask.turn_idx": "{col} % 2",
+        "governance.row-filter": "role <> 'tool'",
+    })
+    return LakeTable.load(spark=table.spark, path=table.path)
+
+
+def test_masks_and_filter_bind_the_sql_surface(spark, table):
+    truth = read_clean(table)
+    n_tool = truth.filter(F.col("role") == "tool").count()
+    assert n_tool > 0  # the filter must actually hide something
+    t = _govern(table)
+
+    register_sql_views(t, "gv")
+    got = spark.sql("SELECT * FROM gv")
+    assert got.filter(F.col("role") == "tool").count() == 0
+    assert got.count() == truth.count() - n_tool
+    texts = {r["text"] for r in got.select("text").distinct().collect()}
+    assert texts <= {"***", None}
+    # mask result is cast back to the column's type
+    assert dict(got.dtypes)["turn_idx"] == dict(truth.dtypes)["turn_idx"]
+    parity = {r["turn_idx"] for r in got.select("turn_idx").distinct().collect()}
+    assert parity <= {0, 1}
+    # the raw view is governed too (bookkeeping visible, payload masked)
+    raw = spark.sql("SELECT * FROM gv_raw")
+    assert "_lsn" in raw.columns
+    raw_texts = {r["text"] for r in raw.select("text").distinct().collect()}
+    assert raw_texts <= {"***", None}
+
+    # privileged registration = the old, ungoverned surface
+    register_sql_views(t, "pv", privileged=True)
+    pv = spark.sql("SELECT * FROM pv")
+    assert pv.count() == truth.count()
+    assert {r["text"] for r in pv.select("text").distinct().collect()} == {
+        r["text"] for r in truth.select("text").distinct().collect()
+    }
+    # the library/engine read path is never governed
+    assert read_clean(t).count() == truth.count()
+
+
+def test_policy_is_live_even_for_time_travel(spark, table):
+    pre_snapshot = table.current().snapshot_id
+    t = _govern(table)
+    # the mask was declared AFTER pre_snapshot; an as-of read must still
+    # be governed, else time travel bypasses the policy
+    register_sql_views(t, "hv", snapshot_id=pre_snapshot)
+    texts = {
+        r["text"]
+        for r in spark.sql("SELECT DISTINCT text FROM hv").collect()
+    }
+    assert texts <= {"***", None}
+
+
+def test_declaration_validation(spark, table):
+    with pytest.raises(ValueError, match="no column"):
+        table.alter_properties({"governance.mask.nope": "'x'"})
+    with pytest.raises(ValueError, match="engine column"):
+        table.alter_properties({"governance.mask._lsn": "0"})
+    with pytest.raises(ValueError, match="invalid governance"):
+        table.alter_properties({"governance.mask.text": "no_such_col || 'x'"})
+    with pytest.raises(ValueError, match="invalid governance"):
+        table.alter_properties({"governance.row-filter": "SELECT FROM"})
+    with pytest.raises(ValueError, match="invalid governance"):
+        table.alter_properties({"governance.row-filter": "ghost_col = 1"})
+
+
+def test_ddl_interplay(spark, table):
+    t = _govern(table)
+    # rename re-keys the mask; the {col} placeholder needs no rewrite
+    t.rename_column("text", "body")
+    t = LakeTable.load(spark, t.path)
+    props = t.current().properties
+    assert "governance.mask.text" not in props
+    assert props["governance.mask.body"].startswith("case when {col}")
+    register_sql_views(t, "rv")
+    vals = {r["body"] for r in spark.sql("SELECT DISTINCT body FROM rv").collect()}
+    assert vals <= {"***", None}
+    # renaming/dropping a row-filter column is refused until unset
+    with pytest.raises(ValueError, match="governance.row-filter"):
+        t.rename_column("role", "speaker")
+    with pytest.raises(ValueError, match="governance.row-filter"):
+        t.drop_column("role")
+    # dropping a masked column drops its mask property with it
+    t.drop_column("body")
+    t = LakeTable.load(spark, t.path)
+    assert "governance.mask.body" not in t.current().properties
+    # after unsetting the filter, the rename goes through
+    t.alter_properties(unset=["governance.row-filter"])
+    LakeTable.load(spark, t.path).rename_column("role", "speaker")
+
+
+def test_cli_sql_governed_and_privileged(spark, table, capsys):
+    t = _govern(table)
+    rc = cli.main([
+        "sql", "--table", t.path, "--view", "t",
+        "--query", "SELECT DISTINCT text FROM t", "--json",
+    ])
+    assert rc == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r.get("text") for r in rows} <= {"***", None}
+    rc = cli.main([
+        "sql", "--table", t.path, "--view", "t", "--privileged",
+        "--query", "SELECT COUNT(DISTINCT text) AS n FROM t", "--json",
+    ])
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and out[0]["n"] > 1
