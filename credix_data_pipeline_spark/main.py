@@ -76,6 +76,9 @@ Subcommands:
                   classification of divergent buckets only
 * ``repair``    — converge a replica onto its upstream via merge_into
                   scoped to the divergent keys
+* ``export``    — unload one consistent snapshot as plain parquet
+                  (reverse of ``import``); governed by default,
+                  ``--privileged`` for the operator view
 * ``ttl``       — retention delete (``DELETE WHERE ts < cutoff``): files
                   wholly below the cutoff drop by manifest ts-stats alone
                   (metadata-only), boundary buckets rewrite copy-on-write;
@@ -987,6 +990,30 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.export import export_snapshot
+
+    spark = _spark(args)
+    try:
+        summary = export_snapshot(
+            LakeTable.load(spark, args.table),
+            args.dest,
+            as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+            partition_by=(
+                [c for c in args.partition_by.split(",") if c]
+                if args.partition_by
+                else None
+            ),
+            privileged=args.privileged,
+        )
+    except (ValueError, FileExistsError) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="credix_data_pipeline_spark")
     p.add_argument("--master", default=None, help="spark master (default: env)")
@@ -1398,6 +1425,23 @@ def build_parser() -> argparse.ArgumentParser:
     im.add_argument("--no-validate", action="store_true",
                     help="skip the read-only null/duplicate-key check")
     im.set_defaults(fn=cmd_import)
+
+    ex = sub.add_parser(
+        "export",
+        help="unload one consistent snapshot as plain parquet for "
+             "consumers that don't speak the table format (reverse of "
+             "import); governance masks/filter apply unless --privileged",
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--dest", required=True,
+                    help="destination directory (must not exist)")
+    ex.add_argument("--as-of", default=None,
+                    help="export a past state: ISO-8601 or epoch ms")
+    ex.add_argument("--partition-by", default=None,
+                    help="comma-separated hive-layout partition column(s)")
+    ex.add_argument("--privileged", action="store_true",
+                    help="bypass governance.mask.*/row-filter properties")
+    ex.set_defaults(fn=cmd_export)
 
     bn = sub.add_parser(
         "branch",
