@@ -1359,19 +1359,29 @@ class LakeTable:
                 self._validate_governance_expr(snap, str(v), cast_to=T.BooleanType())
             if str(k).startswith("governance.mask."):
                 col = str(k)[len("governance.mask."):]
-                fld = next(
-                    (f for f in snap.schema.fields if f.name == col), None
-                )
-                if fld is None:
-                    raise ValueError(f"cannot set {k}: no column {col!r}")
                 if col.startswith("_"):
                     raise ValueError(f"cannot mask engine column {col!r}")
+                if "." in col:
+                    # nested mask (tool_meta.call_id): parent/field resolve
+                    # exactly like nested DDL paths
+                    parent, fname = self._nested_parent(snap, col)
+                    ptype = snap.schema[parent].dataType
+                    dtype = next(
+                        sf.dataType for sf in ptype.fields if sf.name == fname
+                    )
+                    ref = f"`{parent}`.`{fname}`"
+                else:
+                    fld = next(
+                        (f for f in snap.schema.fields if f.name == col),
+                        None,
+                    )
+                    if fld is None:
+                        raise ValueError(f"cannot set {k}: no column {col!r}")
+                    dtype, ref = fld.dataType, f"`{col}`"
                 # the mask references its column via the {col} placeholder
                 # and must cast back to the column's declared type
                 self._validate_governance_expr(
-                    snap,
-                    str(v).replace("{col}", f"`{col}`"),
-                    cast_to=fld.dataType,
+                    snap, str(v).replace("{col}", ref), cast_to=dtype
                 )
             if k in ("retention.ttl-ms", "retention.ttl-days"):
                 # fail at DECLARATION, not in the middle of a scheduled
@@ -2938,6 +2948,23 @@ class LakeTable:
                 for sf in ptype.fields
             ]
             ids[f"{parent}.{new}"] = ids.pop(f"{parent}.{field}")
+            # governance follows nested renames too: conservative guard —
+            # a row filter touching the PARENT struct at all refuses the
+            # rename (field-level reference detection would need schema
+            # surgery; over-refusing is the safe direction), and a nested
+            # mask key is re-keyed like the flat case
+            gf = snap.properties.get("governance.row-filter")
+            if gf and self._expr_references(snap, gf, parent):
+                raise ValueError(
+                    f"column {parent!r} is referenced by "
+                    f"governance.row-filter={gf!r}; unset or re-set the "
+                    "property first"
+                )
+            nprops = None
+            nmkey = f"governance.mask.{parent}.{field}"
+            if nmkey in snap.properties:
+                nprops = dict(snap.properties)
+                nprops[f"governance.mask.{parent}.{new}"] = nprops.pop(nmkey)
             return self._commit(
                 parent=snap,
                 schema=_replace_nested(snap.schema, parent, new_struct),
@@ -2945,6 +2972,7 @@ class LakeTable:
                 bucket_by=snap.bucket_by,
                 num_buckets=snap.num_buckets,
                 files=snap.files,
+                properties=nprops,
                 summary={
                     "operation": "rename-column",
                     "from": old,
@@ -3004,9 +3032,17 @@ class LakeTable:
                 f"{gf!r}; unset or re-set the property first"
             )
         mkey = f"governance.mask.{old}"
-        if mkey in snap.properties:
+        re_keyed = [mkey] if mkey in snap.properties else []
+        # nested masks under a renamed struct parent re-key with it
+        re_keyed += [
+            k for k in snap.properties
+            if k.startswith(f"governance.mask.{old}.")
+        ]
+        if re_keyed:
             props = dict(props if props is not None else snap.properties)
-            props[f"governance.mask.{new}"] = props.pop(mkey)
+            for k in re_keyed:
+                suffix = k[len(f"governance.mask.{old}"):]
+                props[f"governance.mask.{new}{suffix}"] = props.pop(k)
         return self._commit(
             parent=snap,
             schema=T.StructType(new_fields),
@@ -3039,6 +3075,19 @@ class LakeTable:
                     f"{name!r} is the last field of {parent!r}; drop the "
                     "column instead"
                 )
+            gf = snap.properties.get("governance.row-filter")
+            if gf and self._expr_references(snap, gf, parent):
+                raise ValueError(
+                    f"column {parent!r} is referenced by "
+                    f"governance.row-filter={gf!r}; unset or re-set the "
+                    "property first"
+                )
+            nprops = None
+            nmkey = f"governance.mask.{parent}.{field}"
+            if nmkey in snap.properties:
+                nprops = {
+                    k: v for k, v in snap.properties.items() if k != nmkey
+                }
             ids, nci, dirs = self._nested_ddl_base(snap)
             new_struct = [sf for sf in ptype.fields if sf.name != field]
             return self._commit(
@@ -3052,6 +3101,7 @@ class LakeTable:
                 column_ids=ids,  # _commit prunes the retired dotted id
                 next_column_id=nci,
                 dir_schemas=dirs,
+                properties=nprops,
             )
         if name not in {f.name for f in snap.schema.fields}:
             raise KeyError(f"no column {name!r}")
@@ -3077,9 +3127,15 @@ class LakeTable:
         # a mask of a gone column binds nothing and would block the DDL
         # for no reader-visible reason)
         props = None
-        mkey = f"governance.mask.{name}"
-        if mkey in snap.properties:
-            props = {k: v for k, v in snap.properties.items() if k != mkey}
+        doomed = {
+            k for k in snap.properties
+            if k == f"governance.mask.{name}"
+            or k.startswith(f"governance.mask.{name}.")
+        }
+        if doomed:
+            props = {
+                k: v for k, v in snap.properties.items() if k not in doomed
+            }
         dirs = self._dirs_registered(snap)
         return self._commit(
             parent=snap,

@@ -555,9 +555,16 @@ def cmd_lookup(args) -> int:
     df = table.read_keys(args.conv, snap=snap)
     import pyspark.sql.functions as F
 
-    df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).orderBy(
-        "conv_id", "turn_idx"
-    ).show(n=args.limit, truncate=False)
+    df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    if not getattr(args, "privileged", False):
+        # lookup is a consumer surface: masks + row filter bind it like
+        # the SQL views (a key lookup is the easiest targeted leak)
+        from credix_data_pipeline_spark.operators.apply import (
+            apply_governance,
+        )
+
+        df = apply_governance(df, table.current())
+    df.orderBy("conv_id", "turn_idx").show(n=args.limit, truncate=False)
     return 0
 
 
@@ -792,6 +799,14 @@ def cmd_changes(args) -> int:
         else args.to_snapshot
     )
     df = read_changes(table, from_id, to_id)
+    if not getattr(args, "privileged", False):
+        # masks bind the change stream; the row filter does NOT (hiding a
+        # filtered row's DELETE would strand it on consumers' replicas)
+        from credix_data_pipeline_spark.operators.apply import (
+            apply_governance,
+        )
+
+        df = apply_governance(df, table.current(), masks_only=True)
     if args.summary:
         from pyspark.sql import functions as F
 
@@ -1304,6 +1319,8 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--limit", type=int, default=100)
     lk.add_argument("--as-of", default=None,
                     help="time-travel the lookup: ISO-8601 or epoch ms")
+    lk.add_argument("--privileged", action="store_true",
+                    help="bypass governance.mask.*/row-filter properties")
     lk.set_defaults(fn=cmd_lookup)
 
     sq = sub.add_parser(
@@ -1370,6 +1387,10 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--summary", action="store_true",
                     help="print per-change-type row counts as JSON instead "
                          "of the row images (the diff-at-a-glance view)")
+    ch.add_argument("--privileged", action="store_true",
+                    help="bypass governance.mask.* properties (the row "
+                    "filter never hides change events: a hidden DELETE "
+                    "would strand rows on consumer replicas)")
     ch.set_defaults(fn=cmd_changes)
 
     hi = sub.add_parser(

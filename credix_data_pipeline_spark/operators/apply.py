@@ -797,14 +797,35 @@ def governance_rules(snap) -> tuple[dict[str, str], str | None]:
     return masks, snap.properties.get("governance.row-filter") or None
 
 
-def apply_governance(df: DataFrame, snap) -> DataFrame:
+def apply_governance(df: DataFrame, snap, masks_only: bool = False) -> DataFrame:
     """Apply the table's governance rules to a read: row filter first
-    (over true values), then masks, each cast back to the column's type."""
+    (over true values), then masks, each cast back to the column's type.
+
+    ``masks_only`` skips the row filter — the change-stream surface
+    (``changes``) masks payload but keeps every change event visible:
+    hiding a filtered row's DELETE would leave a consumer's replica
+    holding the row forever, the worse leak."""
     masks, row_filter = governance_rules(snap)
-    if row_filter:
+    if row_filter and not masks_only:
         df = df.filter(F.coalesce(F.expr(row_filter), F.lit(False)))
     for col in sorted(masks):
-        if col in df.columns:
+        if "." in col:
+            # nested mask: rewrite the field INSIDE the struct (a NULL
+            # parent struct stays NULL — withField is null-propagating)
+            parent, fname = col.split(".", 1)
+            if parent not in df.columns:
+                continue
+            ptype = snap.schema[parent].dataType
+            dtype = next(
+                sf.dataType for sf in ptype.fields if sf.name == fname
+            )
+            masked = F.expr(
+                masks[col].replace("{col}", f"`{parent}`.`{fname}`")
+            ).cast(dtype)
+            df = df.withColumn(
+                parent, F.col(parent).withField(fname, masked)
+            )
+        elif col in df.columns:
             fld = next(f for f in snap.schema.fields if f.name == col)
             df = df.withColumn(
                 col,

@@ -142,3 +142,95 @@ def test_cli_sql_governed_and_privileged(spark, table, capsys):
     ])
     out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert rc == 0 and out[0]["n"] > 1
+
+
+def test_nested_mask_and_consumer_cli_surfaces(spark, tmp_path, capsys):
+    """Nested struct-field masks (governance.mask.tool_meta.name), and the
+    lookup/changes consumer commands honoring governance: lookup applies
+    masks + filter, changes applies masks ONLY (a hidden DELETE would
+    strand rows on consumer replicas)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.operators.apply import apply_batch
+    from credix_data_pipeline_spark.schema import (
+        CHANGE_SCHEMA,
+        target_schema_for,
+    )
+
+    BASE = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    TOOL_META_T = T.StructType([
+        T.StructField("call_id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+    ])
+    NESTED = T.StructType([
+        *CHANGE_SCHEMA.fields,
+        T.StructField("tool_meta", TOOL_META_T, True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "nt"), target_schema_for(NESTED),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    create_sid = t.current().snapshot_id
+    apply_batch(t, spark.createDataFrame([
+        ("I", 1, BASE, "c0", 0, "user", "hi", None, BASE, (7, "secret_fn")),
+        ("I", 2, BASE, "c0", 1, "tool", "calc", "calculator", BASE, None),
+        ("I", 3, BASE, "c1", 0, "user", "yo", None, BASE, (9, "other_fn")),
+    ], NESTED), 0, collect_stats=False)
+    pre = t.current().snapshot_id
+    t.alter_properties({
+        "governance.mask.tool_meta.name": "'<fn>'",
+        "governance.row-filter": "role <> 'tool'",
+    })
+    t = LakeTable.load(spark, t.path)
+
+    register_sql_views(t, "nv")
+    rows = {
+        (r.conv_id, r.turn_idx): (
+            None if r.tool_meta is None
+            else (r.tool_meta.call_id, r.tool_meta.name)
+        )
+        for r in spark.sql("SELECT * FROM nv").collect()
+    }
+    # filter hid the tool turn; nested name masked, sibling field + NULL
+    # struct untouched
+    assert rows == {("c0", 0): (7, "<fn>"), ("c1", 0): (9, "<fn>")}
+
+    # declaration validation for nested paths
+    with pytest.raises(KeyError, match="no field"):
+        t.alter_properties({"governance.mask.tool_meta.ghost": "'x'"})
+
+    # lookup (consumer) masks + filters; --privileged shows the truth
+    rc = cli.main(["lookup", "--table", t.path, "--conv", "c0"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "<fn>" in out and "secret_fn" not in out
+    assert "calc" not in out  # the tool turn is filtered
+    rc = cli.main(["lookup", "--table", t.path, "--conv", "c0",
+                   "--privileged"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "secret_fn" in out and "calc" in out
+
+    # changes masks payload but NEVER hides events: the tool turn's
+    # insert must appear, with the nested field masked
+    rc = cli.main(["changes", "--table", t.path,
+                   "--from-snapshot", str(create_sid), "--limit", "50"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "calc" in out and "secret_fn" not in out
+    assert "<fn>" in out
+
+    # nested DDL interplay: rename re-keys the nested mask; dropping the
+    # struct drops it; renaming a filter-referenced parent refuses
+    t.rename_column("tool_meta.name", "fn_name")
+    t = LakeTable.load(spark, t.path)
+    props = t.current().properties
+    assert "governance.mask.tool_meta.name" not in props
+    assert props["governance.mask.tool_meta.fn_name"] == "'<fn>'"
+    with pytest.raises(ValueError, match="governance.row-filter"):
+        t.rename_column("role", "speaker")
+    t.drop_column("tool_meta.fn_name")
+    t = LakeTable.load(spark, t.path)
+    assert not any(
+        k.startswith("governance.mask.") for k in t.current().properties
+    )
+    assert pre  # pinned earlier state still loads (no property rewrite)
