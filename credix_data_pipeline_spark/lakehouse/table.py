@@ -96,6 +96,14 @@ class Snapshot:
     # invariant holds (CoW / MoR position-delete mode).  Files absent
     # here are never skipped.
     ts_stats: dict[str, list[int]] = field(default_factory=dict)
+    # Generalized per-file column bounds (Delta data-skipping / Iceberg
+    # column-stats analogue) for the columns named by the
+    # ``stats.columns`` table property: col name -> {file -> [min, max]}
+    # in the column's native type (numeric / string).  ``read(between=
+    # {col: (lo, hi)})`` skips files provably disjoint from the window
+    # under the same one-live-version invariant as ts_stats.  Col-major
+    # so column DDL is a single outer-key operation.
+    col_stats: dict[str, dict[str, list]] = field(default_factory=dict)
     # Merge-on-read POSITION DELETES (Iceberg v2 position-delete files):
     # bucket id -> delete-file paths; each delete file holds (file, pos)
     # rows marking superseded ordinals in OLDER data files of the same
@@ -557,6 +565,7 @@ class LakeTable:
             files: dict[str, list[str]] = {}
             file_stats: dict[str, list[int]] = {}
             ts_stats: dict[str, list[int]] = {}
+            col_stats: dict[str, dict[str, list]] = {}
             file_seq: dict[str, int] = {}
             delete_files: dict[str, list[str]] = {}
             for b, name in m["segments"].items():
@@ -565,6 +574,8 @@ class LakeTable:
                     files[b] = seg["files"]
                 file_stats.update(seg.get("file_stats", {}))
                 ts_stats.update(seg.get("ts_stats", {}))
+                for c, per_file in seg.get("col_stats", {}).items():
+                    col_stats.setdefault(c, {}).update(per_file)
                 file_seq.update(
                     {p: int(s) for p, s in seg.get("file_seq", {}).items()}
                 )
@@ -573,6 +584,7 @@ class LakeTable:
             m["files"] = files
             m["file_stats"] = file_stats
             m["ts_stats"] = ts_stats
+            m["col_stats"] = col_stats
             m["file_seq"] = file_seq
             m["delete_files"] = delete_files
         schema = T.StructType.fromJson(m["schema"])
@@ -601,6 +613,7 @@ class LakeTable:
             dir_schemas=m.get("dir_schemas", {}),
             file_stats=m.get("file_stats", {}),
             ts_stats=m.get("ts_stats", {}),
+            col_stats=m.get("col_stats", {}),
             delete_files=m.get("delete_files", {}),
             mor_deletes=m.get("mor_deletes", False),
             mor_prefer=m.get("mor_prefer")
@@ -804,6 +817,7 @@ class LakeTable:
             dir_schemas=dict(target.dir_schemas),
             file_stats=dict(target.file_stats),
             ts_stats=dict(target.ts_stats),
+            col_stats={c: dict(per) for c, per in target.col_stats.items()},
             delete_files=dict(target.delete_files),
             # the position-delete INVARIANT is a property of the target's
             # FILE SET, not of the current snapshot: rolling back from a
@@ -917,6 +931,10 @@ class LakeTable:
             dir_schemas=dict(snap.dir_schemas),
             file_stats={_abs(p): list(s) for p, s in snap.file_stats.items()},
             ts_stats={_abs(p): list(s) for p, s in snap.ts_stats.items()},
+            col_stats={
+                c: {_abs(p): list(s) for p, s in per.items()}
+                for c, per in snap.col_stats.items()
+            },
             delete_files={
                 b: [_abs(f) for f in fl]
                 for b, fl in snap.delete_files.items()
@@ -1232,6 +1250,10 @@ class LakeTable:
             dir_schemas=dict(head.dir_schemas),
             file_stats={_abs(p): list(s) for p, s in head.file_stats.items()},
             ts_stats={_abs(p): list(s) for p, s in head.ts_stats.items()},
+            col_stats={
+                c: {_abs(p): list(s) for p, s in per.items()}
+                for c, per in head.col_stats.items()
+            },
             delete_files={
                 b: [_abs(f) for f in fl]
                 for b, fl in head.delete_files.items()
@@ -1353,6 +1375,28 @@ class LakeTable:
                         f"compaction.sort-order references unknown "
                         f"column(s) {unknown}"
                     )
+            if k == "stats.columns":
+                # data-skipping columns: validate at DECLARATION (the
+                # sort-order rule).  ``ts`` is refused — it has its own
+                # dedicated ts_stats machinery (TTL, ts_between).
+                fields = {f.name: f for f in snap.schema.fields}
+                for c in [x.strip() for x in str(v).split(",") if x.strip()]:
+                    if c == "ts":
+                        raise ValueError(
+                            "stats.columns: 'ts' already has dedicated "
+                            "event-time stats (ts_between/TTL) — omit it"
+                        )
+                    if c.startswith("_") or c not in fields:
+                        raise ValueError(
+                            f"stats.columns references unknown or engine "
+                            f"column {c!r}"
+                        )
+                    if not isinstance(fields[c].dataType, self._STATS_TYPES):
+                        raise ValueError(
+                            f"stats.columns: column {c!r} has unsupported "
+                            f"type {fields[c].dataType.simpleString()} "
+                            "(numeric or string only)"
+                        )
             if k == "governance.row-filter":
                 # row filters hide rows from the governed SQL surface;
                 # validate resolution NOW (empty-relation analysis, no job)
@@ -1433,6 +1477,7 @@ class LakeTable:
         dir_schemas: dict[str, dict] | None = None,
         file_stats: dict[str, list[int]] | None = None,
         ts_stats: dict[str, list[int]] | None = None,
+        col_stats: dict[str, dict[str, list]] | None = None,
         delete_files: dict[str, list[str]] | None = None,
         mor_deletes: bool | None = None,
         mor_prefer: str | None = None,
@@ -1548,6 +1593,56 @@ class LakeTable:
                 s = self._footer_stats(rel, "ts")
                 if s is not None:
                     tstats[rel] = s
+        # Generalized column bounds (``stats.columns`` property): the
+        # ts_stats carry/backfill discipline applied per column — a column
+        # whose field id changed since the parent (drop + re-add; renames
+        # re-key explicitly in rename_column) drops its carried entries,
+        # and the footer backfill only runs for files whose write-time
+        # registry binds the column to the SAME id.  First commit after
+        # declaring the property backfills existing files O(files) once;
+        # steady state is O(new files) footer opens.
+        eff_props = (
+            properties
+            if properties is not None
+            else (dict(parent.properties) if parent else {})
+        )
+        cstats_src = (
+            col_stats
+            if col_stats is not None
+            else (parent.col_stats if parent else {})
+        )
+        cstats: dict[str, dict[str, list]] = {}
+        for c, per_file in cstats_src.items():
+            if (
+                col_stats is None
+                and parent is not None
+                and parent.column_ids.get(c) != ids.get(c)
+            ):
+                continue  # rebound since the parent: stale bounds
+            kept = {p: s for p, s in per_file.items() if p in live_files}
+            if kept:
+                cstats[c] = kept
+        fnames = {f.name for f in schema.fields}
+        for c in [
+            x.strip()
+            for x in eff_props.get("stats.columns", "").split(",")
+            if x.strip()
+        ]:
+            if c not in fnames:
+                continue  # stale property residue: collect nothing
+            have = cstats.setdefault(c, {})
+            for rel in sorted(live_files - set(have)):
+                rec = dsch.get(_commit_dir(rel))
+                if (
+                    rec is not None
+                    and rec.get("ids", {}).get(c) != ids.get(c)
+                ):
+                    continue  # physical col is a retired/other field
+                s = self._footer_minmax(rel, c)
+                if s is not None:
+                    have[rel] = s
+            if not have:
+                cstats.pop(c, None)
         # File sequence numbers (the Iceberg data-sequence-number rule that
         # scopes equality deletes): carried for surviving files; files NEW
         # in this commit get this commit's version; live files with no
@@ -1586,10 +1681,15 @@ class LakeTable:
         segments: dict[str, str] = {}
         for b in sorted(set(files) | set(dfiles)):
             bfiles = files.get(b, [])
+            bcol = {
+                c: {p: per[p] for p in bfiles if p in per}
+                for c, per in cstats.items()
+            }
             segments[b] = self._write_segment({
                 "files": bfiles,
                 "file_stats": {p: stats[p] for p in bfiles if p in stats},
                 "ts_stats": {p: tstats[p] for p in bfiles if p in tstats},
+                "col_stats": {c: per for c, per in bcol.items() if per},
                 "file_seq": {p: fseq[p] for p in bfiles if p in fseq},
                 "delete_files": dfiles.get(b, []),
             })
@@ -1624,11 +1724,7 @@ class LakeTable:
                 if eq_deletes is not None
                 else (list(parent.eq_deletes) if parent else [])
             ),
-            "properties": (
-                properties
-                if properties is not None
-                else (dict(parent.properties) if parent else {})
-            ),
+            "properties": eff_props,
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)
@@ -1723,6 +1819,68 @@ class LakeTable:
         except Exception:
             return None
 
+    def _footer_num_rows(self, rel_path: str) -> int | None:
+        """Row count from the parquet footer, or None (unreadable)."""
+        try:
+            import pyarrow.parquet as pq
+
+            p = (
+                rel_path
+                if os.path.isabs(rel_path)
+                else os.path.join(self.path, rel_path)
+            )
+            return int(pq.ParquetFile(p).metadata.num_rows)
+        except Exception:
+            return None
+
+    def _footer_minmax(self, rel_path: str, col: str) -> list | None:
+        """[min, max] of ``col`` from the parquet footer in the column's
+        NATIVE type (int / float / str — the ``stats.columns`` family), or
+        None under the same proof rules as ``_footer_stats``: missing
+        column, any stat-less non-empty row group, or an unreadable footer
+        means the file is never skipped."""
+        try:
+            prof = self._footer_profile(rel_path, col)
+            if prof is None or not prof[1]:
+                return None
+            lo = hi = None
+            for st in prof[0]:
+                if st is None or not st.has_min_max:
+                    if st is not None and st.num_values == 0:
+                        continue  # all-null group: no bound, no rows
+                    return None  # partial stats: never skip this file
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                return None
+            if isinstance(lo, bytes):  # pre-arrow-utf8 writers
+                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+            return [lo, hi]
+        except Exception:
+            return None
+
+    #: column types the ``stats.columns`` skipping family supports —
+    #: totally ordered, JSON-round-trippable footer stats.  ``ts`` has its
+    #: own dedicated machinery (ts_stats + TTL); timestamps here would
+    #: shadow it.
+    _STATS_TYPES = (
+        T.IntegerType,
+        T.LongType,
+        T.ShortType,
+        T.ByteType,
+        T.FloatType,
+        T.DoubleType,
+        T.StringType,
+    )
+
+    @staticmethod
+    def _stats_cols(snap: Snapshot) -> list[str]:
+        return [
+            c.strip()
+            for c in snap.properties.get("stats.columns", "").split(",")
+            if c.strip()
+        ]
+
     # ----------------------------------------------------------------- read
     def bucket_expr(self, snap: Snapshot | None = None):
         """Deterministic bucket id for a row: pmod(xxhash64(key...), N)."""
@@ -1736,6 +1894,7 @@ class LakeTable:
         lsn_above: int | None = None,
         as_of_ms: int | None = None,
         ts_between: tuple[int | None, int | None] | None = None,
+        between: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past snapshot / a bucket subset).
 
@@ -1773,7 +1932,11 @@ class LakeTable:
         else:
             snap = self.current()
         return self.read_snap(
-            snap, buckets=buckets, lsn_above=lsn_above, ts_between=ts_between
+            snap,
+            buckets=buckets,
+            lsn_above=lsn_above,
+            ts_between=ts_between,
+            between=between,
         )
 
     def _pos_cols(self, df: DataFrame) -> DataFrame:
@@ -1803,6 +1966,7 @@ class LakeTable:
         lsn_above: int | None = None,
         with_pos: bool = False,
         ts_between: tuple[int | None, int | None] | None = None,
+        between: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read an explicit Snapshot object — also works for a staged
         (not-yet-published) snapshot, which is how the WAP audit inspects
@@ -1829,6 +1993,23 @@ class LakeTable:
         # in-window version whose winner sits in a pruned file.
         ts_skip_ok = snap.merge_mode == "cow" or snap.mor_deletes
         ts_lo, ts_hi = ts_between if ts_between is not None else (None, None)
+        if between:
+            # validate against the schema ONCE (a typo'd column or a bound
+            # whose type cannot compare with the stored stats must fail
+            # loud, not silently skip nothing/everything)
+            fmap = {f.name: f for f in snap.schema.fields}
+            for c, (blo, bhi) in between.items():
+                if c not in fmap:
+                    raise KeyError(f"between: no column {c!r}")
+                want_str = isinstance(fmap[c].dataType, T.StringType)
+                for b in (blo, bhi):
+                    if b is None:
+                        continue
+                    if want_str != isinstance(b, str):
+                        raise ValueError(
+                            f"between: bound {b!r} does not match column "
+                            f"{c!r} type {fmap[c].dataType.simpleString()}"
+                        )
         # group files by writing commit dir: each dir was written under ONE
         # schema, so field-id projection decisions are per-dir
         by_dir: dict[str, list[str]] = {}
@@ -1845,6 +2026,21 @@ class LakeTable:
                         or (ts_lo is not None and s[1] < ts_lo)
                     ):
                         continue  # provably outside the event-time window
+                if between and ts_skip_ok:
+                    # generalized column bounds: same one-live-version
+                    # gate — pruning a blind-append MoR read could
+                    # resurrect a stale in-window version
+                    skip = False
+                    for c, (blo, bhi) in between.items():
+                        s = snap.col_stats.get(c, {}).get(f)
+                        if s is not None and (
+                            (bhi is not None and s[0] > bhi)
+                            or (blo is not None and s[1] < blo)
+                        ):
+                            skip = True
+                            break
+                    if skip:
+                        continue  # provably outside every requested window
                 by_dir.setdefault(_commit_dir(f), []).append(
                     os.path.join(self.path, f)
                 )
@@ -1903,6 +2099,14 @@ class LakeTable:
             # files can hold straddling rows; Catalyst pushes this to the
             # parquet scan so row groups prune too
             out = out.filter(ts_predicate(ts_between))
+        if between:
+            for c, (blo, bhi) in between.items():
+                cond = F.col(c).isNotNull()
+                if blo is not None:
+                    cond = cond & (F.col(c) >= F.lit(blo))
+                if bhi is not None:
+                    cond = cond & (F.col(c) <= F.lit(bhi))
+                out = out.filter(cond)
         return out
 
     def _live_eq_entries(
@@ -2033,6 +2237,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_pos: bool = False,
         ts_between: tuple[int | None, int | None] | None = None,
+        between: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """One CURRENT row version per key (tombstones included) under the
         table's merge mode:
@@ -2048,7 +2253,7 @@ class LakeTable:
         if snap.merge_mode != "mor":
             return self.read_snap(
                 snap, buckets=buckets, with_pos=with_pos,
-                ts_between=ts_between,
+                ts_between=ts_between, between=between,
             )
         if snap.mor_deletes:
             # one live version per key: the event-time slice can prune and
@@ -2060,11 +2265,13 @@ class LakeTable:
                 # no outstanding deletes (e.g. right after compaction):
                 # a plain flat scan, same as CoW
                 df = self.read_snap(
-                    snap, buckets=buckets, ts_between=ts_between
+                    snap, buckets=buckets, ts_between=ts_between,
+                    between=between,
                 )
                 return df.drop("_seq") if "_seq" in df.columns else df
             df = self.read_snap(
-                snap, buckets=buckets, with_pos=True, ts_between=ts_between
+                snap, buckets=buckets, with_pos=True, ts_between=ts_between,
+                between=between,
             )
             if dels is not None:
                 df = df.join(
@@ -2086,6 +2293,14 @@ class LakeTable:
             df = df.drop("_seq")
         if ts_between is not None:
             df = df.filter(ts_predicate(ts_between))
+        if between:
+            for c, (blo, bhi) in between.items():
+                cond = F.col(c).isNotNull()
+                if blo is not None:
+                    cond = cond & (F.col(c) >= F.lit(blo))
+                if bhi is not None:
+                    cond = cond & (F.col(c) <= F.lit(bhi))
+                df = df.filter(cond)
         return df
 
     def read_keys(
@@ -3031,6 +3246,15 @@ class LakeTable:
                 f"column {old!r} is referenced by governance.row-filter="
                 f"{gf!r}; unset or re-set the property first"
             )
+        # stats.columns follows the rename (a rename keeps the column's
+        # meaning), and the stats themselves re-key so the carried bounds
+        # survive — inheritance is by name, and the field id is unchanged
+        scols = self._stats_cols(snap)
+        if old in scols:
+            props = dict(props if props is not None else snap.properties)
+            props["stats.columns"] = ",".join(
+                new if c == old else c for c in scols
+            )
         mkey = f"governance.mask.{old}"
         re_keyed = [mkey] if mkey in snap.properties else []
         # nested masks under a renamed struct parent re-key with it
@@ -3054,6 +3278,10 @@ class LakeTable:
             column_ids=ids,
             dir_schemas=dirs,
             properties=props,
+            col_stats={
+                (new if c == old else c): per
+                for c, per in snap.col_stats.items()
+            },
         )
 
     def drop_column(self, name: str) -> Snapshot:
@@ -3136,6 +3364,17 @@ class LakeTable:
             props = {
                 k: v for k, v in snap.properties.items() if k not in doomed
             }
+        # a dropped stats column leaves the skipping roster with it (its
+        # carried bounds clear via the field-id inheritance rule); unlike
+        # sort-order the drop is not refused — stats are advisory
+        scols = self._stats_cols(snap)
+        if name in scols:
+            props = dict(props if props is not None else snap.properties)
+            remaining = [c for c in scols if c != name]
+            if remaining:
+                props["stats.columns"] = ",".join(remaining)
+            else:
+                props.pop("stats.columns", None)
         dirs = self._dirs_registered(snap)
         return self._commit(
             parent=snap,
@@ -3370,12 +3609,24 @@ class LakeTable:
             # rewrite lands under the current schema, restoring the
             # single-scan by-name fast path (Iceberg rewrite_data_files
             # migrating old-schema files)
+            target_rows = snap.properties.get("compaction.target-file-rows")
+
             def _needs_rewrite(b: int) -> bool:
                 fl = snap.files.get(str(b), [])
                 if not fl:
                     return False
                 if len(fl) > 1 or b in eq_buckets or b in ext_buckets:
                     return True
+                if target_rows is not None:
+                    # a single OVERSIZED file also rewrites (Iceberg
+                    # rewrite_data_files splits too-large files, not only
+                    # merges small ones) — otherwise a one-file bucket can
+                    # never split and a declared sort order / file-rows
+                    # target never reaches it.  One footer open per
+                    # single-file bucket, only while the property is set.
+                    n = self._footer_num_rows(fl[0])
+                    if n is not None and n > int(target_rows):
+                        return True
                 return any(
                     not _dir_compatible(
                         snap, snap.dir_schemas.get(_commit_dir(f))

@@ -580,12 +580,32 @@ def cmd_sql(args) -> int:
             _parse_ts_ms(args.ts_from) if args.ts_from else None,
             _parse_ts_ms(args.ts_to) if args.ts_to else None,
         )
+    between = None
+    for spec in args.between or []:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            print("sql: --between expects COL:LO:HI (empty = open bound)",
+                  file=sys.stderr)
+            return 2
+
+        def _bound(x):
+            if x == "":
+                return None
+            try:
+                f = float(x)
+                return int(f) if f.is_integer() and "." not in x else f
+            except ValueError:
+                return x
+
+        between = between or {}
+        between[parts[0]] = (_bound(parts[1]), _bound(parts[2]))
     register_sql_views(
         table,
         args.view,
         as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
         ts_between=ts_between,
         privileged=args.privileged,
+        between=between,
     )
     df = spark.sql(args.query)
     if args.json:
@@ -1343,6 +1363,10 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--privileged", action="store_true",
                     help="bypass governance.mask.*/row-filter table "
                     "properties (the pipeline-operator view)")
+    sq.add_argument("--between", action="append", metavar="COL:LO:HI",
+                    help="range-slice the views on a stats column "
+                    "(repeatable; empty bound = open; files provably "
+                    "outside every window are never planned)")
     sq.add_argument("--limit", type=int, default=100)
     sq.add_argument("--json", action="store_true",
                     help="print JSON lines instead of a table")

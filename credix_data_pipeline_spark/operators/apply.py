@@ -734,6 +734,7 @@ def read_current(
     snapshot_id: int | None = None,
     buckets: list[int] | None = None,
     ts_between: tuple[int | None, int | None] | None = None,
+    between: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Current row versions (tombstones still present).
 
@@ -749,7 +750,7 @@ def read_current(
         table.snapshot(snapshot_id) if snapshot_id else table.current()
     )
     return table.current_versions(
-        snap=snap, buckets=buckets, ts_between=ts_between
+        snap=snap, buckets=buckets, ts_between=ts_between, between=between
     )
 
 
@@ -757,6 +758,7 @@ def read_clean(
     table: LakeTable,
     snapshot_id: int | None = None,
     ts_between: tuple[int | None, int | None] | None = None,
+    between: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Public view of the target: tombstones and bookkeeping filtered out.
 
@@ -765,7 +767,9 @@ def read_clean(
 
     Tables without a ``_deleted`` column (created outside the CDC replay
     path — plain warehouse loads) have no tombstones to filter."""
-    df = read_current(table, snapshot_id=snapshot_id, ts_between=ts_between)
+    df = read_current(
+        table, snapshot_id=snapshot_id, ts_between=ts_between, between=between
+    )
     if "_deleted" not in df.columns:
         return df
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
@@ -843,6 +847,7 @@ def register_sql_views(
     as_of_ms: int | None = None,
     ts_between: tuple[int | None, int | None] | None = None,
     privileged: bool = False,
+    between: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Register the table as Spark SQL temp views — the dbt-model read
     surface (the reference's consumers query silver/gold models as SQL
@@ -864,8 +869,12 @@ def register_sql_views(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or as_of_ms, not both")
         snapshot_id = table.snapshot_as_of(as_of_ms).snapshot_id
-    clean = read_clean(table, snapshot_id=snapshot_id, ts_between=ts_between)
-    raw = read_current(table, snapshot_id=snapshot_id, ts_between=ts_between)
+    clean = read_clean(
+        table, snapshot_id=snapshot_id, ts_between=ts_between, between=between
+    )
+    raw = read_current(
+        table, snapshot_id=snapshot_id, ts_between=ts_between, between=between
+    )
     if not privileged:
         # governance policy is LIVE (current properties), even for a
         # time-travel read — otherwise `--as-of` would bypass a mask that
