@@ -1163,6 +1163,67 @@ WHERE event_type <> 'click'
 """
 
 
+
+def q_cdc_colstats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read end-to-end, oracle-checked: a clone of the
+    replayed events table declares ``stats.columns = value,event_type``
+    (the declaration commit backfills per-file bounds from footers), is
+    re-clustered by ``value`` with a file-split target so per-file bounds
+    become disjoint slices, and the query reads a ``between`` window
+    through the engine's pruned path.  The oracle applies the same range
+    predicate in SQL over the replay oracle — so the driver verifies the
+    pruned read returns EXACTLY the window (a wrongly skipped file would
+    drop rows; a missing row predicate would leak straddlers).
+
+    The pruning itself (files planned < files live) is asserted here,
+    not just in unit tests — a silently non-pruning build still matches
+    the oracle, and that would be a perf regression hiding behind green."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+
+    work, _ = _replayed_events(spark, sf_dir)
+    cs_path = work + "_colstats"
+    if work not in _EVENTS_COLSTATS:
+        shutil.rmtree(cs_path, ignore_errors=True)
+        up = LakeTable.load(spark, work)
+        t = up.clone_to(cs_path, pin=False)
+        # data-derived split target: ~4 clustered files per bucket at any
+        # SF, so per-file value bounds become disjoint slices
+        n = read_clean(t).count()
+        t.alter_properties({
+            "stats.columns": "value,event_type",
+            "compaction.sort-order": "value",
+            "compaction.target-file-rows": str(max(50, n // 32)),
+        })
+        t = LakeTable.load(spark, cs_path)
+        t.compact()
+        t = LakeTable.load(spark, cs_path)
+        planned = len(set(
+            t.read(between={"value": (100.0, 200.0)}).inputFiles()
+        ))
+        live = len(t.current().all_files())
+        if planned >= live:
+            raise RuntimeError(
+                f"between planned {planned} of {live} files — skipping "
+                "is not pruning"
+            )
+        _EVENTS_COLSTATS[work] = cs_path
+    t = LakeTable.load(spark, _EVENTS_COLSTATS[work])
+    return read_clean(t, between={"value": (100.0, 200.0)}).select(
+        "user_id", "event_type", "event_id", "ts", "value", "props"
+    )
+
+
+_EVENTS_COLSTATS: dict[str, str] = {}
+
+
+SQL_CDC_COLSTATS_E2E = f"""
+SELECT user_id, event_type, event_id, ts, value, props
+FROM ({SQL_CDC_REPLAY_EVENTS}) final_state
+WHERE value IS NOT NULL AND value >= 100.0 AND value <= 200.0
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
     # the branch→fast-forward path must land main on the SAME final state
@@ -1188,4 +1249,6 @@ CDC_QUERIES = {
     # masks + row filter declared as table properties must bind the
     # SQL view surface exactly (no leaks past the filter, types kept)
     "cdc_governance_e2e": (q_cdc_governance_e2e, SQL_CDC_GOVERNANCE_E2E),
+    # a clustered, stats-pruned range read must return exactly the window
+    "cdc_colstats_e2e": (q_cdc_colstats_e2e, SQL_CDC_COLSTATS_E2E),
 }
