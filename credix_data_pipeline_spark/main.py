@@ -1030,6 +1030,24 @@ def cmd_export(args) -> int:
     from credix_data_pipeline_spark.operators.export import export_snapshot
 
     spark = _spark(args)
+    between = None
+    for spec in args.between or []:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            print(json.dumps({"error": "--between expects COL:LO:HI"}))
+            return 2
+
+        def _bound(x):
+            if x == "":
+                return None
+            try:
+                f = float(x)
+                return int(f) if f.is_integer() and "." not in x else f
+            except ValueError:
+                return x
+
+        between = between or {}
+        between[parts[0]] = (_bound(parts[1]), _bound(parts[2]))
     try:
         summary = export_snapshot(
             LakeTable.load(spark, args.table),
@@ -1041,6 +1059,7 @@ def cmd_export(args) -> int:
                 else None
             ),
             privileged=args.privileged,
+            between=between,
         )
     except (ValueError, FileExistsError) as e:
         print(json.dumps({"error": str(e)}))
@@ -1486,6 +1505,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated hive-layout partition column(s)")
     ex.add_argument("--privileged", action="store_true",
                     help="bypass governance.mask.*/row-filter properties")
+    ex.add_argument("--between", action="append", metavar="COL:LO:HI",
+                    help="range-slice the unload on a stats column "
+                    "(repeatable; manifest bounds prune the read)")
     ex.set_defaults(fn=cmd_export)
 
     bn = sub.add_parser(

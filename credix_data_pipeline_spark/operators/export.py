@@ -54,9 +54,15 @@ def export_snapshot(
     as_of_ms: int | None = None,
     partition_by: list[str] | None = None,
     privileged: bool = False,
+    ts_between: tuple[int | None, int | None] | None = None,
+    between: dict[str, tuple] | None = None,
 ) -> dict[str, Any]:
     """Unload one consistent snapshot to ``dest`` as plain parquet.
-    Returns the summary dict (also persisted as ``dest/_export.json``)."""
+    Returns the summary dict (also persisted as ``dest/_export.json``).
+
+    ``ts_between`` / ``between`` slice the unload (the "export last 7
+    days for the vendor" shape) through the manifest-stats pruned read —
+    a partial export of a 100 TB table plans only the warm files."""
     if as_of_ms is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or as_of_ms, not both")
@@ -72,7 +78,9 @@ def export_snapshot(
         if snapshot_id is None
         else table.snapshot(snapshot_id)
     )
-    df = read_clean(table, snapshot_id=snapshot_id)
+    df = read_clean(
+        table, snapshot_id=snapshot_id, ts_between=ts_between, between=between
+    )
     governed = False
     if not privileged:
         cur = table.current()  # policy is LIVE, the register_sql_views rule
@@ -102,6 +110,7 @@ def export_snapshot(
         "columns": [c for c in df.columns],
         "partition_by": list(partition_by or []),
         "governed": governed,
+        "sliced": bool(ts_between or between),
         "exported_at_ms": int(time.time() * 1000),
     }
     with open(os.path.join(dest, SUMMARY_FILE), "w") as f:

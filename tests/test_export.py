@@ -102,3 +102,22 @@ def test_cli_export(spark, table, tmp_path, capsys):
     rc = cli.main(["export", "--table", table.path, "--dest", dest])
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and "exists" in err["error"]
+
+
+def test_sliced_export(spark, table, tmp_path, capsys):
+    """A range-sliced unload ("export last N turns for the vendor"):
+    between slices through the stats-pruned read, summary marks it."""
+    table.alter_properties({"stats.columns": "turn_idx"})
+    table = LakeTable.load(spark, table.path)
+    dest = str(tmp_path / "slice")
+    s = export_snapshot(table, dest, between={"turn_idx": (0, 2)})
+    got = spark.read.parquet(dest)
+    assert s["sliced"] is True
+    want = read_clean(table).filter(F.col("turn_idx") <= 2)
+    assert got.count() == s["rows"] == want.count() > 0
+    assert got.agg(F.max("turn_idx")).first()[0] == 2
+    rc = cli.main(["export", "--table", table.path,
+                   "--dest", str(tmp_path / "slice2"),
+                   "--between", "turn_idx:0:2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"] == s["rows"] and out["sliced"] is True
