@@ -350,7 +350,7 @@ def layout_health(spark: SparkSession, table_path: str) -> dict:
         for p in parts
         if mean_rows and p["row_count"] * 10000 // mean_rows >= SKEW_WARN_BP
     ]
-    return {
+    out = {
         "buckets": len(parts),
         "mean_rows_per_bucket": mean_rows,
         "small_file_buckets": sorted(small, key=lambda x: x["bucket"]),
@@ -360,6 +360,25 @@ def layout_health(spark: SparkSession, table_path: str) -> dict:
             default=0,
         ),
     }
+    snap = table.current()
+    scols = table._stats_cols(snap)
+    if scols:
+        # data-skipping coverage: share of live files carrying bounds per
+        # stats column — low coverage means range slices stop pruning
+        # (files without bounds are never skipped) until a compaction or
+        # the per-commit backfill catches the stragglers
+        live = len(snap.all_files())
+        out["stats_coverage"] = {
+            c: {
+                "files_with_bounds": len(snap.col_stats.get(c, {})),
+                "live_files": live,
+                "coverage_bp": (
+                    len(snap.col_stats.get(c, {})) * 10000 // max(1, live)
+                ),
+            }
+            for c in scols
+        }
+    return out
 
 
 def maintenance_pressure(spark: SparkSession, table_path: str) -> dict:

@@ -227,3 +227,18 @@ def test_compaction_splits_oversized_single_file(spark, tmp_path):
     from credix_data_pipeline_spark.operators.maintenance import maintain
     rep = maintain(t, dry_run=True)
     assert not rep["compact_buckets"]
+
+
+def test_monitor_reports_stats_coverage(spark, tmp_path):
+    from credix_data_pipeline_spark.streaming.monitoring import layout_health
+
+    t = _mk(spark, str(tmp_path / "t"), props={"stats.columns": "turn_idx"})
+    conv = _convs(spark, 1)[0]
+    apply_batch(t, _batch(spark, 0, 10, 0, conv), 0, collect_stats=False)
+    rep = layout_health(spark, t.path)
+    cov = rep["stats_coverage"]["turn_idx"]
+    assert cov["coverage_bp"] == 10000 and cov["live_files"] >= 1
+    # without the property the section is absent (no noise)
+    t2 = _mk(spark, str(tmp_path / "t2"))
+    apply_batch(t2, _batch(spark, 0, 5, 0, conv), 0, collect_stats=False)
+    assert "stats_coverage" not in layout_health(spark, t2.path)
