@@ -39,7 +39,14 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from credix_data_pipeline_spark.lakehouse import LakeTable
-from credix_data_pipeline_spark.operators.apply import read_clean
+from credix_data_pipeline_spark.lakehouse.table import (
+    _commit_dir,
+    _file_token,
+)
+from credix_data_pipeline_spark.operators.apply import (
+    read_clean,
+    read_current,
+)
 from credix_data_pipeline_spark.operators.merge import merge_into
 
 
@@ -74,8 +81,45 @@ def _row_hash(prefix: str, cols: list[str]):
     return F.xxhash64(*parts)
 
 
-def _fingerprints(t: LakeTable, cols: list[str]) -> dict[int, tuple[int, int]]:
-    df = read_clean(t)
+def _metadata_identical_buckets(ls, rs) -> set[int]:
+    """Phase 0 — buckets provably identical from MANIFESTS ALONE, zero
+    scan: both sides reference the exact same data files (root-independent
+    tokens — a zero-copy clone records the source's paths, so a fresh
+    clone/restore passes entirely), with no outstanding equality deletes
+    touching the bucket, identical position-delete files, matching merge
+    semantics, and equal write-time dir records (same files must PROJECT
+    identically — a drop+re-add on one side changes the logical read of
+    the same bytes).  At 100 TB this turns the common "did my restore
+    diverge?" diff from two full scans into a metadata walk."""
+    if ls.merge_mode != rs.merge_mode or ls.mor_deletes != rs.mor_deletes:
+        return set()
+    eq_l = {int(b) for e in ls.eq_deletes for b in e["buckets"]}
+    eq_r = {int(b) for e in rs.eq_deletes for b in e["buckets"]}
+    out: set[int] = set()
+    for b in set(ls.files) | set(rs.files):
+        if int(b) in eq_l or int(b) in eq_r:
+            continue
+        lf = sorted(_file_token(f) for f in ls.files.get(b, []))
+        rf = sorted(_file_token(f) for f in rs.files.get(b, []))
+        if lf != rf:
+            continue
+        ld = sorted(_file_token(f) for f in ls.delete_files.get(b, []))
+        rd = sorted(_file_token(f) for f in rs.delete_files.get(b, []))
+        if ld != rd:
+            continue
+        dirs = {_commit_dir(f) for f in ls.files.get(b, [])}
+        if any(ls.dir_schemas.get(d) != rs.dir_schemas.get(d) for d in dirs):
+            continue
+        out.add(int(b))
+    return out
+
+
+def _fingerprints(
+    t: LakeTable, cols: list[str], buckets: list[int] | None = None
+) -> dict[int, tuple[int, int]]:
+    df = read_current(t, buckets=buckets)
+    if "_deleted" in df.columns:
+        df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     h = _row_hash("", cols)
     rows = (
         # bit_xor: bit-granular, order-independent, overflow-free digest
@@ -97,15 +141,29 @@ def diff_tables(
     key = list(snap.key)
     cols = key + [c for c in payload if c not in key]
 
-    fl = _fingerprints(left, cols)
-    fr = _fingerprints(right, cols)
+    ls, rs = left.current(), right.current()
+    trusted = _metadata_identical_buckets(ls, rs)
+    candidates = sorted(
+        int(b) for b in set(ls.files) | set(rs.files)
+        if int(b) not in trusted
+    )
+    if not candidates:
+        return {
+            "identical": True,
+            "buckets_compared": len(trusted),
+            "metadata_identical_buckets": len(trusted),
+            "divergent_buckets": [],
+        }
+    fl = _fingerprints(left, cols, candidates)
+    fr = _fingerprints(right, cols, candidates)
     divergent = sorted(
         b for b in set(fl) | set(fr) if fl.get(b) != fr.get(b)
     )
     if not divergent:
         return {
             "identical": True,
-            "buckets_compared": len(set(fl) | set(fr)),
+            "buckets_compared": len(set(fl) | set(fr)) + len(trusted),
+            "metadata_identical_buckets": len(trusted),
             "divergent_buckets": [],
         }
 
@@ -136,7 +194,8 @@ def diff_tables(
     )
     return {
         "identical": False,
-        "buckets_compared": len(set(fl) | set(fr)),
+        "buckets_compared": len(set(fl) | set(fr)) + len(trusted),
+        "metadata_identical_buckets": len(trusted),
         "divergent_buckets": divergent,
         "keys": keys,
     }

@@ -196,3 +196,31 @@ def test_null_swap_between_columns_detected(spark, pair):
 
     repair_replica(rep, up)
     assert diff_tables(up, LakeTable.load(spark, rep.path))["identical"]
+
+
+def test_clone_diff_is_metadata_only(spark, pair, tmp_path):
+    """Phase 0: a fresh zero-copy clone references the SAME data files, so
+    the diff proves identity from manifests alone — and after corrupting
+    one bucket, only that bucket loses its metadata proof (the others
+    still share file references with the source)."""
+    up, _ = pair
+    c = up.clone_to(str(tmp_path / "clone"), pin=False)
+    d = diff_tables(up, c)
+    assert d["identical"] is True
+    assert d["metadata_identical_buckets"] == d["buckets_compared"] > 0
+
+    victim = read_clean(c).select("conv_id").limit(1).collect()[0].conv_id
+    from pyspark.sql import functions as F
+
+    row = (read_clean(c).filter(F.col("conv_id") == victim)
+           .withColumn("text", F.lit("X")))
+    merge_into(c, row, when_matched_update={"text": "s.text"})
+    c = LakeTable.load(spark, c.path)
+    d = diff_tables(up, c)
+    assert d["identical"] is False
+    # the CoW corruption rewrote ONE bucket; every other bucket still
+    # proves identical by metadata and is never scanned
+    assert len(d["divergent_buckets"]) == 1
+    assert d["metadata_identical_buckets"] >= d["buckets_compared"] - 1 - 1
+    repair_replica(c, up)
+    assert diff_tables(up, LakeTable.load(spark, c.path))["identical"]
