@@ -812,6 +812,11 @@ def apply_governance(df: DataFrame, snap, masks_only: bool = False) -> DataFrame
     masks, row_filter = governance_rules(snap)
     if row_filter and not masks_only:
         df = df.filter(F.coalesce(F.expr(row_filter), F.lit(False)))
+    # every mask evaluates over the PRE-MASK row (one projection, not a
+    # withColumn chain): a mask referencing another masked column sees
+    # the TRUE value, same as the row filter — no alphabetical-order
+    # dependence between masks
+    replacements: dict = {}
     for col in sorted(masks):
         if "." in col:
             # nested mask: rewrite the field INSIDE the struct (a NULL
@@ -826,17 +831,15 @@ def apply_governance(df: DataFrame, snap, masks_only: bool = False) -> DataFrame
             masked = F.expr(
                 masks[col].replace("{col}", f"`{parent}`.`{fname}`")
             ).cast(dtype)
-            df = df.withColumn(
-                parent, F.col(parent).withField(fname, masked)
-            )
+            base = replacements.get(parent, F.col(parent))
+            replacements[parent] = base.withField(fname, masked)
         elif col in df.columns:
             fld = next(f for f in snap.schema.fields if f.name == col)
-            df = df.withColumn(
-                col,
-                F.expr(masks[col].replace("{col}", f"`{col}`")).cast(
-                    fld.dataType
-                ),
-            )
+            replacements[col] = F.expr(
+                masks[col].replace("{col}", f"`{col}`")
+            ).cast(fld.dataType)
+    if replacements:
+        df = df.withColumns(replacements)
     return df
 
 

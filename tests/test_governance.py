@@ -234,3 +234,28 @@ def test_nested_mask_and_consumer_cli_surfaces(spark, tmp_path, capsys):
         k.startswith("governance.mask.") for k in t.current().properties
     )
     assert pre  # pinned earlier state still loads (no property rewrite)
+
+
+def test_masks_evaluate_over_true_values(spark, table):
+    """A mask referencing ANOTHER masked column must see the TRUE value
+    (all masks compute from the pre-mask row in one projection), not the
+    other mask's output — no alphabetical-order dependence."""
+    table.alter_properties({
+        # 'role' sorts before 'text': with a withColumn chain the text
+        # mask would see the MASKED role
+        "governance.mask.role": "'?'",
+        "governance.mask.text": "concat(role, ':', 'x')",
+    })
+    t = LakeTable.load(spark, table.path)
+    register_sql_views(t, "tv2")
+    got = {
+        r["text"]
+        for r in spark.sql(
+            "SELECT DISTINCT text FROM tv2 WHERE text IS NOT NULL"
+        ).collect()
+    }
+    roles = {
+        r["role"]
+        for r in read_clean(table).select("role").distinct().collect()
+    }
+    assert got == {f"{x}:x" for x in roles}  # true roles, not '?:x'
