@@ -364,9 +364,23 @@ def publish_changes(
             rebase = True
     bootstrap_full = False
     if rebase:
-        # full-state re-anchor: no diff base needed, never a no-op skip
+        # full-state re-anchor: no diff base needed, never a no-op skip.
+        # The DDL channel still needs the span's layout changes, though:
+        # a CONTINUING replica that consumed pre-rebase chunks under the
+        # old layout converges by applying them before the re-anchor's
+        # data, and the reader's schema segmentation needs the boundary
+        # (hypothesis-found: publish -> widen -> rebase publish put two
+        # types of one column in one segment).  A fresh replica created
+        # from the rebase chunk's post-DDL schema re-applies them as
+        # no-ops — apply_ddl is idempotent by construction.
         base_id = None
         bootstrap_full = True
+        ddl_base_id = None
+        if manifest["chunks"]:
+            spans = manifest.get("chunk_snapshots", {})
+            last = manifest["chunks"][-1]
+            if last in spans:
+                ddl_base_id = spans[last]["to"]
     elif manifest["chunks"]:
         spans = manifest.get("chunk_snapshots", {})
         last = manifest["chunks"][-1]
@@ -409,6 +423,14 @@ def publish_changes(
             ).drop("_deleted")
         ch = live.withColumn(CHANGE_COL, F.lit("insert"))
         ddl_events: list[dict] = []  # fresh full state: no prior layout
+        if rebase and ddl_base_id is not None:
+            try:
+                ddl_events = schema_ddl(table.snapshot(ddl_base_id), cur)
+            except KeyError:
+                # base expired: a replica still behind it must re-bootstrap
+                # anyway (the behind-the-horizon contract) — fresh ones
+                # start at this chunk's post-DDL schema
+                ddl_events = []
     else:
         try:
             base_snap = table.snapshot(base_id)

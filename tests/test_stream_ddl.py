@@ -336,3 +336,65 @@ def test_stream_ddl_legacy_marker_migration(spark, tmp_path):
         json.dump({"drained_starts": [99]}, f)
     with pytest.raises(RuntimeError, match="legacy stream_ddl marker"):
         runner.stream_ddl(spark, relay, t2p, num_buckets=4)
+
+
+def test_rebase_publish_carries_span_ddl(spark, tmp_path):
+    """Hypothesis-found: publish -> widen -> REBASE publish emitted the
+    re-anchor chunk with NO DDL boundary, so the reader saw one column
+    under two types in one segment (fresh drains crashed) and a continuing
+    replica could never converge its layout.  A rebase publish must record
+    the span's DDL events exactly like a normal publish — a fresh replica
+    re-applies them as no-ops (apply_ddl is idempotent)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.operators.apply import apply_batch
+    from credix_data_pipeline_spark.schema import (
+        CHANGE_SCHEMA,
+        target_schema_for,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=4, bucket_by=["conv_id"],
+    )
+    relay = str(tmp_path / "relay")
+    apply_batch(up, spark.createDataFrame(
+        [("I", 1, base, "c0", 0, "user", "t0", None, base)], CHANGE_SCHEMA),
+        0, collect_stats=False)
+    publish_changes(up, relay)
+
+    # a continuing replica consumes the pre-DDL span under the old layout
+    down = str(tmp_path / "down")
+    runner.stream_ddl(spark, relay, down, num_buckets=2)
+
+    up.widen_column("turn_idx", T.LongType())
+    up = LakeTable.load(spark, up.path)
+    apply_batch(up, spark.createDataFrame(
+        [("I", 2, base, "c1", 0, "user", "t1", None, base)], CHANGE_SCHEMA),
+        1, collect_stats=False)
+    publish_changes(up, relay, rebase=True)
+
+    # fresh replica bootstraps at the rebase chunk (no type-mix crash)
+    fresh = str(tmp_path / "fresh")
+    runner.stream_ddl(spark, relay, fresh, num_buckets=2)
+    tf = LakeTable.load(spark, fresh)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in tf.current().schema.fields)["turn_idx"] == "bigint"
+
+    # the continuing replica converges layout AND values through the DDL
+    runner.stream_ddl(spark, relay, down, num_buckets=2)
+    td = LakeTable.load(spark, down)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in td.current().schema.fields)["turn_idx"] == "bigint"
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in read_clean(td).select("conv_id", "turn_idx", "text").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in read_clean(up).select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == want
