@@ -2458,6 +2458,103 @@ class LakeTable:
                 files[b] = rel
         return files
 
+    def _additive_since(self, base: Snapshot, head: Snapshot) -> str | None:
+        """Why the commits between ``base`` and ``head`` are NOT pure
+        additions (None = every interloper only ADDED files).  The
+        admission rule for metadata-level commit rebase: an additive
+        commit (append / MoR merge-delta) computed against ``base`` is
+        still valid verbatim on ``head`` iff nothing it read was removed
+        or re-shaped — no file deletions (compaction/CoW replace), no
+        new equality deletes (its pre-image read would have missed a
+        purge), no schema / field-id / partition-spec / property change.
+        The Iceberg "concurrent appends never conflict" validation."""
+        if head.version <= base.version:
+            return f"head v{head.version} is not ahead of base v{base.version}"
+        if head.schema.jsonValue() != base.schema.jsonValue():
+            return "schema changed"
+        if head.column_ids != base.column_ids:
+            return "column ids changed"
+        if (
+            head.key != base.key
+            or head.bucket_by != base.bucket_by
+            or head.num_buckets != base.num_buckets
+            or head.merge_mode != base.merge_mode
+        ):
+            return "key/partition spec changed"
+        if head.properties != base.properties:
+            return "table properties changed"
+        if head.eq_deletes != base.eq_deletes:
+            return "equality deletes changed"
+        if not set(base.all_files()) <= set(head.all_files()):
+            return "data files removed (rewrite committed)"
+        if not set(base.all_delete_files()) <= set(head.all_delete_files()):
+            return "position-delete files removed (rewrite committed)"
+        return None
+
+    def _commit_additive(
+        self,
+        base: Snapshot,
+        new_files: dict[str, list[str]],
+        new_delete_files: dict[str, list[str]] | None,
+        summary: dict[str, Any],
+        *,
+        op: str,
+        staged: bool,
+        mor_deletes: bool | None,
+        rebase=None,
+    ) -> Snapshot:
+        """Commit a pure ADDITION (files/delete-files already on disk) with
+        optional metadata-level rebase: when another writer's commit lands
+        between ``base`` and this commit's version CAS, and every interloper
+        was itself additive (``_additive_since``), the addition is re-linked
+        onto the new head WITHOUT re-running the data job — O(manifest)
+        instead of O(merge).  ``rebase`` is None (off: conflict raises, the
+        caller's full retry loop owns recovery), or a callable
+        ``head_snapshot -> dict`` whose result overrides summary keys that
+        must be recomputed against the new head (the fan-in ``fences`` map —
+        a rebased commit keeping its stale map would erase the interloping
+        source's fence and break exactly-once on redelivery)."""
+        head = base
+        while True:
+            merged = {b: list(fl) for b, fl in head.files.items()}
+            for b, fl in new_files.items():
+                merged.setdefault(b, []).extend(fl)
+            merged_dels = {b: list(fl) for b, fl in head.delete_files.items()}
+            for b, fl in (new_delete_files or {}).items():
+                merged_dels.setdefault(b, []).extend(fl)
+            s = {"operation": op, **summary}
+            if head is not base:
+                if callable(rebase):
+                    s.update(rebase(head))
+                s["occ_rebase"] = {
+                    "base_version": base.version,
+                    "rebased_over": head.version - base.version,
+                }
+            try:
+                return self._commit(
+                    parent=head,
+                    schema=head.schema,
+                    key=head.key,
+                    bucket_by=head.bucket_by,
+                    num_buckets=head.num_buckets,
+                    files=merged,
+                    summary=s,
+                    delete_files=merged_dels,
+                    mor_deletes=mor_deletes,
+                    staged=staged,
+                )
+            except CommitConflict:
+                if rebase is None or staged:
+                    raise
+                newhead = self.current()
+                why = self._additive_since(base, newhead)
+                if why:
+                    raise CommitConflict(
+                        f"cannot metadata-rebase {op} onto "
+                        f"v{newhead.version}: {why}"
+                    ) from None
+                head = newhead
+
     def append_mor_delta(
         self,
         df: DataFrame,
@@ -2465,6 +2562,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         staged: bool = False,
         base: Snapshot | None = None,
+        rebase=None,
     ) -> Snapshot:
         """Merge-on-read MERGE commit (Iceberg v2 shape): append the batch's
         winning row versions as data files PLUS position-delete files
@@ -2472,27 +2570,33 @@ class LakeTable:
         commit, no bucket rewrite.  ``delete_df`` columns: ``_bucket``,
         ``file`` (table-relative path), ``pos`` (row ordinal).  ``base``
         pins the snapshot the deletes were computed against (see
-        ``replace_buckets``) — stale positions must conflict, not commit."""
+        ``replace_buckets``) — stale positions must conflict, not commit.
+
+        ``rebase`` (see ``_commit_additive``) lets the commit re-link onto
+        a moved head when every interloper was itself additive.  For
+        position-delete merges this is only sound when concurrent writers
+        own DISJOINT key sets (the fan-in sharded-OLTP contract): a rebase
+        never re-arbitrates LWW against rows an interloper wrote, so an
+        overlapping key would end up with two live versions under an
+        invariant that promises one.  Callers gate it on the
+        ``occ.additive-rebase`` table property for exactly that reason."""
         snap = base or self.current()
         bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
         new_files = self._write_files(bucketed, snap)
-        merged = {b: list(fl) for b, fl in snap.files.items()}
-        for b, fl in new_files.items():
-            merged.setdefault(b, []).extend(fl)
-        merged_dels = {b: list(fl) for b, fl in snap.delete_files.items()}
-        if delete_df is not None:
-            for b, fl in self._write_delete_files(delete_df).items():
-                merged_dels.setdefault(b, []).extend(fl)
-        return self._commit(
-            parent=snap,
-            schema=snap.schema,
-            key=snap.key,
-            bucket_by=snap.bucket_by,
-            num_buckets=snap.num_buckets,
-            files=merged,
-            summary={"operation": "merge-delta", **(summary or {})},
-            delete_files=merged_dels,
+        ndels = (
+            self._write_delete_files(delete_df)
+            if delete_df is not None
+            else None
+        )
+        return self._commit_additive(
+            snap,
+            new_files,
+            ndels,
+            summary or {},
+            op="merge-delta",
             staged=staged,
+            mor_deletes=None,
+            rebase=rebase,
         )
 
     def append(
@@ -2501,6 +2605,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         staged: bool = False,
         base: Snapshot | None = None,
+        rebase=None,
     ) -> Snapshot:
         """Append rows (no key reconciliation — the reference's WRITE_APPEND,
         credix_pipeline/resources/gcp_resource.py:32-67).
@@ -2508,23 +2613,24 @@ class LakeTable:
         On a merge-on-read table a blind append may introduce a second live
         version of a key, so it CLEARS the position-delete invariant —
         reads fall back to the (correct, slower) LWW collapse until the
-        next ``compact()`` restores it."""
+        next ``compact()`` restores it.
+
+        ``rebase`` (see ``_commit_additive``): blind appends perform no key
+        reconciliation, so two concurrent appends ALWAYS commute — the
+        rebase is unconditionally sound here and only the summary fence
+        hook needs the new head."""
         snap = base or self.current()
         bucketed = df.withColumn(BUCKET_COL, self.bucket_expr(snap))
         new_files = self._write_files(bucketed, snap)
-        merged = {b: list(fl) for b, fl in snap.files.items()}
-        for b, fl in new_files.items():
-            merged.setdefault(b, []).extend(fl)
-        return self._commit(
-            parent=snap,
-            schema=snap.schema,
-            key=snap.key,
-            bucket_by=snap.bucket_by,
-            num_buckets=snap.num_buckets,
-            files=merged,
-            summary={"operation": "append", **(summary or {})},
-            mor_deletes=False if snap.merge_mode == "mor" else None,
+        return self._commit_additive(
+            snap,
+            new_files,
+            None,
+            summary or {},
+            op="append",
             staged=staged,
+            mor_deletes=False if snap.merge_mode == "mor" else None,
+            rebase=rebase,
         )
 
     def delete_keys(

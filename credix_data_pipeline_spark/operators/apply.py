@@ -75,6 +75,10 @@ class ApplyResult:
     # write-audit-publish: the contract report run against the staged
     # snapshot before publish (None when wap was off)
     audit: dict | None = None
+    # number of interloping commits this merge's commit was metadata-
+    # rebased over (occ.additive-rebase) — 0 when no conflict or when
+    # recovery went through the full re-merge retry instead
+    occ_rebased: int = 0
 
 
 class ContractViolation(RuntimeError):
@@ -677,6 +681,32 @@ def apply_batch(
         # seconds-wide window) could be.
         _, fences_now = _fence_state(table)
         batch_summary["fences"] = {**(fences_now or {}), source: batch_id}
+
+    # --- metadata-level commit rebase (opt-in via the
+    # ``occ.additive-rebase`` table property): when a concurrent writer's
+    # commit is itself pure-additive, this merge's commit re-links onto the
+    # new head at O(manifest) cost instead of re-running the whole merge
+    # job — the Iceberg "concurrent appends never conflict" rule, and the
+    # difference between N fan-in shards serializing on re-merges vs on a
+    # file link.  Sound for blind-append MoR unconditionally (no key
+    # reconciliation to invalidate); for position-delete MoR the property
+    # additionally ASSERTS the fan-in disjoint-key contract (a rebase never
+    # re-arbitrates LWW against interloper rows, so overlapping keys would
+    # break the one-live-version invariant).  Never for CoW: a bucket
+    # replace is not additive.  WAP audits against a pinned staged
+    # snapshot, so staged commits keep the full-retry path.
+    rebase_cb = None
+    if (
+        not wap
+        and merge_mode == "mor"
+        and snap.properties.get("occ.additive-rebase", "").lower() == "true"
+    ):
+        def rebase_cb(head, _src=source, _bid=batch_id):
+            if _src is None:
+                return {}
+            f = table._fence_as_of(head.version).get("fences")
+            return {"fences": {**(f or {}), _src: _bid}}
+
     t_merge = time.monotonic()
     if pos_del:
         # Iceberg v2 MERGE shape: append the event-won versions + position-
@@ -691,13 +721,15 @@ def apply_batch(
         # landing mid-merge loses the version race (CommitConflict) instead
         # of being silently replaced — the retry re-reads and converges
         new_snap = table.append_mor_delta(
-            out, delete_df, summary=batch_summary, staged=wap, base=snap
+            out, delete_df, summary=batch_summary, staged=wap, base=snap,
+            rebase=rebase_cb,
         )
     elif merge_mode == "mor":
         # delta append: existing files stay; the fence rides this commit's
         # summary exactly like a CoW merge commit
         new_snap = table.append(
-            out, summary=batch_summary, staged=wap, base=snap
+            out, summary=batch_summary, staged=wap, base=snap,
+            rebase=rebase_cb,
         )
     else:
         new_snap = table.replace_buckets(
@@ -715,6 +747,9 @@ def apply_batch(
             raise
     res.merge_ms = int((time.monotonic() - t_merge) * 1000)
     res.snapshot_id = new_snap.snapshot_id
+    _reb = new_snap.summary.get("occ_rebase")
+    if _reb:
+        res.occ_rebased = int(_reb["rebased_over"])
 
     if collect_stats:
         res.partition_stats = {
