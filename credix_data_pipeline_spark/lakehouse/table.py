@@ -3232,6 +3232,35 @@ class LakeTable:
         except ValueError:
             return True
 
+    def _masks_referencing(
+        self, snap: Snapshot, col: str, exclude: tuple[str, ...] = ()
+    ) -> list[str]:
+        """Mask property keys whose EXPRESSION explicitly references
+        top-level column ``col`` by name.  The ``{col}`` placeholder is
+        substituted with a neutral ``null`` first, so only references to
+        OTHER columns (or self-references spelled out instead of via the
+        placeholder) remain detectable — those are arbitrary SQL that a
+        rename cannot rewrite and a drop would leave dangling, bricking
+        every later governed read with an AnalysisException.  ``exclude``
+        skips masks keyed on the given columns (a drop deletes them
+        anyway).  Nested (dotted) references inside other structs are not
+        detected — the analyzer check removes whole top-level columns."""
+        pfx = "governance.mask."
+        hits = []
+        for k, v in snap.properties.items():
+            if not k.startswith(pfx) or not v:
+                continue
+            mcol = k[len(pfx):]
+            if mcol in exclude or any(
+                mcol.startswith(e + ".") for e in exclude
+            ):
+                continue
+            if self._expr_references(
+                snap, str(v).replace("{col}", "null"), col
+            ):
+                hits.append(k)
+        return hits
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Metadata-only column rename (Iceberg ALTER TABLE RENAME COLUMN).
 
@@ -3352,6 +3381,16 @@ class LakeTable:
                 f"column {old!r} is referenced by governance.row-filter="
                 f"{gf!r}; unset or re-set the property first"
             )
+        # same rule for mask EXPRESSIONS naming the column (a mask on
+        # another column, or a self-reference spelled out instead of via
+        # {col}): arbitrary SQL cannot be rewritten safely, and a stale
+        # reference would brick every later governed read
+        mhits = self._masks_referencing(snap, old)
+        if mhits:
+            raise ValueError(
+                f"column {old!r} is referenced by mask expression(s) "
+                f"{mhits}; unset or re-set those properties first"
+            )
         # stats.columns follows the rename (a rename keeps the column's
         # meaning), and the stats themselves re-key so the carried bounds
         # survive — inheritance is by name, and the field id is unchanged
@@ -3455,6 +3494,16 @@ class LakeTable:
             raise ValueError(
                 f"column {name!r} is referenced by governance.row-filter="
                 f"{gf!r}; unset or re-set the property first"
+            )
+        # a mask on ANOTHER column whose expression names this one would
+        # dangle after the drop and fail inside every governed read —
+        # refuse, like the row filter (masks ON the dropped column are
+        # excluded: they go with it, below)
+        mhits = self._masks_referencing(snap, name, exclude=(name,))
+        if mhits:
+            raise ValueError(
+                f"column {name!r} is referenced by mask expression(s) "
+                f"{mhits}; unset or re-set those properties first"
             )
         # a mask on the dropped column goes with it (the sort-order rule
         # refuses instead, because a stale sort column breaks maintain();

@@ -542,6 +542,46 @@ def _parse_ts_ms(s: str) -> int:
     return int(dt.timestamp() * 1000)
 
 
+def parse_between(specs, schema) -> dict | None:
+    """``COL:LO:HI`` slice specs → the ``between=`` dict, coercing each
+    bound by the COLUMN's declared type: numeric columns get numeric
+    bounds, string columns keep the raw text — so a string column holding
+    zero-padded codes (``code:0100:0200``) slices as written instead of
+    collapsing to int 100 and failing type validation.  Empty bound =
+    open side.  Raises ValueError with a user-facing message (one shared
+    parser: cmd_sql and cmd_export must never drift)."""
+    out = None
+    fields = {f.name: f.dataType for f in schema.fields}
+    for spec in specs or []:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            raise ValueError(
+                "--between expects COL:LO:HI (empty side = open bound)"
+            )
+        col = parts[0]
+        if col not in fields:
+            raise ValueError(f"--between: no column {col!r} in the table")
+        numeric = fields[col].typeName() not in ("string",)
+
+        def _bound(x):
+            if x == "":
+                return None
+            if not numeric:
+                return x
+            try:
+                f = float(x)
+                return int(f) if f.is_integer() and "." not in x else f
+            except ValueError:
+                raise ValueError(
+                    f"--between: bound {x!r} is not numeric but column "
+                    f"{col!r} is {fields[col].simpleString()}"
+                ) from None
+
+        out = out or {}
+        out[col] = (_bound(parts[1]), _bound(parts[2]))
+    return out
+
+
 def cmd_lookup(args) -> int:
     from credix_data_pipeline_spark.lakehouse import LakeTable
 
@@ -580,33 +620,19 @@ def cmd_sql(args) -> int:
             _parse_ts_ms(args.ts_from) if args.ts_from else None,
             _parse_ts_ms(args.ts_to) if args.ts_to else None,
         )
-    between = None
-    for spec in args.between or []:
-        parts = spec.split(":")
-        if len(parts) != 3:
-            print("sql: --between expects COL:LO:HI (empty = open bound)",
-                  file=sys.stderr)
-            return 2
-
-        def _bound(x):
-            if x == "":
-                return None
-            try:
-                f = float(x)
-                return int(f) if f.is_integer() and "." not in x else f
-            except ValueError:
-                return x
-
-        between = between or {}
-        between[parts[0]] = (_bound(parts[1]), _bound(parts[2]))
-    register_sql_views(
-        table,
-        args.view,
-        as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
-        ts_between=ts_between,
-        privileged=args.privileged,
-        between=between,
-    )
+    try:
+        between = parse_between(args.between, table.current().schema)
+        register_sql_views(
+            table,
+            args.view,
+            as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
+            ts_between=ts_between,
+            privileged=args.privileged,
+            between=between,
+        )
+    except (ValueError, PermissionError) as e:
+        print(f"sql: {e}", file=sys.stderr)
+        return 2
     df = spark.sql(args.query)
     if args.json:
         for line in df.toJSON().toLocalIterator():
@@ -1030,27 +1056,15 @@ def cmd_export(args) -> int:
     from credix_data_pipeline_spark.operators.export import export_snapshot
 
     spark = _spark(args)
-    between = None
-    for spec in args.between or []:
-        parts = spec.split(":")
-        if len(parts) != 3:
-            print(json.dumps({"error": "--between expects COL:LO:HI"}))
-            return 2
-
-        def _bound(x):
-            if x == "":
-                return None
-            try:
-                f = float(x)
-                return int(f) if f.is_integer() and "." not in x else f
-            except ValueError:
-                return x
-
-        between = between or {}
-        between[parts[0]] = (_bound(parts[1]), _bound(parts[2]))
+    table = LakeTable.load(spark, args.table)
+    try:
+        between = parse_between(args.between, table.current().schema)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 2
     try:
         summary = export_snapshot(
-            LakeTable.load(spark, args.table),
+            table,
             args.dest,
             as_of_ms=_parse_ts_ms(args.as_of) if args.as_of else None,
             partition_by=(
@@ -1061,7 +1075,7 @@ def cmd_export(args) -> int:
             privileged=args.privileged,
             between=between,
         )
-    except (ValueError, FileExistsError) as e:
+    except (ValueError, FileExistsError, PermissionError) as e:
         print(json.dumps({"error": str(e)}))
         return 1
     print(json.dumps(summary, sort_keys=True))

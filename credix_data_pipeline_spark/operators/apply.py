@@ -836,6 +836,34 @@ def governance_rules(snap) -> tuple[dict[str, str], str | None]:
     return masks, snap.properties.get("governance.row-filter") or None
 
 
+def guard_governed_slice(
+    snap,
+    ts_between: tuple[int | None, int | None] | None = None,
+    between: dict[str, tuple] | None = None,
+) -> None:
+    """Refuse range-slicing on a MASKED column from a governed surface.
+
+    ``between``/``ts_between`` predicates evaluate over the TRUE column
+    values before the mask projects — so row counts per window act as an
+    oracle: a governed consumer could binary-search every masked value
+    one slice at a time.  Privileged surfaces skip this check."""
+    masks, _ = governance_rules(snap)
+    sliced = set(between or {})
+    if ts_between is not None:
+        sliced.add("ts")
+    leak = sorted(
+        c for c in sliced
+        if c in masks or any(m.startswith(c + ".") for m in masks)
+    )
+    if leak:
+        raise PermissionError(
+            f"cannot slice on masked column(s) {leak} from a governed "
+            "surface: the range predicate evaluates over true values and "
+            "would let a consumer binary-search the masked value; use a "
+            "privileged read or unset the mask"
+        )
+
+
 def apply_governance(df: DataFrame, snap, masks_only: bool = False) -> DataFrame:
     """Apply the table's governance rules to a read: row filter first
     (over true values), then masks, each cast back to the column's type.
@@ -918,8 +946,21 @@ def register_sql_views(
         # time-travel read — otherwise `--as-of` would bypass a mask that
         # was added after the pinned snapshot
         snap = table.current()
+        guard_governed_slice(snap, ts_between=ts_between, between=between)
         clean = apply_governance(clean, snap)
-        raw = apply_governance(raw, snap)
+        # the raw view keeps TOMBSTONES visible through the row filter
+        # (the cmd_changes rule): a tombstone's payload is nulled, so any
+        # filter evaluates NULL on it and coalesce(...,False) would hide
+        # every delete — stranding a consumer's replica forever, the
+        # worse leak.  Filter first (over true values), exempt deletes,
+        # then mask.
+        masks, row_filter = governance_rules(snap)
+        if row_filter:
+            keep = F.coalesce(F.expr(row_filter), F.lit(False))
+            if "_deleted" in raw.columns:
+                keep = keep | F.coalesce(F.col("_deleted"), F.lit(False))
+            raw = raw.filter(keep)
+        raw = apply_governance(raw, snap, masks_only=True)
     clean.createOrReplaceTempView(name)
     raw.createOrReplaceTempView(f"{name}_raw")
     return clean

@@ -78,15 +78,24 @@ def export_snapshot(
         if snapshot_id is None
         else table.snapshot(snapshot_id)
     )
+    # pin the resolved snapshot for the DATA read too: without this, a
+    # concurrent commit landing between the summary resolution and the
+    # scan makes _export.json attest a different state than the parquet
+    # holds — the one-consistent-snapshot promise is the whole point
     df = read_clean(
-        table, snapshot_id=snapshot_id, ts_between=ts_between, between=between
+        table,
+        snapshot_id=snap.snapshot_id,
+        ts_between=ts_between,
+        between=between,
     )
     governed = False
     if not privileged:
         cur = table.current()  # policy is LIVE, the register_sql_views rule
         from credix_data_pipeline_spark.operators.apply import (
             governance_rules,
+            guard_governed_slice,
         )
+        guard_governed_slice(cur, ts_between=ts_between, between=between)
         masks, row_filter = governance_rules(cur)
         governed = bool(masks or row_filter)
         df = apply_governance(df, cur)

@@ -89,13 +89,37 @@ def merge_into(
                 f"{clause} clause targets non-payload column(s) {unknown}"
             )
 
+    field_names = {f.name for f in snap.schema.fields}
+    if when_matched_delete and "_deleted" not in field_names:
+        raise ValueError(
+            "when_matched_delete needs a table with a `_deleted` tombstone "
+            "column (CDC-replay tables have one); for plain tables use "
+            "delete_keys (an equality-delete purge) instead"
+        )
+
     src = source.select(
         *[F.col(k).cast(snap.schema[k].dataType) for k in key],
         *[c for c in source.columns if c not in key],
     )
-    if any(r["n"] > 1 for r in
-           src.groupBy(*key).agg(F.count(F.lit(1)).alias("n"))
-           .filter(F.col("n") > 1).limit(1).collect()):
+    # one probe job answers BOTH structural refusals: key-ambiguity
+    # (Delta's multiple-matches rule) and NULL keys (keyed tables never
+    # hold null keys — a NULL-key row would never match the join, insert
+    # as an unfindable ghost, and collapse with every other NULL key
+    # under LWW: silent corruption where every other write path refuses)
+    nullk = None
+    for k in key:
+        c = F.col(k).isNull()
+        nullk = c if nullk is None else (nullk | c)
+    bad_key = (
+        src.groupBy(*key).agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) | nullk).limit(1).collect()
+    )
+    if bad_key:
+        if any(bad_key[0][k] is None for k in key):
+            raise ValueError(
+                "source has a NULL key column value — keyed tables never "
+                "hold null keys; repair or filter the source first"
+            )
         raise ValueError(
             "source has multiple rows for one key — an ambiguous merge "
             "(Delta's multiple-matches rule); de-duplicate the source first"
@@ -112,9 +136,13 @@ def merge_into(
     tgt = table.current_versions(snap=snap, buckets=dirty)
     if "_deleted" not in tgt.columns:
         tgt = tgt.withColumn("_deleted", F.lit(False))
+    # plain tables (created outside the CDC path) carry no _lsn: there is
+    # no feed arbitration to stay above, so no LSN to mint
     new_lsn = (
-        tgt.agg(F.max("_lsn").alias("m")).collect()[0]["m"] or 0
-    ) + 1
+        (tgt.agg(F.max("_lsn").alias("m")).collect()[0]["m"] or 0) + 1
+        if "_lsn" in field_names
+        else None
+    )
 
     t = tgt.withColumn("_t_present", F.lit(True)).alias("t")
     s = src.withColumn("_s_present", F.lit(True)).alias("s")
@@ -180,6 +208,23 @@ def merge_into(
         *[out_col(c) for c in payload_cols], *engine_exprs, "_action"
     )
 
+    checks = table_checks(snap)
+    # the merge plan (bucket-pruned scan + full-outer join) is consumed up
+    # to three times — counts, check probe, the write itself; persist once
+    # instead of recomputing the dominant join per consumer
+    multi_use = collect_stats or bool(checks)
+    if multi_use:
+        out = out.persist()
+    try:
+        return _merge_commit(
+            table, snap, dirty, out, checks, new_lsn, collect_stats
+        )
+    finally:
+        if multi_use:
+            out.unpersist()
+
+
+def _merge_commit(table, snap, dirty, out, checks, new_lsn, collect_stats):
     counts = {r["_action"]: r["n"] for r in (
         out.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()
     )} if collect_stats else {}
@@ -188,7 +233,6 @@ def merge_into(
     ):
         return {"noop": True, "buckets": dirty}
 
-    checks = table_checks(snap)
     if checks:
         bad = F.lit(False)
         for name, expr_s in checks:

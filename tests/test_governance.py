@@ -259,3 +259,66 @@ def test_masks_evaluate_over_true_values(spark, table):
         for r in read_clean(table).select("role").distinct().collect()
     }
     assert got == {f"{x}:x" for x in roles}  # true roles, not '?:x'
+
+
+def test_masked_column_slicing_refused(spark, table):
+    """A range slice on a masked column evaluates over TRUE values before
+    the mask projects — per-window row counts would let a governed
+    consumer binary-search every masked value (review batch 4)."""
+    t = _govern(table)  # masks text + turn_idx
+    with pytest.raises(PermissionError, match="binary-search"):
+        register_sql_views(t, "gvs", between={"turn_idx": (0, 2)})
+    # privileged escape and unmasked columns still slice
+    register_sql_views(t, "gvs", between={"turn_idx": (0, 2)},
+                       privileged=True)
+    register_sql_views(t, "gvs2", between={"_lsn": (0, 10**12)},
+                       privileged=True)
+    # ts_between counts as slicing on ts
+    t.alter_properties({"governance.mask.ts": "cast(null as timestamp)"})
+    t2 = LakeTable.load(spark=t.spark, path=t.path)
+    with pytest.raises(PermissionError):
+        register_sql_views(t2, "gvs3", ts_between=(0, 10**13))
+
+
+def test_raw_view_keeps_tombstones_through_row_filter(spark, table):
+    """Tombstones have payload nulled, so any row filter evaluates NULL on
+    them — the raw (tombstones-included) view must exempt deletes or a
+    consumer replicating from it strands every deleted key forever (the
+    cmd_changes rule, review batch 4)."""
+    from credix_data_pipeline_spark.operators.apply import read_current
+
+    n_tomb = read_current(table).filter(
+        F.coalesce(F.col("_deleted"), F.lit(False))
+    ).count()
+    assert n_tomb > 0
+    t = _govern(table)
+    register_sql_views(t, "gvr")
+    raw = spark.sql("SELECT * FROM gvr_raw")
+    assert raw.filter(
+        F.coalesce(F.col("_deleted"), F.lit(False))
+    ).count() == n_tomb
+    # live filtered rows stay hidden and masks still bind the raw view
+    live = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    assert live.filter(F.col("role") == "tool").count() == 0
+    texts = {r["text"] for r in live.select("text").distinct().collect()}
+    assert texts <= {"***", None}
+
+
+def test_mask_referencing_other_column_blocks_ddl(spark, table):
+    """A mask whose EXPRESSION names another column must block that
+    column's rename/drop — otherwise the dangling reference bricks every
+    later governed read with an AnalysisException (review batch 4)."""
+    table.alter_properties({
+        "governance.mask.text": "concat({col}, role)",
+    })
+    t = LakeTable.load(spark=table.spark, path=table.path)
+    with pytest.raises(ValueError, match="mask expression"):
+        t.drop_column("role")
+    with pytest.raises(ValueError, match="mask expression"):
+        t.rename_column("role", "speaker")
+    # dropping the MASKED column itself still works (the mask goes with it)
+    t.drop_column("text")
+    t2 = LakeTable.load(spark=t.spark, path=t.path)
+    assert "governance.mask.text" not in t2.current().properties
+    # and role is free to move now
+    t2.rename_column("role", "speaker")

@@ -222,3 +222,49 @@ def test_noop_and_changelog(spark, tmp_path):
     }
     assert kinds[key] == "update_after"
     assert kinds[("convNEW", 3)] == "insert"
+
+
+def test_null_source_key_refused(spark, tmp_path):
+    """A NULL-key source row would never match the join and would insert
+    an unfindable ghost that LWW-collapses with every other NULL key —
+    refused loudly like every other write path (review batch 4)."""
+    t, _ = _seed(spark, tmp_path)
+    src = _src(spark, [(None, 0, "ghost", "user")])
+    with pytest.raises(ValueError, match="NULL key"):
+        merge_into(t, src, when_not_matched_insert=True)
+    src2 = _src(spark, [("conv-0", None, "ghost", "user")])
+    with pytest.raises(ValueError, match="NULL key"):
+        merge_into(t, src2, when_not_matched_insert=True)
+
+
+def test_plain_table_without_engine_columns(spark, tmp_path):
+    """Tables created outside the CDC path (no _lsn/_deleted) must still
+    take inserts and updates; deletes are refused with a pointer at
+    delete_keys (a tombstone cannot be expressed without _deleted)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "plain"), schema,
+        key=["conv_id", "turn_idx"], num_buckets=4, bucket_by=["conv_id"],
+    )
+    t.append(spark.createDataFrame([("c1", 0, "old")], schema))
+    res = merge_into(
+        t,
+        spark.createDataFrame([("c1", 0, "new"), ("c2", 0, "ins")], schema),
+        when_matched_update={"text": "s.text"},
+        when_not_matched_insert=True,
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    assert res["minted_lsn"] is None
+    got = sorted((r.conv_id, r.text) for r in read_clean(t).collect())
+    assert got == [("c1", "new"), ("c2", "ins")]
+    with pytest.raises(ValueError, match="delete_keys"):
+        merge_into(
+            t, spark.createDataFrame([("c1", 0, "x")], schema),
+            when_matched_delete="true",
+        )

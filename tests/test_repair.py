@@ -224,3 +224,28 @@ def test_clone_diff_is_metadata_only(spark, pair, tmp_path):
     assert d["metadata_identical_buckets"] >= d["buckets_compared"] - 1 - 1
     repair_replica(c, up)
     assert diff_tables(up, LakeTable.load(spark, c.path))["identical"]
+
+
+def test_phase2_plans_only_divergent_bucket_files(spark, pair):
+    """The divergent-key join must FILE-prune to the divergent buckets
+    (the module's O(divergent buckets) promise) — a post-scan row filter
+    would read every file of both tables (review batch 4)."""
+    up, rep = pair
+    conv = next(iter(_state(rep)))[0]
+    merge_into(
+        rep,
+        spark.createDataFrame(
+            [(conv, 0, "corrupt", "user")],
+            "conv_id string, turn_idx int, text string, role string",
+        ),
+        when_matched_update={"text": "s.text"},
+        when_not_matched_insert=True,
+    )
+    d = diff_tables(up, rep)
+    assert d["identical"] is False
+    div = set(d["divergent_buckets"])
+    assert len(div) < up.current().num_buckets  # partial divergence
+    files = d["keys"].inputFiles()
+    assert files
+    for fp in files:
+        assert any(f"_bucket={b}/" in fp for b in div), fp
