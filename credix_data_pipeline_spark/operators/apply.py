@@ -50,7 +50,8 @@ from credix_data_pipeline_spark.streaming.lineage import LineageLog
 _SRC_EXISTING = 0
 _SRC_EVENT = 1
 
-VALID_OPS = ("I", "U", "D")
+# I/U/D plus "P" — a PARTIAL update carrying only its patch_cols subset
+VALID_OPS = ("I", "U", "D", "P")
 
 
 @dataclass
@@ -171,8 +172,10 @@ def rejection_condition(snap, key: list[str]):
 
     Check semantics: evaluated on the incoming EVENT payload; a NULL
     result counts as a violation (wrap with ``coalesce`` in the expression
-    to accept nulls); delete events are exempt — they carry no payload to
-    validate, only a key to remove."""
+    to accept nulls); delete events are exempt (no payload to validate,
+    only a key to remove), and partial-update events are exempt too (an
+    absent column reads NULL here but means "unchanged" — their folded
+    post-image is what WAP audits)."""
     bad = malformed_condition(key)
     checks = table_checks(snap)
     if checks:
@@ -198,7 +201,11 @@ def rejection_condition(snap, key: list[str]):
                 f"{expr_s!r}: {e}"
             ) from e
         ok = (
-            F.when(F.col("op") == "D", F.lit(True))
+            # deletes carry no payload to validate; partial-update rows
+            # carry only their patch_cols subset, so a payload CHECK over
+            # an absent column would mis-quarantine them — their folded
+            # post-image is validated by the WAP audit path instead
+            F.when(F.col("op").isin("D", "P"), F.lit(True))
             .otherwise(F.coalesce(c, F.lit(False)))
         )
         bad = bad | ~ok
@@ -438,6 +445,10 @@ def apply_batch(
             F.count(F.lit(1)).alias("n"),
             F.min("lsn").alias("lo"),
             F.max("lsn").alias("hi"),
+            # partial-update detection rides the same single pass
+            F.sum(
+                F.when(F.col("op") == "P", F.lit(1)).otherwise(F.lit(0))
+            ).alias("np"),
         )
         .collect()
     )
@@ -492,7 +503,42 @@ def apply_batch(
         # comparator at read/compaction (mirrors the CoW `_src` tie-break —
         # a later batch's row beats an earlier one on equal LSN).
         table.add_columns([T.StructField("_seq", T.LongType(), True)])
+
+    # --- partial-update (patch) events: op="P" rows set ONLY the columns
+    # listed in the envelope's `patch_cols` array (the rest mean
+    # "unchanged").  Column-level LWW needs the stored pre-image at merge
+    # time, so patches require a write-time-arbitrating mode: CoW, or
+    # position-delete MoR with the invariant intact — a blind-append MoR
+    # phase has nothing to fold against and defers LWW to read, where a
+    # partial row cannot be completed.
+    has_patches = any(r["np"] for r in good)
+    if has_patches:
+        if "patch_cols" not in batch_df.columns:
+            raise RuntimeError(
+                "batch carries op='P' partial-update events but no "
+                "patch_cols envelope column — the set-vs-unchanged "
+                "distinction is unrecoverable; fix the feed"
+            )
+        if merge_mode == "mor" and not pos_del:
+            raise RuntimeError(
+                "partial-update (patch) events need write-time arbitration "
+                "against the stored row: merge_mode='mor-append' (or a "
+                "posdel table whose invariant a blind append cleared) "
+                "cannot fold them — use cow or mor, or compact() first"
+            )
+        if "_col_lsn" not in {f.name for f in table.current().schema.fields}:
+            # sparse per-column version map: what keeps column-level LWW
+            # exact across batch boundaries (see schema.ENGINE_COLS)
+            table.add_columns([T.StructField(
+                "_col_lsn", T.MapType(T.StringType(), T.LongType()), True
+            )])
     snap = table.current()
+    # once the table has seen patches, every merge must honor (and
+    # re-emit) the stored per-column versions — full-only batches fold to
+    # exactly the row-level LWW result, so this is a superset, not a fork
+    patch_mode = has_patches or "_col_lsn" in {
+        f.name for f in snap.schema.fields
+    }
     out_cols = [f.name for f in snap.schema.fields]
     payload_cols = [c for c in out_cols if c not in ENGINE_COLS]
 
@@ -533,6 +579,14 @@ def apply_batch(
             # comparator field is only reached on (lsn, _src) ties, i.e.
             # event-vs-event
             F.lit(0).alias("_cts"),
+            *(
+                [
+                    F.col("_col_lsn").alias("_clsn"),
+                    F.lit(None).cast("array<string>").alias("_pcols"),
+                ]
+                if patch_mode
+                else []
+            ),
             *pos_extra,
         )
     ev_cols = set(events.columns)
@@ -564,6 +618,18 @@ def apply_batch(
         ev_cts.alias("_cts"),
         *(
             [
+                F.lit(None).cast("map<string,bigint>").alias("_clsn"),
+                (
+                    F.col("patch_cols").cast("array<string>")
+                    if "patch_cols" in ev_cols
+                    else F.lit(None).cast("array<string>")
+                ).alias("_pcols"),
+            ]
+            if patch_mode
+            else []
+        ),
+        *(
+            [
                 F.lit(None).cast("string").alias("_file"),
                 F.lit(None).cast("long").alias("_pos"),
             ]
@@ -578,47 +644,142 @@ def apply_batch(
     # agg partial-aggregates map-side (duplicates collapse before the
     # shuffle) and needs no sort — strictly cheaper than the equivalent
     # row_number window at any scale.
-    row_struct = F.struct(
-        *[F.col(c) for c in payload_cols], F.col("lsn"), F.col("op"), F.col("_src")
-    )
-    aggs = [
-        F.max_by(
-            row_struct, F.struct(F.col("lsn"), F.col("_src"), F.col("_cts"))
-        ).alias("_w")
-    ]
-    if pos_del:
-        # the STORED row's file position rides the same aggregation (at most
-        # one stored version per key — the position-delete invariant), so
-        # superseded ordinals are known without a second pass over `prior`
-        aggs.append(
+    order_key = F.struct(F.col("lsn"), F.col("_src"), F.col("_cts"))
+    sp_agg = (
+        [
+            # the STORED row's file position rides the same aggregation (at
+            # most one stored version per key — the position-delete
+            # invariant), so superseded ordinals are known without a second
+            # pass over `prior`
             F.max(
                 F.when(
                     F.col("_src") == _SRC_EXISTING,
                     F.struct(F.col("_file").alias("f"), F.col("_pos").alias("p")),
                 )
             ).alias("_sp")
+        ]
+        if pos_del
+        else []
+    )
+    if not patch_mode:
+        row_struct = F.struct(
+            *[F.col(c) for c in payload_cols],
+            F.col("lsn"), F.col("op"), F.col("_src"),
         )
-    winners = (
-        combined.groupBy(*[F.col(k) for k in key])
-        .agg(*aggs)
-        .select("_w.*", *(["_sp"] if pos_del else []))
-    )
+        winners = (
+            combined.groupBy(*[F.col(k) for k in key])
+            .agg(F.max_by(row_struct, order_key).alias("_w"), *sp_agg)
+            .select("_w.*", *(["_sp"] if pos_del else []))
+        )
 
-    is_del = F.col("op") == "D"
-    result = winners.select(
-        *[
-            F.when(is_del, F.lit(None).cast(snap.schema[c].dataType))
-            .otherwise(F.col(c))
-            .alias(c)
-            if c not in key
-            else F.col(c)
-            for c in payload_cols
-        ],
-        F.col("lsn").alias("_lsn"),
-        is_del.alias("_deleted"),
-        F.col("_src"),
-        *(["_sp"] if pos_del else []),
-    )
+        is_del = F.col("op") == "D"
+        result = winners.select(
+            *[
+                F.when(is_del, F.lit(None).cast(snap.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c not in key
+                else F.col(c)
+                for c in payload_cols
+            ],
+            F.col("lsn").alias("_lsn"),
+            is_del.alias("_deleted"),
+            F.col("_src"),
+            *(["_sp"] if pos_del else []),
+        )
+    else:
+        # --- column-level LWW fold (partial-update tables).  Each payload
+        # column takes its own max_by over the rows that SET it — a full
+        # event / delete / the stored row set every column, an op="P" row
+        # only the ones in its patch_cols — ordered per column by the
+        # column's OWN last-set LSN (the stored row contributes its sparse
+        # `_col_lsn` entries, defaulting to the row `_lsn`).  This equals
+        # the sequential global-LSN fold under ANY batching or reordering,
+        # which the row-level max_by cannot provide once updates are
+        # partial.  Still ONE hash aggregation — K max_by expressions
+        # instead of one, all map-side combining; the classic path above
+        # is byte-identical for patch-free tables and skips all of this.
+        fold_cols = [c for c in payload_cols if c not in key]
+
+        def _sets(c):
+            return (F.col("op") != "P") | F.coalesce(
+                F.array_contains(F.col("_pcols"), c), F.lit(False)
+            )
+
+        def _col_lsn(c):
+            return F.when(
+                F.col("_src") == _SRC_EXISTING,
+                F.coalesce(
+                    F.element_at(F.col("_clsn"), F.lit(c)), F.col("lsn")
+                ),
+            ).otherwise(F.col("lsn"))
+
+        def _ord(c):
+            return F.when(
+                _sets(c),
+                F.struct(_col_lsn(c), F.col("_src"), F.col("_cts")),
+            )
+
+        aggs = [
+            F.max_by(
+                F.struct(F.col("lsn"), F.col("op"), F.col("_src")), order_key
+            ).alias("_w"),
+            *sp_agg,
+        ]
+        for c in fold_cols:
+            aggs.append(
+                F.max_by(
+                    F.struct(
+                        F.col(c).alias("v"),
+                        (F.col("_src") == _SRC_EVENT).alias("e"),
+                    ),
+                    _ord(c),
+                ).alias(f"_f_{c}")
+            )
+            aggs.append(F.max(F.when(_sets(c), _col_lsn(c))).alias(f"_t_{c}"))
+        grouped = combined.groupBy(*[F.col(k) for k in key]).agg(*aggs)
+
+        is_del = F.col("_w.op") == "D"
+        # a key changed iff any column (or the row-level winner — covers
+        # pure deletes) came from an event; unchanged keys stay stored
+        changed = F.col("_w._src") == F.lit(_SRC_EVENT)
+        for c in fold_cols:
+            changed = changed | F.coalesce(
+                F.col(f"_f_{c}.e"), F.lit(False)
+            )
+        # sparse map out: entries only where a column's last-set LSN lags
+        # the row LSN (0 = never set); a delete sets everything at its own
+        # LSN so tombstones always store NULL
+        entries = F.array(*[
+            F.struct(
+                F.lit(c).alias("key"),
+                F.coalesce(F.col(f"_t_{c}"), F.lit(0)).alias("value"),
+            )
+            for c in fold_cols
+        ])
+        stale = F.filter(entries, lambda x: x["value"] != F.col("_w.lsn"))
+        col_lsn_out = F.when(
+            ~is_del & (F.size(stale) > 0), F.map_from_entries(stale)
+        )
+        result = grouped.select(
+            *[
+                F.col(c)
+                if c in key
+                else F.when(
+                    is_del, F.lit(None).cast(snap.schema[c].dataType)
+                )
+                .otherwise(F.col(f"_f_{c}.v"))
+                .alias(c)
+                for c in payload_cols
+            ],
+            F.col("_w.lsn").alias("_lsn"),
+            is_del.alias("_deleted"),
+            col_lsn_out.alias("_col_lsn"),
+            F.when(changed, F.lit(_SRC_EVENT))
+            .otherwise(F.lit(_SRC_EXISTING))
+            .alias("_src"),
+            *(["_sp"] if pos_del else []),
+        )
     if pos_del:
         # stored-won keys need no write at all: their stored row stays live.
         # Event-won keys append their new version and position-delete the

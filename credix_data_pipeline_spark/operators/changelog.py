@@ -82,7 +82,8 @@ def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
     if not keep_tombstones:
         df = df.filter(~F.col("_del"))
     out_fields = [
-        f for f in s_to.schema.fields if f.name not in ("_deleted", "_seq")
+        f for f in s_to.schema.fields
+        if f.name not in ("_deleted", "_seq", "_col_lsn")
     ]
     if (
         snap.snapshot_id != s_to.snapshot_id
@@ -140,8 +141,14 @@ def read_changes(
             f"v{s_to.version}; changelog reads go forward in history"
         )
 
+    # `_col_lsn` (the partial-update per-column version map) is writer-side
+    # bookkeeping like `_seq`: it never leaves the table — and a MAP is not
+    # comparable, so it must not enter the change-detection struct either.
+    # Downstream consumers receive FOLDED full rows; a map-only difference
+    # is by construction value-identical and correctly emits nothing.
     out_fields = [
-        f for f in s_to.schema.fields if f.name not in ("_deleted", "_seq")
+        f for f in s_to.schema.fields
+        if f.name not in ("_deleted", "_seq", "_col_lsn")
     ]
     out_cols = [f.name for f in out_fields]
     key = s_to.key

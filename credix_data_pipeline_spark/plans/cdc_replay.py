@@ -1224,8 +1224,151 @@ WHERE value IS NOT NULL AND value >= 100.0 AND value <= 200.0
 """
 
 
+# ---------------------------------------------------------------------------
+# Partial-update (patch) replay, oracle-checked: op="P" events carry only
+# the columns listed in the envelope's patch_cols array (Postgres-TOAST /
+# Debezium unavailable-column shape); the engine folds them with
+# column-level LWW (sparse `_col_lsn` per-column version map), which equals
+# the sequential global-LSN fold under any batching — the oracle below IS
+# that fold in ANSI SQL (one arg_max per column over the events that SET
+# it; struct_pack keeps legitimately-NULL winners from being skipped).
+# ---------------------------------------------------------------------------
+_PATCH_TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+        T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ]
+)
+_PATCH_MODS = (7, (1, 2, 3))  # P when event_id % 7 in (1,2,3)
+_PATCH_BATCHES = 3
+# variant 0 carries only `value`; variant 1 carries `ts` and `props`
+_PATCH_SETS = {
+    "event_id": "op <> 'P'",
+    "value": "op <> 'P' OR event_id % 2 = 0",
+    "ts": "op <> 'P' OR event_id % 2 = 1",
+    "props": "op <> 'P' OR event_id % 2 = 1",
+}
+
+
+def _patch_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lsn = F.unix_timestamp("ts") * F.lit(LSN_TS_BASE) + F.col("event_id")
+    is_del = F.pmod("event_id", F.lit(DELETE_EVERY)) == 0
+    is_patch = (~is_del) & F.pmod(
+        "event_id", F.lit(_PATCH_MODS[0])
+    ).isin(*_PATCH_MODS[1])
+    v0 = F.pmod("event_id", F.lit(2)) == 0
+    op = (
+        F.when(is_del, F.lit("D"))
+        .when(is_patch, F.lit("P"))
+        .otherwise(F.lit("U"))
+    )
+
+    def _pv(name, carried_when_v0: bool):
+        gone = is_del | (is_patch & (v0 if not carried_when_v0 else ~v0))
+        return F.when(gone, F.lit(None)).otherwise(F.col(name)).alias(name)
+
+    return ev.select(
+        op.alias("op"),
+        lsn.cast("long").alias("lsn"),
+        F.col("ts").alias("commit_ts"),
+        "user_id",
+        "event_type",
+        # event_id is payload here and NO patch variant carries it — the
+        # fold must preserve the last FULL event's id per key
+        F.when(is_del | is_patch, F.lit(None)).otherwise(
+            F.col("event_id")
+        ).alias("event_id"),
+        _pv("ts", carried_when_v0=False),
+        _pv("value", carried_when_v0=True),
+        _pv("props", carried_when_v0=False),
+        F.when(
+            is_patch,
+            F.when(v0, F.array(F.lit("value"))).otherwise(
+                F.array(F.lit("ts"), F.lit("props"))
+            ),
+        ).alias("patch_cols"),
+    )
+
+
+def q_cdc_patch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the patch-bearing derived feed through the real engine
+    (3 micro-batches by event_id % 3, so patches routinely cross batch
+    boundaries relative to the fulls they fold over) and return the clean
+    final state for the driver's oracle compare."""
+    from credix_data_pipeline_spark.lakehouse.table import LakeTable
+    from credix_data_pipeline_spark.operators.apply import (
+        apply_batch,
+        read_clean,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_patch_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        work,
+        _PATCH_TARGET_SCHEMA,
+        key=["user_id", "event_type"],
+        num_buckets=8,
+        bucket_by=["user_id"],
+    )
+    ch = _patch_feed(spark, sf_dir)
+    for b in range(_PATCH_BATCHES):
+        apply_batch(
+            table,
+            ch.filter(F.pmod("lsn", F.lit(_PATCH_BATCHES)) == b),
+            b,
+            collect_stats=False,
+        )
+    return read_clean(LakeTable.load(spark, work)).select(
+        "user_id", "event_type", "event_id", "ts", "value", "props"
+    )
+
+
+def _sql_patch_col(c: str) -> str:
+    eff = f"CASE WHEN op = 'D' THEN NULL ELSE {c} END"
+    return (
+        f"arg_max(struct_pack(v := {eff}), "
+        f"CASE WHEN {_PATCH_SETS[c]} THEN lsn END).v AS {c}"
+    )
+
+
+SQL_CDC_PATCH_E2E = f"""
+WITH ch AS (
+  SELECT user_id, event_type, event_id, ts, value, props,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {LSN_TS_BASE} + event_id AS lsn,
+         CASE WHEN event_id % {DELETE_EVERY} = 0 THEN 'D'
+              WHEN event_id % {_PATCH_MODS[0]} IN {_PATCH_MODS[1]} THEN 'P'
+              ELSE 'U' END AS op
+  FROM events
+), f AS (
+  SELECT user_id, event_type,
+         {_sql_patch_col('event_id')},
+         {_sql_patch_col('ts')},
+         {_sql_patch_col('value')},
+         {_sql_patch_col('props')},
+         arg_max(op, lsn) AS last_op
+  FROM ch GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, event_id, ts, value, props
+FROM f WHERE last_op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_e2e": (q_cdc_replay_events, SQL_CDC_REPLAY_EVENTS),
+    # partial-update events fold by column-level LWW; oracle = the
+    # per-column arg_max fold in ANSI SQL
+    "cdc_patch_e2e": (q_cdc_patch_e2e, SQL_CDC_PATCH_E2E),
     # the branch→fast-forward path must land main on the SAME final state
     "cdc_branch_e2e": (q_cdc_branch_e2e, SQL_CDC_REPLAY_EVENTS),
     "cdc_catalog_e2e": (q_cdc_catalog_e2e, SQL_CDC_CATALOG_E2E),

@@ -59,7 +59,12 @@ CHANGE_SCHEMA = T.StructType(
 # in-flight (SURVEY §2.8 evolution row).
 EVOLVED_COLUMN = T.StructField("tool_meta", T.StringType(), True)
 
-ENVELOPE_COLS = ["op", "lsn", "commit_ts"]
+# ``patch_cols`` is envelope, not payload: a PARTIAL-update event (op="P",
+# the Postgres-TOAST / Debezium unavailable-column reality — an UPDATE whose
+# row image carries only the changed columns) lists the columns it actually
+# sets; every other payload column in the event means "unchanged", not
+# "set to NULL".  The column never reaches the target schema.
+ENVELOPE_COLS = ["op", "lsn", "commit_ts", "patch_cols"]
 
 # ---------------------------------------------------------------------------
 # Lineage sidecar (FIXTURES §3) — mirrors the reference's per-run Dagster
@@ -92,7 +97,15 @@ def payload_fields(change_schema: T.StructType) -> list[T.StructField]:
 
 # `_seq` exists only on merge-on-read tables: the batch ordinal persisted
 # with each delta row, the LWW tie-break on `_lsn` ties (ADVICE r2).
-ENGINE_COLS = ["_lsn", "_deleted", "_seq"]
+# `_col_lsn` exists only on tables that have seen PARTIAL-update (patch)
+# events: a SPARSE per-column version map {column -> lsn} holding entries
+# ONLY where a column's last-set LSN differs from the row's `_lsn` (a full
+# event resets every column to the row LSN, so the map is NULL on the vast
+# majority of rows).  It is what makes column-level LWW exact under
+# cross-batch reordering: a late patch must lose against a column set
+# AFTER it but win against one set BEFORE it, which the row-level `_lsn`
+# alone cannot distinguish.
+ENGINE_COLS = ["_lsn", "_deleted", "_seq", "_col_lsn"]
 
 
 def target_schema_for(change_schema: T.StructType) -> T.StructType:

@@ -39,6 +39,10 @@ WORDS = [
 ]
 ROLES = ["user", "assistant", "system", "tool"]
 TOOLS = ["search", "calculator", "browser", "python"]
+# Partial-update column sets (FeedSpec.patch_pct): which payload columns a
+# patch event carries, picked per event by hash — text-only (the TOAST
+# shape: the big column changed), role+tool, and text+ts.
+PATCH_VARIANTS = (("text",), ("role", "tool"), ("text", "ts"))
 
 # Prime modulus for the portable hash (Mersenne M31).  Must exceed the
 # largest key space a bench run asks for — a smaller modulus silently caps
@@ -93,6 +97,13 @@ class FeedSpec:
     # of the unsharded spec is the oracle for the fanned-in table.
     n_shards: int = 1
     shard: int = 0
+    # Partial-update (patch) events: % of would-be updates emitted as
+    # op="P" rows that carry ONLY a subset of payload columns (listed in
+    # the envelope's ``patch_cols`` array; the rest are NULL meaning
+    # "unchanged", not "set to null") — the Postgres-TOAST / Debezium
+    # unavailable-column shape.  0 keeps the feed schema byte-identical
+    # to the classic one (no patch_cols column at all).
+    patch_pct: int = 0
 
     @property
     def n_keys(self) -> int:
@@ -125,10 +136,22 @@ def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
     turn = (key_id % F.lit(spec.turns_per_conversation)).cast("int")
 
     is_del = _h(e, 3) % 100 < F.lit(spec.delete_pct)
+    # Patches replace a slice of the would-be updates (never inserts or
+    # deletes): op="P" + patch_cols listing the carried columns, the
+    # uncarried payload written as NULL-meaning-unchanged.
+    is_patch = (
+        (~is_del)
+        & (_h(e, 4) % 3 != 0)
+        & (_h(e, 37) % 100 < F.lit(spec.patch_pct))
+    )
+    patch_variant = (_h(e, 41) % len(PATCH_VARIANTS)).cast("int")
     # I vs U is cosmetic for an upsert engine (both arms of the MERGE insert
     # when the key is absent); mark the key's plausible first event as I.
-    op = F.when(is_del, F.lit("D")).when(_h(e, 4) % 3 == 0, F.lit("I")).otherwise(
-        F.lit("U")
+    op = (
+        F.when(is_del, F.lit("D"))
+        .when(is_patch, F.lit("P"))
+        .when(_h(e, 4) % 3 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
     )
 
     lsn = e + F.lit(1)
@@ -156,16 +179,47 @@ def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
 
     null_s = F.lit(None).cast("string")
     null_t = F.lit(None).cast("timestamp")
+
+    def _payload(name, val, null_lit):
+        """NULL on deletes; on patches NULL unless the variant carries it."""
+        carried = F.lit(False)
+        for i, cols in enumerate(PATCH_VARIANTS):
+            if name in cols:
+                carried = carried | (patch_variant == F.lit(i))
+        return (
+            F.when(is_del, null_lit)
+            .when(is_patch & ~carried, null_lit)
+            .otherwise(val)
+            .alias(name)
+        )
+
+    pcols = (
+        [
+            F.when(
+                is_patch,
+                F.element_at(
+                    F.array(*[
+                        F.array(*[F.lit(c) for c in cols])
+                        for cols in PATCH_VARIANTS
+                    ]),
+                    patch_variant + 1,
+                ),
+            ).alias("patch_cols")
+        ]
+        if spec.patch_pct > 0
+        else []
+    )
     out = df.select(
         op.alias("op"),
         lsn.cast("long").alias("lsn"),
         commit_ts.alias("commit_ts"),
         F.format_string("conv%08d", conv.cast("int")).alias("conv_id"),
         turn.alias("turn_idx"),
-        F.when(is_del, null_s).otherwise(role).alias("role"),
-        F.when(is_del, null_s).otherwise(text).alias("text"),
-        F.when(is_del, null_s).otherwise(tool).alias("tool"),
-        F.when(is_del, null_t).otherwise(ts).alias("ts"),
+        _payload("role", role, null_s),
+        _payload("text", text, null_s),
+        _payload("tool", tool, null_s),
+        _payload("ts", ts, null_t),
+        *pcols,
     )
     if spec.evolution_frac is not None:
         tool_meta = F.when(
@@ -268,13 +322,21 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
     # NB: StructType.add() mutates in place — build a fresh StructType.
     from pyspark.sql import types as T
 
-    evolved = T.StructType([*CHANGE_SCHEMA.fields, EVOLVED_COLUMN])
-    schema = CHANGE_SCHEMA if not has_evo else evolved
+    base_schema = CHANGE_SCHEMA
+    if spec.patch_pct > 0:
+        # partial-update feeds carry the patch_cols ENVELOPE column —
+        # registered like any other writer schema so reads project it
+        base_schema = T.StructType([
+            *CHANGE_SCHEMA.fields,
+            T.StructField("patch_cols", T.ArrayType(T.StringType()), True),
+        ])
+    evolved = T.StructType([*base_schema.fields, EVOLVED_COLUMN])
+    schema = base_schema if not has_evo else evolved
     # Per-subdir reader schemas — the schema-registry analogue of
     # Datastream's discovery output: a chunk group is read with the schema
     # its writer used, and groups align via unionByName (works identically
     # for parquet and avro; avro cannot pad late-added columns on its own).
-    schemas = {"pre": CHANGE_SCHEMA.jsonValue()}
+    schemas = {"pre": base_schema.jsonValue()}
     if has_evo:
         schemas["post"] = evolved.jsonValue()
     manifest = {

@@ -13,6 +13,7 @@ from datetime import datetime, timezone
 from credix_data_pipeline_spark.functions.normalize import normalize_text_py
 from credix_data_pipeline_spark.sources.feed import (
     BASE_EPOCH_S,
+    PATCH_VARIANTS,
     ROLES,
     TOOLS,
     WORDS,
@@ -34,7 +35,16 @@ def event_py(e: int, spec: FeedSpec) -> dict:
     turn = key_id % spec.turns_per_conversation
 
     is_del = h_py(e, 3) % 100 < spec.delete_pct
-    op = "D" if is_del else ("I" if h_py(e, 4) % 3 == 0 else "U")
+    is_patch = (
+        (not is_del)
+        and (h_py(e, 4) % 3 != 0)
+        and (h_py(e, 37) % 100 < spec.patch_pct)
+    )
+    op = (
+        "D" if is_del
+        else ("P" if is_patch
+              else ("I" if h_py(e, 4) % 3 == 0 else "U"))
+    )
     lsn = e + 1
 
     n_words = 3 + h_py(e, 13) % 8
@@ -45,17 +55,32 @@ def event_py(e: int, spec: FeedSpec) -> dict:
     role = ROLES[h_py(e, 17) % 4]
     tool = TOOLS[h_py(e, 19) % 4] if role == "tool" else None
 
+    patch_cols = (
+        list(PATCH_VARIANTS[h_py(e, 41) % len(PATCH_VARIANTS)])
+        if is_patch
+        else None
+    )
+
+    def _pv(name, val):
+        if is_del:
+            return None
+        if is_patch and name not in patch_cols:
+            return None  # uncarried on a patch: "unchanged", not "null"
+        return val
+
     ev = {
         "op": op,
         "lsn": lsn,
         "commit_ts": _utc(BASE_EPOCH_S + e),
         "conv_id": f"conv{conv:08d}",
         "turn_idx": turn,
-        "role": None if is_del else role,
-        "text": None if is_del else text,
-        "tool": None if is_del else tool,
-        "ts": None if is_del else _utc(BASE_EPOCH_S + lsn),
+        "role": _pv("role", role),
+        "text": _pv("text", text),
+        "tool": _pv("tool", tool),
+        "ts": _pv("ts", _utc(BASE_EPOCH_S + lsn)),
     }
+    if spec.patch_pct > 0:
+        ev["patch_cols"] = patch_cols
     if spec.evolution_frac is not None:
         ev["tool_meta"] = (
             '{"call_id": %d}' % ((lsn * 31) % 9973)
@@ -83,16 +108,43 @@ def chunk_py(e: int, spec: FeedSpec) -> int:
     return min(pos // spec.events_per_chunk, spec.n_chunks - 1)
 
 
+_ENVELOPE = ("op", "lsn", "commit_ts", "patch_cols")
+
+
 def replay_oracle(spec: FeedSpec, normalize: bool = True) -> dict[tuple, dict]:
-    """Global-LSN-order LWW replay → {(conv_id, turn_idx): row}."""
+    """Global-LSN-order LWW replay → {(conv_id, turn_idx): row}.
+
+    Partial-update events (op="P") fold: only the columns listed in
+    ``patch_cols`` change, everything else is carried from the current
+    row (or NULL when the key doesn't exist — a patch revives/creates
+    with just its carried columns, the engine's documented semantic)."""
     state: dict[tuple, dict] = {}
     for e in range(spec.n_events):  # e order == lsn order
         ev = event_py(e, spec)
         k = (ev["conv_id"], ev["turn_idx"])
         if ev["op"] == "D":
             state.pop(k, None)
+        elif ev["op"] == "P":
+            cur = state.get(k)
+            row = (
+                dict(cur)
+                if cur is not None
+                else {
+                    c: (ev[c] if c in ("conv_id", "turn_idx") else None)
+                    for c in ev
+                    if c not in _ENVELOPE
+                }
+            )
+            for c in ev["patch_cols"]:
+                row[c] = (
+                    normalize_text_py(ev[c])
+                    if normalize and c == "text"
+                    else ev[c]
+                )
+            row["_lsn"] = ev["lsn"]
+            state[k] = row
         else:
-            row = {c: ev[c] for c in ev if c not in ("op", "lsn", "commit_ts")}
+            row = {c: ev[c] for c in ev if c not in _ENVELOPE}
             if normalize:
                 row["text"] = normalize_text_py(row["text"])
             row["_lsn"] = ev["lsn"]

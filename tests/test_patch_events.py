@@ -1,0 +1,210 @@
+"""Partial-update (patch) change events — op="P" rows carrying only the
+columns listed in the envelope's ``patch_cols`` array (the Postgres-TOAST /
+Debezium unavailable-column reality: an UPDATE whose row image omits
+unchanged big columns).
+
+Engine semantics = the sequential global-LSN fold: each column takes the
+value of the LAST event that SET it (full events / deletes set every
+column, patches only their listed ones), under ANY batching or reordering.
+The mechanism is column-level LWW with a SPARSE per-column version map
+(``_col_lsn``) persisted on rows whose columns were last set at different
+LSNs — what row-level LWW cannot express once updates are partial.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.operators.apply import (
+    apply_batch,
+    read_clean,
+    read_current,
+)
+from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+from credix_data_pipeline_spark.streaming import runner
+from tests.oracle_cdc import replay_oracle
+
+SPEC = FeedSpec(
+    n_events=3_000,
+    n_conversations=40,
+    turns_per_conversation=6,
+    delete_pct=6,
+    duplicate_pct=4,
+    patch_pct=35,
+    shuffle_window=48,
+    events_per_chunk=500,
+)
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _state(spark, tp):
+    t = LakeTable.load(spark, tp)
+    return sorted(
+        tuple(r[c] for c in COLS)
+        for r in read_clean(t).select(*COLS).collect()
+    )
+
+
+def _oracle(normalize=False):
+    st = replay_oracle(SPEC, normalize=normalize)
+    return sorted(
+        (k[0], k[1], v["role"], v["text"], v["tool"],
+         v["ts"].replace(tzinfo=None) if v["ts"] else None)
+        for k, v in st.items()
+    )
+
+
+def test_patch_replay_cow_equals_fold_oracle(spark, tmp_path):
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4)
+    assert _state(spark, tp) == _oracle()
+    # the sparse map exists only where a column lags the row LSN
+    t = LakeTable.load(spark, tp)
+    n_maps = read_current(t).filter(F.col("_col_lsn").isNotNull()).count()
+    assert n_maps > 0  # patches actually exercised the mechanism
+
+
+def test_patch_replay_posdel_equals_cow(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    write_feed(spark, feed, SPEC)
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    runner.replay(spark, feed, cow, chunks_per_batch=3, num_buckets=4)
+    runner.replay(spark, feed, mor, chunks_per_batch=3, num_buckets=4,
+                  merge_mode="mor")
+    assert _state(spark, mor) == _state(spark, cow) == _oracle()
+
+
+def test_patch_refused_on_blind_append_mor(spark, tmp_path):
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+    with pytest.raises(RuntimeError, match="write-time arbitration"):
+        runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4,
+                      merge_mode="mor-append")
+
+
+def test_cross_batch_late_patch_folds_by_column(spark, tmp_path):
+    """THE case the map exists for: a patch arriving in a later batch,
+    older than the stored row's LSN but newer than the stored value of
+    ITS column, must win that column and only that column."""
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp, "
+           "patch_cols array<string>")
+
+    def ev(op, lsn, role=None, text=None, pcols=None):
+        return ("c1", 0, op, lsn, role, text, pcols)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(op, lsn, c, t, r, x, None, None, p)
+             for (c, t, op, lsn, r, x, p) in rows], sch)
+
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    # batch 0: full@1 (role=r1 text=a), patch@5 (role=r2)
+    apply_batch(table, df([
+        ev("I", 1, role="r1", text="a"),
+        ev("P", 5, role="r2", pcols=["role"]),
+    ]), 0)
+    row = read_clean(table).collect()[0]
+    assert (row.role, row.text) == ("r2", "a")
+    cl = {r["_lsn"]: r["_col_lsn"] for r in read_current(table).collect()}
+    assert cl[5]["text"] == 1  # text lags the row LSN
+    # batch 1: patch@3 (text=z) — older than the row (5), newer than text (1)
+    apply_batch(table, df([ev("P", 3, text="z", pcols=["text"])]), 1)
+    row = read_clean(table).collect()[0]
+    assert (row.role, row.text, row._lsn) == ("r2", "z", 5)
+    cl = read_current(table).collect()[0]["_col_lsn"]
+    # tool/ts were SET (to null) by the full event@1 — still lagging
+    assert cl == {"text": 3, "tool": 1, "ts": 1}
+    # batch 2: a full event@7 resets every column to the row LSN
+    apply_batch(table, df([ev("U", 7, role="r3", text="full")]), 2)
+    row = read_current(table).collect()[0]
+    assert (row.role, row.text, row._lsn, row._col_lsn) == (
+        "r3", "full", 7, None)
+
+
+def test_patch_revives_tombstone_with_partial_row(spark, tmp_path):
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp, "
+           "patch_cols array<string>")
+
+    def df(rows):
+        return spark.createDataFrame(rows, sch)
+
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    apply_batch(table, df([
+        ("I", 1, "c1", 0, "user", "hello", None, None, None),
+        ("D", 2, "c1", 0, None, None, None, None, None),
+    ]), 0)
+    assert read_clean(table).count() == 0
+    # a patch AFTER the delete revives with only its carried columns
+    apply_batch(table, df([
+        ("P", 3, "c1", 0, None, "revived", None, None, ["text"]),
+    ]), 1)
+    row = read_clean(table).collect()[0]
+    assert (row.text, row.role) == ("revived", None)
+    # a patch OLDER than a tombstone stays dead
+    apply_batch(table, df([
+        ("D", 9, "c1", 0, None, None, None, None, None),
+        ("P", 5, "c1", 0, None, "late", None, None, ["text"]),
+    ]), 2)
+    assert read_clean(table).count() == 0
+
+
+def test_patch_without_patch_cols_refused(spark, tmp_path):
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp")
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    bad = spark.createDataFrame(
+        [("P", 1, "c1", 0, None, "x", None, None)], sch)
+    with pytest.raises(RuntimeError, match="patch_cols"):
+        apply_batch(table, bad, 0)
+
+
+def test_patch_rows_exempt_from_payload_checks(spark, tmp_path):
+    """A CHECK over a column a patch doesn't carry reads NULL on the event
+    row — that must not quarantine the patch (its post-image is what WAP
+    audits)."""
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4,
+                  max_batches=1)
+    LakeTable.load(spark, tp).alter_properties(
+        {"contracts.check.role_known":
+         "role in ('user','assistant','system','tool')"}
+    )
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4)
+    assert _state(spark, tp) == _oracle()
+
+
+def test_patched_table_relays_full_rows(spark, tmp_path):
+    """Downstream replicas receive FOLDED full rows — patches are an
+    upstream-ingest concern; the relay chain stays unchanged and the
+    replica matches the upstream payload byte-for-byte."""
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+
+    feed, up, rep = (str(tmp_path / d) for d in ("feed", "up", "rep"))
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, up, chunks_per_batch=2, num_buckets=4)
+    relay = str(tmp_path / "relay")
+    publish_changes(LakeTable.load(spark, up), relay)
+    runner.replay(spark, relay, rep, chunks_per_batch=4, num_buckets=4)
+    assert _state(spark, rep) == _state(spark, up) == _oracle()
