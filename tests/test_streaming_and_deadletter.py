@@ -225,16 +225,25 @@ def test_stream_mode_writes_listener_progress(spark, tmp_path):
                       available_now=True, collect_stats=False)
     q.awaitTermination()
     progress = os.path.join(table, "_lineage", PROGRESS_FILE)
-    # listener events are delivered asynchronously
-    for _ in range(40):
-        if os.path.exists(progress) and any(
-            json.loads(l)["event"] == "progress"
-            for l in open(progress) if l.strip()
-        ):
+
+    # listener events are delivered asynchronously AND per-batch: wait for
+    # the FULL row count to land, not just the first progress line — under
+    # host load the earlier batches' events can trail the query stop by
+    # seconds (observed flake: only the final batch's 34 rows recorded)
+    def _progress_rows():
+        if not os.path.exists(progress):
+            return []
+        return [
+            json.loads(l) for l in open(progress)
+            if l.strip() and json.loads(l)["event"] == "progress"
+        ]
+
+    prog = []
+    for _ in range(120):
+        prog = _progress_rows()
+        if sum(p["numInputRows"] for p in prog) >= 1_000:
             break
         time.sleep(0.25)
-    lines = [json.loads(l) for l in open(progress) if l.strip()]
-    prog = [l for l in lines if l["event"] == "progress"]
     assert prog and sum(p["numInputRows"] for p in prog) >= 1_000
 
     # regression (ADVICE r2): the progress log lives inside _lineage/ but is
