@@ -133,6 +133,7 @@ def cmd_generate(args) -> int:
         events_per_chunk=args.events_per_chunk,
         n_shards=args.shards,
         shard=args.shard,
+        patch_pct=args.patch_pct,
     )
     manifest = write_feed(spark, args.feed, spec)
     print(json.dumps({"feed": args.feed, "chunks": len(manifest["chunks"])}))
@@ -1101,6 +1102,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit only the shard owning conv %% shards == "
                         "--shard (sharded-upstream fan-in)")
     g.add_argument("--shard", type=int, default=0)
+    g.add_argument("--patch-pct", type=int, default=0,
+                   help="%% of updates emitted as op='P' PARTIAL rows "
+                        "carrying only their patch_cols subset")
     g.set_defaults(fn=cmd_generate)
 
     rf = sub.add_parser(
