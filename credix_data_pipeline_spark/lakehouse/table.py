@@ -151,6 +151,15 @@ class Snapshot:
     # Properties are TABLE-level, not snapshot-level: ``rollback_to`` keeps
     # the current properties (the Iceberg rule — config does not time-travel).
     properties: dict[str, str] = field(default_factory=dict)
+    # Column DEFAULT values (Iceberg v3 initial/write defaults): column
+    # name -> constant SQL expression string.  Declared at ``add_columns``;
+    # files whose write schema lacks the column's field id read the default
+    # instead of NULL (initial-default, metadata-only — no rewrite), and
+    # writers whose batch schema omits the column write it (write-default),
+    # so replay results do not depend on WHEN the DDL landed relative to a
+    # batch.  Top-level columns only; schema-bound (rename re-keys, drop
+    # removes), unlike time-travel-exempt properties.
+    column_defaults: dict[str, str] = field(default_factory=dict)
     # True when this snapshot's ``column_ids`` were POSITIONALLY backfilled
     # at load (pre-field-id manifest).  Backfilled ids are a valid base for
     # future DDL but NOT comparable across two such snapshots (an add shifts
@@ -338,6 +347,18 @@ def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
     return True
 
 
+def default_expr(snap: Snapshot, name: str):
+    """The Column filling ``name`` where its data is absent: the declared
+    DEFAULT (a constant SQL expression, cast to the column's type) or a
+    typed NULL.  The single alignment rule every reader and writer shares —
+    pre-add files, pre-add event batches, merge inserts."""
+    fld = snap.schema[name]
+    d = snap.column_defaults.get(name)
+    if d is None:
+        return F.lit(None).cast(fld.dataType)
+    return F.expr(d).cast(fld.dataType)
+
+
 def _project_dir(df: DataFrame, snap: Snapshot, dinfo: dict) -> DataFrame:
     """Project a write-schema read to the snapshot schema by FIELD ID:
     renamed columns re-alias, widened columns cast, columns the dir never
@@ -357,7 +378,9 @@ def _project_dir(df: DataFrame, snap: Snapshot, dinfo: dict) -> DataFrame:
     for f in snap.schema.fields:
         n = rev.get(snap.column_ids.get(f.name))
         if n is None:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            # column (by field id) absent from this dir: declared DEFAULT,
+            # else typed NULL — the Iceberg v3 initial-default rule
+            cols.append(default_expr(snap, f.name).alias(f.name))
             continue
         if not isinstance(f.dataType, T.StructType):
             cols.append(F.col(n).cast(f.dataType).alias(f.name))
@@ -621,6 +644,7 @@ class LakeTable:
             eq_deletes=m.get("eq_deletes", []),
             file_seq=m.get("file_seq", {}),
             properties=m.get("properties", {}),
+            column_defaults=m.get("column_defaults", {}),
             ids_backfilled=backfilled,
         )
 
@@ -815,6 +839,7 @@ class LakeTable:
             column_ids=dict(target.column_ids),
             next_column_id=max(cur.next_column_id, target.next_column_id),
             dir_schemas=dict(target.dir_schemas),
+            column_defaults=dict(target.column_defaults),
             file_stats=dict(target.file_stats),
             ts_stats=dict(target.ts_stats),
             col_stats={c: dict(per) for c, per in target.col_stats.items()},
@@ -929,6 +954,7 @@ class LakeTable:
             column_ids=dict(snap.column_ids),
             next_column_id=snap.next_column_id,
             dir_schemas=dict(snap.dir_schemas),
+            column_defaults=dict(snap.column_defaults),
             file_stats={_abs(p): list(s) for p, s in snap.file_stats.items()},
             ts_stats={_abs(p): list(s) for p, s in snap.ts_stats.items()},
             col_stats={
@@ -1248,6 +1274,7 @@ class LakeTable:
             column_ids=dict(head.column_ids),
             next_column_id=head.next_column_id,
             dir_schemas=dict(head.dir_schemas),
+            column_defaults=dict(head.column_defaults),
             file_stats={_abs(p): list(s) for p, s in head.file_stats.items()},
             ts_stats={_abs(p): list(s) for p, s in head.ts_stats.items()},
             col_stats={
@@ -1484,6 +1511,7 @@ class LakeTable:
         eq_deletes: list[dict] | None = None,
         file_seq: dict[str, int] | None = None,
         properties: dict[str, str] | None = None,
+        column_defaults: dict[str, str] | None = None,
         version_base: int | None = None,
     ) -> Snapshot:
         # ``version_base`` starts a parentless table's version space above 1:
@@ -1512,6 +1540,18 @@ class LakeTable:
             if n not in ids:
                 ids[n] = nci
                 nci += 1
+        # column DEFAULTs are schema-bound: prune entries whose column left
+        # the schema (a later re-add mints a fresh id with no default)
+        fnames_now = {f.name for f in schema.fields}
+        defaults = {
+            c: v
+            for c, v in (
+                column_defaults
+                if column_defaults is not None
+                else (parent.column_defaults if parent else {})
+            ).items()
+            if c in fnames_now
+        }
         # Per-dir write schemas: register dirs new in this commit with the
         # schema being committed (= what _write_files just laid down),
         # prune dirs no longer referenced by any file of this snapshot.
@@ -1725,6 +1765,7 @@ class LakeTable:
                 else (list(parent.eq_deletes) if parent else [])
             ),
             "properties": eff_props,
+            "column_defaults": defaults,
         }
         tmp = os.path.join(self.meta_path, f".tmp-{uuid.uuid4().hex}.json")
         name = _staged_name(version) if staged else _manifest_name(version)
@@ -2055,22 +2096,43 @@ class LakeTable:
                     ]
                 )
             return self.spark.createDataFrame([], empty_schema)
-        fast: list[str] = []
+        fast: dict[frozenset, list[str]] = {}
         slow: dict[str, tuple[dict, list[str]]] = {}
+        dflt_ids = {
+            snap.column_ids[c]
+            for c in snap.column_defaults
+            if c in snap.column_ids
+        }
         for d, paths in by_dir.items():
             dinfo = snap.dir_schemas.get(d)
             if _dir_compatible(snap, dinfo):
-                fast.extend(paths)
+                # defaulted columns ABSENT from this dir (by field id) must
+                # not ride the parquet NULL-fill: group fast dirs by their
+                # missing-defaults set — still one vectorized scan per
+                # group, and the empty set (no defaults declared, or a dir
+                # that has them all) stays the single common-case scan
+                missing: frozenset = frozenset()
+                if dflt_ids and dinfo is not None:
+                    have = set(dinfo["ids"].values())
+                    missing = frozenset(
+                        c for c in snap.column_defaults
+                        if snap.column_ids.get(c) not in have
+                    )
+                fast.setdefault(missing, []).extend(paths)
             else:
                 k = json.dumps(dinfo, sort_keys=True)
                 slow.setdefault(k, (dinfo, []))[1].extend(paths)
         parts: list[DataFrame] = []
-        if fast:
+        for missing, paths in fast.items():
             # the common case — ONE vectorized scan over every by-name-
             # compatible file; explicit schema => files missing late-added
             # columns yield NULL (add-column evolution stays metadata-only)
-            p = self.spark.read.schema(snap.schema).parquet(*sorted(fast))
-            parts.append(self._pos_cols(p) if need_pos else p)
+            p = self.spark.read.schema(snap.schema).parquet(*sorted(paths))
+            if need_pos:
+                p = self._pos_cols(p)
+            for c in sorted(missing):
+                p = p.withColumn(c, default_expr(snap, c))
+            parts.append(p)
         for dinfo, paths in slow.values():
             # files written before a rename/drop/widen: read with their
             # WRITE schema, then project to the snapshot schema by field id
@@ -3040,16 +3102,51 @@ class LakeTable:
             staged=staged,
         )
 
-    def add_columns(self, fields: list[T.StructField]) -> Snapshot:
+    def add_columns(
+        self,
+        fields: list[T.StructField],
+        defaults: dict[str, str] | None = None,
+    ) -> Snapshot:
         """Metadata-only schema evolution (Iceberg ALTER TABLE ADD COLUMNS).
 
         The reference only *tolerates* a missing schema
         (installments_assets.py:151-156); in-flight add-column is new engine
         capability required by the north rule.
+
+        ``defaults`` maps added column names to CONSTANT SQL expressions
+        (Iceberg v3 ``ADD COLUMN ... DEFAULT``): rows in files written
+        before the add read the default instead of NULL — still zero
+        rewrite — and writers whose batch schema omits the column write it,
+        so replay results do not depend on when the DDL landed relative to
+        a batch.  Validated at declaration: must parse, resolve with no
+        column references, and cast to the column's type.
         """
         snap = self.current()
         existing = {f.name for f in snap.schema.fields}
         new_fields = [f for f in fields if f.name not in existing]
+        new_defaults = None
+        if defaults:
+            unknown = [c for c in defaults
+                       if c not in {f.name for f in new_fields}]
+            if unknown:
+                raise ValueError(
+                    f"defaults for column(s) {unknown} not being added — "
+                    "defaults are declared WITH the add (the Iceberg v3 "
+                    "initial-default rule); existing columns already have "
+                    "physical data"
+                )
+            ftypes = {f.name: f.dataType for f in new_fields}
+            probe = self.spark.createDataFrame([], T.StructType([]))
+            for c, d in defaults.items():
+                try:
+                    # constant-ness by construction: zero-column relation
+                    probe.select(F.expr(d).cast(ftypes[c])).schema
+                except Exception as e:
+                    raise ValueError(
+                        f"default for {c!r} is not a constant expression "
+                        f"castable to {ftypes[c].simpleString()}: {d!r}: {e}"
+                    ) from e
+            new_defaults = {**snap.column_defaults, **defaults}
         if not new_fields:
             return snap
         # Keep engine bookkeeping columns (`_`-prefixed) as the last columns.
@@ -3067,6 +3164,7 @@ class LakeTable:
                 "operation": "add-columns",
                 "columns": [f.name for f in new_fields],
             },
+            column_defaults=new_defaults,
         )
 
     def add_struct_fields(
@@ -3426,6 +3524,11 @@ class LakeTable:
             col_stats={
                 (new if c == old else c): per
                 for c, per in snap.col_stats.items()
+            },
+            # a DEFAULT follows its column through a rename (same field id)
+            column_defaults={
+                (new if c == old else c): v
+                for c, v in snap.column_defaults.items()
             },
         )
 

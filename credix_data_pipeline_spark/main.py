@@ -35,7 +35,8 @@ Subcommands:
                   Delta CDF analogue) for downstream incremental consumers
 * ``publish``   — CDC relay: publish the table's net changes as a
                   replayable change feed (the engine's CDC-source role)
-* ``alter``     — column DDL: metadata-only rename / drop / widen
+* ``alter``     — column DDL: metadata-only rename / drop / widen /
+                  add (optional DEFAULT: Iceberg v3 initial+write default)
                   (Iceberg v2 field-id evolution)
 * ``compact``   — rewrite small files (Iceberg rewrite_data_files analogue)
 * ``history``   — snapshot lineage / per-file footer stats (Iceberg
@@ -494,8 +495,17 @@ def cmd_alter(args) -> int:
     elif args.widen:
         col, type_name = args.widen.split(":", 1)
         snap = t.widen_column(col, T._parse_datatype_string(type_name))
+    elif args.add:
+        parts = args.add.split(":", 2)  # NAME:TYPE[:DEFAULT-SQL]
+        if len(parts) < 2:
+            raise SystemExit("--add expects NAME:TYPE[:DEFAULT]")
+        name, type_name = parts[0], parts[1]
+        snap = t.add_columns(
+            [T.StructField(name, T._parse_datatype_string(type_name), True)],
+            defaults={name: parts[2]} if len(parts) == 3 else None,
+        )
     else:
-        raise SystemExit("one of --rename/--drop/--widen is required")
+        raise SystemExit("one of --rename/--drop/--widen/--add is required")
     print(
         json.dumps(
             {
@@ -1359,6 +1369,10 @@ def build_parser() -> argparse.ArgumentParser:
     al.add_argument("--rename", metavar="OLD:NEW")
     al.add_argument("--drop", metavar="COLUMN")
     al.add_argument("--widen", metavar="COLUMN:TYPE")
+    al.add_argument("--add", metavar="NAME:TYPE[:DEFAULT]",
+                    help="add a column; optional CONSTANT SQL default "
+                         "(Iceberg v3 initial/write default) — pre-add "
+                         "rows read it with zero rewrite")
     al.set_defaults(fn=cmd_alter)
 
     rb = sub.add_parser(

@@ -43,7 +43,11 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from credix_data_pipeline_spark.lakehouse.table import BUCKET_COL, LakeTable
+from credix_data_pipeline_spark.lakehouse.table import (
+    BUCKET_COL,
+    LakeTable,
+    default_expr,
+)
 from credix_data_pipeline_spark.schema import ENGINE_COLS, ENVELOPE_COLS
 from credix_data_pipeline_spark.streaming.lineage import LineageLog
 
@@ -225,7 +229,9 @@ def align_for_checks(df: DataFrame, snap) -> DataFrame:
     for f in snap.schema.fields:
         if f.name in have or f.name.startswith("_"):
             continue
-        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # a CHECK sees what the merge would write: the declared DEFAULT
+        # for a column this batch's chunks predate, else NULL
+        df = df.withColumn(f.name, default_expr(snap, f.name))
     return df
 
 
@@ -608,7 +614,13 @@ def apply_batch(
             (
                 _align_payload_expr(c, ev_types[c], d)
                 if c in ev_cols
-                else F.lit(None).cast(d.dataType).alias(c)
+                # batch schema predates the column: the declared DEFAULT
+                # (write-default), else typed NULL — so the merge result
+                # does not depend on whether the DDL landed before or
+                # after this batch (delete rows stay NULL via is_del below)
+                else F.when(
+                    F.col("op") == "D", F.lit(None).cast(d.dataType)
+                ).otherwise(default_expr(snap, c)).alias(c)
             )
             for c, d in zip(payload_cols, [snap.schema[c] for c in payload_cols])
         ],

@@ -51,6 +51,7 @@ from credix_data_pipeline_spark.lakehouse.table import (
     LakeTable,
     Snapshot,
     _project_dir,
+    default_expr,
 )
 
 CHANGE_COL = "_change_type"
@@ -95,13 +96,19 @@ def _live_state(table: LakeTable, snap: Snapshot, buckets: list[int],
             "ids": dict(snap.column_ids),
         }
         shim = SimpleNamespace(
-            schema=T.StructType(out_fields), column_ids=s_to.column_ids
+            schema=T.StructType(out_fields),
+            column_ids=s_to.column_ids,
+            column_defaults=s_to.column_defaults,
         )
         return _project_dir(df, shim, dinfo)  # `_del` passes through
     have = set(df.columns)
+    # columns added between the endpoints align to the TO-snapshot's
+    # DEFAULT (else NULL): the live read of those same physical rows gives
+    # the default, so a NULL before-image would fabricate an update pair
+    # for every pre-add row — O(table) spurious relay churn
     aligned = [
         F.col(f.name) if f.name in have
-        else F.lit(None).cast(f.dataType).alias(f.name)
+        else default_expr(s_to, f.name).alias(f.name)
         for f in out_fields
     ]
     return df.select(*aligned, F.col("_del"))

@@ -44,6 +44,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from credix_data_pipeline_spark.lakehouse import LakeTable
+from credix_data_pipeline_spark.lakehouse.table import default_expr
 from credix_data_pipeline_spark.operators.apply import (
     ContractViolation,
     table_checks,
@@ -177,7 +178,9 @@ def merge_into(
         if c in key:
             return F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
         u = F.expr(upd[c]) if c in upd else F.col(f"t.{c}")
-        i = F.expr(ins[c]) if c in ins else F.lit(None)
+        # an INSERT with no value for the column takes the declared
+        # DEFAULT (the Delta/Iceberg INSERT-default rule), else NULL
+        i = F.expr(ins[c]) if c in ins else default_expr(snap, c)
         return (
             F.when(F.col("_action") == "U", u.cast(dt))
             .when(F.col("_action") == "I", i.cast(dt))

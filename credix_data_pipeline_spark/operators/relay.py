@@ -147,8 +147,13 @@ def schema_ddl(base: "Snapshot", cur: "Snapshot") -> list[dict]:
     (a rename is invisible in row data); column ADDS are deliberately NOT
     emitted — they flow through the per-chunk schema registry and the
     replica's in-flight evolution, which also covers feeds that never had
-    field ids.  Events are ordered drop → rename → widen so a drop frees
-    its name before a rename (or the registry's re-add) can claim it.
+    field ids.  EXCEPTION: an add that declares a DEFAULT must ship as an
+    ``add`` event carrying it — the registry can evolve the replica's
+    schema but not its defaults, and a replica whose pre-add rows read
+    NULL where the upstream's read the default would silently diverge on
+    every key never updated again.  Events are ordered drop → rename →
+    widen → add, so a drop frees its name before a rename can claim it and
+    a rename vacates a name before an add re-claims it.
     """
     from pyspark.sql import types as T
 
@@ -221,7 +226,20 @@ def schema_ddl(base: "Snapshot", cur: "Snapshot") -> list[dict]:
                     "field_id": i,
                 }
             )
-    return drops + renames + widens
+    adds = [
+        {
+            "op": "add",
+            "column": cname,
+            "type": cur_types[cname].jsonValue(),
+            "default": cur.column_defaults[cname],
+            "field_id": i,
+        }
+        for i, cname in cur_rev.items()
+        if i not in base_rev
+        and "." not in cname
+        and cname in cur.column_defaults
+    ]
+    return drops + renames + widens + adds
 
 
 def apply_ddl(table: LakeTable, events: list[dict]) -> int:
@@ -291,6 +309,21 @@ def apply_ddl(table: LakeTable, events: list[dict]) -> int:
         if _dotted_types(table.current().schema)[col] != want:
             table.widen_column(col, want)
             applied += 1
+
+    # default-bearing adds run LAST: a rename in the same span may need to
+    # vacate the name first.  A column already present means a redelivered
+    # chunk (the first application declared the default) — skip.
+    for ev in (e for e in events if e["op"] == "add"):
+        col = ev["column"]
+        if col in names():
+            continue
+        table.add_columns(
+            [T.StructField(
+                col, T._parse_datatype_json_value(ev["type"]), True
+            )],
+            defaults={col: ev["default"]},
+        )
+        applied += 1
     return applied
 
 
