@@ -166,3 +166,29 @@ def test_merge_into_insert_takes_default(spark, tmp_path):
     )
     got = {r.conv_id: r.lang for r in read_clean(t).collect()}
     assert got["c9"] == "und"
+
+
+def test_stream_ddl_ships_defaults(spark, tmp_path):
+    """The SS restart-on-schema-change path: a default-bearing add crosses
+    the relay as an `add` DDL event and the streaming replica converges,
+    including pre-add keys never updated again."""
+    from credix_data_pipeline_spark.operators.relay import publish_changes
+    from credix_data_pipeline_spark.streaming import runner
+
+    t = _mk(spark, tmp_path)
+    relay, rep = str(tmp_path / "relay"), str(tmp_path / "rep")
+    publish_changes(t, relay)
+    runner.stream_ddl(spark, relay, rep, num_buckets=2)
+    t.add_columns([T.StructField("lang", T.StringType(), True)],
+                  defaults={"lang": "'und'"})
+    apply_batch(t, spark.createDataFrame(
+        [("U", 7, TS, "c1", 0, "user", "touched", None, TS)],
+        CHANGE_SCHEMA), 1, collect_stats=False)
+    publish_changes(t, relay)
+    runner.stream_ddl(spark, relay, rep, num_buckets=2)
+    r = LakeTable.load(spark, rep)
+    assert r.current().column_defaults == {"lang": "'und'"}
+    up = {x.conv_id: (x.text, x.lang) for x in read_clean(t).collect()}
+    dn = {x.conv_id: (x.text, x.lang) for x in read_clean(r).collect()}
+    assert dn == up
+    assert dn["c2"] == ("bye", "und")

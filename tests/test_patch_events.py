@@ -208,3 +208,20 @@ def test_patched_table_relays_full_rows(spark, tmp_path):
     publish_changes(LakeTable.load(spark, up), relay)
     runner.replay(spark, relay, rep, chunks_per_batch=4, num_buckets=4)
     assert _state(spark, rep) == _state(spark, up) == _oracle()
+
+
+def test_patches_through_fanin(spark, tmp_path):
+    """N sharded patch-bearing feeds into one table: the per-column fold
+    composes with per-source fences (disjoint keys, so each key's patch
+    history lives in one shard's feed) — final state equals the unsharded
+    sequential fold oracle."""
+    from dataclasses import replace
+
+    s0 = replace(SPEC, n_shards=2, shard=0)
+    s1 = replace(SPEC, n_shards=2, shard=1)
+    f0, f1, tp = (str(tmp_path / d) for d in ("f0", "f1", "t"))
+    write_feed(spark, f0, s0)
+    write_feed(spark, f1, s1)
+    runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
+                        chunks_per_batch=2, num_buckets=4)
+    assert _state(spark, tp) == _oracle()

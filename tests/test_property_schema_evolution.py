@@ -26,6 +26,7 @@ OPS = st.lists(
         st.tuples(st.just("drop_readd"), st.integers(0, 99)),
         st.tuples(st.just("widen"), st.just(0)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("add_default"), st.just(0)),
     ),
     min_size=1,
     max_size=7,
@@ -60,6 +61,7 @@ def test_table_matches_field_id_oracle(spark, tmp_path, ops):
     rows: dict[str, dict[int, object]] = {}
     n_keys = 0
     n_renames = 0
+    n_defaults = 0
     widened = False
 
     for kind, arg in ops:
@@ -111,6 +113,21 @@ def test_table_matches_field_id_oracle(spark, tmp_path, ops):
                 widened = True
         elif kind == "compact":
             t.compact()
+        elif kind == "add_default":
+            # Iceberg v3 initial default: rows already written read the
+            # default; the oracle bakes it into their field-id state
+            # (read-time fill and materialization are equivalent)
+            name = f"d{n_defaults}"
+            dval = f"dft{n_defaults}"
+            n_defaults += 1
+            t.add_columns(
+                [T.StructField(name, T.StringType(), True)],
+                defaults={name: f"'{dval}'"},
+            )
+            cols[name] = (next_id, "str")
+            for vals in rows.values():
+                vals[next_id] = dval
+            next_id += 1
 
     # verify: every row projects through the FINAL schema by field id
     final = t.current()
