@@ -1041,7 +1041,8 @@ class LakeTable:
         if not files:
             raise FileNotFoundError(f"no parquet files under {src_dir}")
         src_schema = spark.read.parquet(src_abs).schema
-        reserved = {"_lsn", "_deleted", "_bucket", "_seq", "_file", "_pos"}
+        reserved = {"_lsn", "_deleted", "_bucket", "_seq", "_col_lsn",
+                    "_file", "_pos"}
         clash = [f.name for f in src_schema.fields if f.name in reserved]
         if clash:
             raise ValueError(
@@ -2118,6 +2119,12 @@ class LakeTable:
                         c for c in snap.column_defaults
                         if snap.column_ids.get(c) not in have
                     )
+                elif dflt_ids:
+                    # unregistered dir: it predates every DDL on this
+                    # table (add_columns registers live dirs with their
+                    # PRE-add schema when a default is declared), so every
+                    # defaulted column is missing from it by construction
+                    missing = frozenset(snap.column_defaults)
                 fast.setdefault(missing, []).extend(paths)
             else:
                 k = json.dumps(dinfo, sort_keys=True)
@@ -3153,6 +3160,17 @@ class LakeTable:
         base = [f for f in snap.schema.fields if not f.name.startswith("_")]
         tail = [f for f in snap.schema.fields if f.name.startswith("_")]
         new_schema = T.StructType(base + new_fields + tail)
+        dsch = None
+        if defaults:
+            # register still-unregistered live dirs with their PRE-add
+            # schema: _commit's backfill would otherwise record them under
+            # the POST-add schema, claiming they physically hold the new
+            # column — and the default would never fill for them
+            dsch = dict(snap.dir_schemas)
+            rec = {"schema": snap.schema.jsonValue(),
+                   "ids": dict(snap.column_ids)}
+            for d in sorted(snap.live_dirs() - set(dsch)):
+                dsch[d] = rec
         return self._commit(
             parent=snap,
             schema=new_schema,
@@ -3165,6 +3183,7 @@ class LakeTable:
                 "columns": [f.name for f in new_fields],
             },
             column_defaults=new_defaults,
+            dir_schemas=dsch,
         )
 
     def add_struct_fields(

@@ -496,13 +496,14 @@ def cmd_alter(args) -> int:
         col, type_name = args.widen.split(":", 1)
         snap = t.widen_column(col, T._parse_datatype_string(type_name))
     elif args.add:
-        parts = args.add.split(":", 2)  # NAME:TYPE[:DEFAULT-SQL]
-        if len(parts) < 2:
-            raise SystemExit("--add expects NAME:TYPE[:DEFAULT]")
-        name, type_name = parts[0], parts[1]
+        # NAME:TYPE split at the FIRST colon only — types may carry colons
+        # (struct<a:int>); the default is its own flag for the same reason
+        name, _, type_name = args.add.partition(":")
+        if not type_name:
+            raise SystemExit("--add expects NAME:TYPE (with --default SQL)")
         snap = t.add_columns(
             [T.StructField(name, T._parse_datatype_string(type_name), True)],
-            defaults={name: parts[2]} if len(parts) == 3 else None,
+            defaults={name: args.default} if args.default else None,
         )
     else:
         raise SystemExit("one of --rename/--drop/--widen/--add is required")
@@ -632,7 +633,15 @@ def cmd_sql(args) -> int:
             _parse_ts_ms(args.ts_to) if args.ts_to else None,
         )
     try:
-        between = parse_between(args.between, table.current().schema)
+        # --between bounds coerce/validate against the schema the read is
+        # PINNED to: an --as-of slice on a since-dropped or since-retyped
+        # column must work exactly as it did at that snapshot
+        pin = (
+            table.snapshot_as_of(_parse_ts_ms(args.as_of))
+            if args.as_of
+            else table.current()
+        )
+        between = parse_between(args.between, pin.schema)
         register_sql_views(
             table,
             args.view,
@@ -1069,7 +1078,12 @@ def cmd_export(args) -> int:
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
     try:
-        between = parse_between(args.between, table.current().schema)
+        pin = (
+            table.snapshot_as_of(_parse_ts_ms(args.as_of))
+            if args.as_of
+            else table.current()
+        )
+        between = parse_between(args.between, pin.schema)
     except ValueError as e:
         print(json.dumps({"error": str(e)}))
         return 2
@@ -1369,10 +1383,13 @@ def build_parser() -> argparse.ArgumentParser:
     al.add_argument("--rename", metavar="OLD:NEW")
     al.add_argument("--drop", metavar="COLUMN")
     al.add_argument("--widen", metavar="COLUMN:TYPE")
-    al.add_argument("--add", metavar="NAME:TYPE[:DEFAULT]",
-                    help="add a column; optional CONSTANT SQL default "
-                         "(Iceberg v3 initial/write default) — pre-add "
-                         "rows read it with zero rewrite")
+    al.add_argument("--add", metavar="NAME:TYPE",
+                    help="add a column (TYPE may itself contain colons, "
+                         "e.g. struct<a:int>)")
+    al.add_argument("--default", metavar="SQL",
+                    help="with --add: CONSTANT SQL default (Iceberg v3 "
+                         "initial/write default) — pre-add rows read it "
+                         "with zero rewrite")
     al.set_defaults(fn=cmd_alter)
 
     rb = sub.add_parser(

@@ -170,17 +170,50 @@ def table_checks(snap) -> list[tuple[str, str]]:
     )
 
 
-def rejection_condition(snap, key: list[str]):
+def _check_refs(snap, expr_s: str) -> set[str]:
+    """Payload columns a CHECK expression references, by the analyzer:
+    remove one column at a time from an empty relation and see whether the
+    expression still resolves (robust against quoting/comments, the
+    ``_expr_references`` rule)."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    fields = [f for f in snap.schema.fields if not f.name.startswith("_")]
+    refs = set()
+    for f in fields:
+        probe = sess.createDataFrame(
+            [], T.StructType([x for x in fields if x.name != f.name])
+        )
+        try:
+            probe.select(F.expr(expr_s)).schema
+        except Exception:
+            refs.add(f.name)
+    return refs
+
+
+def rejection_condition(snap, key: list[str], has_patch_cols: bool = False):
     """The full dead-letter predicate: structurally malformed events
     (``malformed_condition``) OR any table CHECK constraint failing.
 
     Check semantics: evaluated on the incoming EVENT payload; a NULL
     result counts as a violation (wrap with ``coalesce`` in the expression
-    to accept nulls); delete events are exempt (no payload to validate,
-    only a key to remove), and partial-update events are exempt too (an
-    absent column reads NULL here but means "unchanged" — their folded
-    post-image is what WAP audits)."""
+    to accept nulls).  Delete events are exempt (no payload to validate,
+    only a key to remove).  Partial-update events are validated by the
+    checks whose referenced columns they CARRY (a patch setting value=-5
+    is quarantined by a check on value exactly like a full update) and
+    exempt from checks referencing columns they leave unchanged — those
+    read NULL on the event row but mean "unchanged"; the WAP audit is the
+    surface that validates the folded post-image.  A structurally valid
+    op="P" with a NULL/empty patch_cols sets nothing yet would still win
+    row-level arbitration — it dead-letters as malformed."""
     bad = malformed_condition(key)
+    if has_patch_cols:
+        bad = bad | (
+            (F.col("op") == "P")
+            & (F.size(F.coalesce(
+                F.col("patch_cols"), F.array().cast("array<string>")
+            )) == 0)
+        )
     checks = table_checks(snap)
     if checks:
         # F.expr defers parsing to analysis; validate each expression NOW
@@ -204,13 +237,24 @@ def rejection_condition(snap, key: list[str]):
                 f"contracts.check.{name} is not a valid SQL expression: "
                 f"{expr_s!r}: {e}"
             ) from e
+        passes = F.coalesce(c, F.lit(False))
+        if has_patch_cols:
+            # a patch is bound by this check iff it CARRIES every column
+            # the check references (it then evaluates over real values);
+            # checks over unchanged columns read NULL here and would
+            # mis-quarantine — the WAP audit owns the folded post-image
+            carried = F.lit(True)
+            for r in sorted(_check_refs(snap, expr_s)):
+                carried = carried & F.coalesce(
+                    F.array_contains(F.col("patch_cols"), r), F.lit(False)
+                )
+            p_ok = ~carried | passes
+        else:
+            p_ok = F.lit(True)
         ok = (
-            # deletes carry no payload to validate; partial-update rows
-            # carry only their patch_cols subset, so a payload CHECK over
-            # an absent column would mis-quarantine them — their folded
-            # post-image is validated by the WAP audit path instead
-            F.when(F.col("op").isin("D", "P"), F.lit(True))
-            .otherwise(F.coalesce(c, F.lit(False)))
+            F.when(F.col("op") == "D", F.lit(True))
+            .when(F.col("op") == "P", p_ok)
+            .otherwise(passes)
         )
         bad = bad | ~ok
     return bad
@@ -230,8 +274,18 @@ def align_for_checks(df: DataFrame, snap) -> DataFrame:
         if f.name in have or f.name.startswith("_"):
             continue
         # a CHECK sees what the merge would write: the declared DEFAULT
-        # for a column this batch's chunks predate, else NULL
-        df = df.withColumn(f.name, default_expr(snap, f.name))
+        # for a column this batch's chunks predate, else NULL.  Deletes and
+        # patches stay NULL — a tombstone has no payload and a patch leaves
+        # the column unchanged; filling them here would also leak into the
+        # merge (this aligned frame IS the merge input), silently breaking
+        # the D/P guard ev_side applies when the column is absent.
+        df = df.withColumn(
+            f.name,
+            F.when(
+                F.col("op").isin("D", "P"),
+                F.lit(None).cast(f.dataType),
+            ).otherwise(default_expr(snap, f.name)),
+        )
     return df
 
 
@@ -435,7 +489,9 @@ def apply_batch(
     # aligns to the table schema so a check referencing a column this
     # batch's chunks predate sees NULL, not an unresolved column
     batch_df = align_for_checks(batch_df, snap0)
-    bad = rejection_condition(snap0, key)
+    bad = rejection_condition(
+        snap0, key, has_patch_cols="patch_cols" in batch_df.columns
+    )
 
     # --- single profiling pass over the raw batch: dirty buckets (the
     # copy-on-write pruning set), malformed count, batch size, and the raw
@@ -518,6 +574,23 @@ def apply_batch(
     # phase has nothing to fold against and defers LWW to read, where a
     # partial row cannot be completed.
     has_patches = any(r["np"] for r in good)
+    has_patch_history = "_col_lsn" in {
+        f.name for f in table.current().schema.fields
+    }
+    if (has_patches or has_patch_history) and merge_mode == "mor" \
+            and not pos_del:
+        # The blind-append path defers LWW to read/compaction, which
+        # arbitrates ROW-level — it can neither fold an incoming partial
+        # row nor honor the per-column versions already stored, so a late
+        # full event would lose whole columns the sequential fold says it
+        # wins.  Loud refusal beats silent divergence (VERDICT-style:
+        # compact() restores the invariant and the fold path).
+        raise RuntimeError(
+            "partial-update (patch) semantics need write-time arbitration "
+            "against the stored row: merge_mode='mor-append' (or a posdel "
+            "table whose invariant a blind append cleared) cannot fold "
+            "them — use cow or mor, or compact() first"
+        )
     if has_patches:
         if "patch_cols" not in batch_df.columns:
             raise RuntimeError(
@@ -525,14 +598,7 @@ def apply_batch(
                 "patch_cols envelope column — the set-vs-unchanged "
                 "distinction is unrecoverable; fix the feed"
             )
-        if merge_mode == "mor" and not pos_del:
-            raise RuntimeError(
-                "partial-update (patch) events need write-time arbitration "
-                "against the stored row: merge_mode='mor-append' (or a "
-                "posdel table whose invariant a blind append cleared) "
-                "cannot fold them — use cow or mor, or compact() first"
-            )
-        if "_col_lsn" not in {f.name for f in table.current().schema.fields}:
+        if not has_patch_history:
             # sparse per-column version map: what keeps column-level LWW
             # exact across batch boundaries (see schema.ENGINE_COLS)
             table.add_columns([T.StructField(
@@ -617,9 +683,12 @@ def apply_batch(
                 # batch schema predates the column: the declared DEFAULT
                 # (write-default), else typed NULL — so the merge result
                 # does not depend on whether the DDL landed before or
-                # after this batch (delete rows stay NULL via is_del below)
+                # after this batch.  Deletes stay NULL (tombstones carry
+                # no payload); patches too (the column is "unchanged",
+                # and their fold ignores unset columns regardless).
                 else F.when(
-                    F.col("op") == "D", F.lit(None).cast(d.dataType)
+                    F.col("op").isin("D", "P"),
+                    F.lit(None).cast(d.dataType),
                 ).otherwise(default_expr(snap, c)).alias(c)
             )
             for c, d in zip(payload_cols, [snap.schema[c] for c in payload_cols])
@@ -877,8 +946,24 @@ def apply_batch(
         def rebase_cb(head, _src=source, _bid=batch_id):
             if _src is None:
                 return {}
-            f = table._fence_as_of(head.version).get("fences")
-            return {"fences": {**(f or {}), _src: _bid}}
+            from credix_data_pipeline_spark.lakehouse.table import (
+                CommitConflict,
+            )
+
+            f = table._fence_as_of(head.version).get("fences") or {}
+            prev = f.get(_src)
+            if prev is not None and _bid <= int(prev):
+                # the interloper already fenced THIS source at or past this
+                # batch — a concurrent duplicate delivery (zombie runner).
+                # A metadata rebase would append the same rows a second
+                # time; refuse, so the full-retry path re-reads the fence
+                # and skips the batch (exactly-once survives concurrency)
+                raise CommitConflict(
+                    f"fence for source {_src!r} advanced to {prev} during "
+                    f"the merge of batch {_bid} (concurrent duplicate "
+                    "delivery) — metadata rebase refused"
+                )
+            return {"fences": {**f, _src: _bid}}
 
     t_merge = time.monotonic()
     if pos_del:
@@ -967,16 +1052,20 @@ def read_clean(
     snapshot_id: int | None = None,
     ts_between: tuple[int | None, int | None] | None = None,
     between: dict[str, tuple] | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Public view of the target: tombstones and bookkeeping filtered out.
 
     ``ts_between=(lo_ms, hi_ms)`` slices by event time with manifest-stats
     file pruning where the merge mode allows it (see ``LakeTable.read``).
+    ``buckets`` restricts the read to those buckets' FILES (pruned at
+    planning, not filtered post-scan).
 
     Tables without a ``_deleted`` column (created outside the CDC replay
     path — plain warehouse loads) have no tombstones to filter."""
     df = read_current(
-        table, snapshot_id=snapshot_id, ts_between=ts_between, between=between
+        table, snapshot_id=snapshot_id, ts_between=ts_between,
+        between=between, buckets=buckets,
     )
     if "_deleted" not in df.columns:
         return df

@@ -50,17 +50,6 @@ from credix_data_pipeline_spark.operators.apply import (
 from credix_data_pipeline_spark.operators.merge import merge_into
 
 
-def _clean_buckets(t: LakeTable, buckets: list[int]) -> DataFrame:
-    """``read_clean`` restricted to the given buckets with FILE pruning
-    (only those buckets' files are planned, not filtered post-scan)."""
-    df = read_current(t, buckets=buckets)
-    if "_deleted" in df.columns:
-        df = df.filter(
-            ~F.coalesce(F.col("_deleted"), F.lit(False))
-        ).drop("_deleted")
-    return df
-
-
 def _check_compatible(left: LakeTable, right: LakeTable):
     ls, rs = left.current(), right.current()
     if ls.key != rs.key:
@@ -183,8 +172,8 @@ def diff_tables(
     # bucket and hash-discard the rest — two full scans on a table where
     # one bucket diverged, the exact O(table) cost this module promises
     # to avoid
-    l = _clean_buckets(left, divergent).alias("l")
-    r = _clean_buckets(right, divergent).alias("r")
+    l = read_clean(left, buckets=divergent).alias("l")
+    r = read_clean(right, buckets=divergent).alias("r")
     cond = None
     for k in key:
         c = F.col(f"l.{k}") == F.col(f"r.{k}")

@@ -498,7 +498,9 @@ def requeue_failed(
     # contracts.check.* table properties) — a repair that satisfies the
     # shape but still violates a CHECK would round-trip to quarantine
     df = align_for_checks(df, snap)
-    bad = rejection_condition(snap, snap.key)
+    bad = rejection_condition(
+        snap, snap.key, has_patch_cols="patch_cols" in df.columns
+    )
     still_bad = df.filter(bad).count()
     if still_bad:
         raise RuntimeError(

@@ -192,3 +192,53 @@ def test_stream_ddl_ships_defaults(spark, tmp_path):
     dn = {x.conv_id: (x.text, x.lang) for x in read_clean(r).collect()}
     assert dn == up
     assert dn["c2"] == ("bye", "und")
+
+
+def test_checks_path_keeps_tombstones_and_patches_null(spark, tmp_path):
+    """Review batch 5: align_for_checks fills batch-predating columns for
+    CHECK evaluation — but D (and P) rows must stay NULL there, or the
+    fill leaks into the merge and a delete contributes the DEFAULT to the
+    column fold where the sequential fold says NULL."""
+    t = _mk(spark, tmp_path)
+    t.alter_properties(
+        {"contracts.check.role_ok": "coalesce(role <> 'zz', true)"})
+    t = LakeTable.load(spark, t.path)
+    t.add_columns([T.StructField("lang", T.StringType(), True)],
+                  defaults={"lang": "'und'"})
+    # old-schema batch WITH checks declared: U writes the default, the
+    # tombstone stays all-NULL
+    apply_batch(t, spark.createDataFrame(
+        [("U", 5, TS, "c2", 0, "user", "upd", None, TS),
+         ("D", 6, TS, "c1", 0, None, None, None, None)],
+        CHANGE_SCHEMA), 1, collect_stats=False)
+    from credix_data_pipeline_spark.operators.apply import read_current
+    rows = {r.conv_id: r for r in read_current(t).collect()}
+    assert rows["c2"].lang == "und"
+    assert rows["c1"]._deleted and rows["c1"].lang is None
+
+
+def test_default_fills_unregistered_legacy_dirs(spark, tmp_path):
+    """Review batch 5: dirs without a registry record (pre-registry
+    manifests) predate every DDL — the fast path must treat them as
+    missing all defaulted columns, and the add must register them with
+    their PRE-add schema (not the post-add one _commit would backfill)."""
+    import json as _json
+    import os
+
+    t = _mk(spark, tmp_path)
+    # surgically strip the registry, simulating a legacy manifest
+    v = t.current().version
+    from credix_data_pipeline_spark.lakehouse.table import _manifest_name
+    mp = os.path.join(t.meta_path, _manifest_name(v))
+    m = _json.load(open(mp))
+    m["dir_schemas"] = {}
+    _json.dump(m, open(mp, "w"))
+    t = LakeTable.load(spark, t.path)
+    assert t.current().dir_schemas == {}
+    t.add_columns([T.StructField("lang", T.StringType(), True)],
+                  defaults={"lang": "'und'"})
+    t = LakeTable.load(spark, t.path)
+    # the add registered the legacy dirs with the PRE-add schema
+    assert all("lang" not in rec["ids"]
+               for rec in t.current().dir_schemas.values())
+    assert {r.lang for r in read_clean(t).collect()} == {"und"}

@@ -260,3 +260,34 @@ def test_table_level_append_rebase(spark, tmp_path):
     # stale base, rebase off: conflicts (unchanged default)
     with pytest.raises(CommitConflict):
         t.append(df2, base=base)
+
+
+def test_rebase_refuses_concurrent_duplicate_delivery(spark, shard_feeds,
+                                                      tmp_path):
+    """A zombie runner applying the SAME (source, batch) concurrently: the
+    interloper commit fences the batch, so a metadata rebase would append
+    the same rows a second time — it must refuse, and the full retry must
+    skip via the fence (exactly-once survives the race)."""
+    f0, _ = shard_feeds
+    tp = str(tmp_path / "t")
+    runner.replay(spark, f0, tp, chunks_per_batch=1, num_buckets=4,
+                  source="a", merge_mode="mor-append", max_batches=1)
+    LakeTable.load(spark, tp).alter_properties(
+        {"occ.additive-rebase": "true"}
+    )
+    m0 = feed_mod.read_manifest(f0)
+    nxt = feed_mod.read_chunks(spark, f0, m0["chunks"][1:2])
+    it = InjectingTable(spark, tp)
+    it.inject = lambda: apply_batch(
+        LakeTable.load(spark, tp), nxt, 1, source="a"
+    )
+    with pytest.raises(CommitConflict, match="duplicate delivery"):
+        apply_batch(it, nxt, 1, source="a")
+    rows_after_twin = LakeTable.load(spark, tp).read().count()
+    # the standard recovery: the retry re-reads the fence and SKIPS
+    res = apply_batch(LakeTable.load(spark, tp), nxt, 1, source="a",
+                      occ_retries=2)
+    assert res.skipped
+    assert LakeTable.load(spark, tp).read().count() == rows_after_twin
+    # and an older batch id can never roll the fence backwards
+    assert last_applied_batch_id(LakeTable.load(spark, tp), "a") == 1

@@ -225,3 +225,62 @@ def test_patches_through_fanin(spark, tmp_path):
     runner.replay_fanin(spark, {"s0": f0, "s1": f1}, tp,
                         chunks_per_batch=2, num_buckets=4)
     assert _state(spark, tp) == _oracle()
+
+
+def test_checks_bind_patches_that_carry_the_columns(spark, tmp_path):
+    """Review batch 5: a patch that CARRIES every column a CHECK references
+    is validated like a full update (value=-5 quarantines); a patch that
+    leaves the checked column unchanged is exempt; an op='P' with an empty
+    patch_cols (sets nothing, would still win row-level LWW) is malformed."""
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp, "
+           "patch_cols array<string>")
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    apply_batch(table, spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "ok", None, None, None)], sch), 0)
+    table.alter_properties(
+        {"contracts.check.known_role":
+         "coalesce(role in ('user','assistant'), false)"})
+    table = LakeTable.load(spark, tp)
+    batch = spark.createDataFrame([
+        # carries role AND violates -> quarantined
+        ("P", 5, "c1", 0, "alien", None, None, None, ["role"]),
+        # does not carry role -> exempt, applies
+        ("P", 6, "c1", 0, None, "patched", None, None, ["text"]),
+        # empty patch_cols -> malformed, quarantined
+        ("P", 7, "c1", 0, None, None, None, None, []),
+    ], sch)
+    res = apply_batch(table, batch, 1)
+    assert res.rows_quarantined == 2
+    row = read_clean(table).collect()[0]
+    # the exempt patch applied; the violating one and the empty one did
+    # not touch the row (role unchanged, _lsn from the text patch)
+    assert (row.role, row.text, row._lsn) == ("user", "patched", 6)
+
+
+def test_blind_fallback_refused_on_patch_history_table(spark, tmp_path):
+    """Review batch 5: a posdel table with patch history whose invariant a
+    blind append cleared must REFUSE further merges (row-level collapse
+    would ignore the stored per-column versions) until compact()."""
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tp, chunks_per_batch=3, num_buckets=4,
+                  merge_mode="mor", max_batches=1)
+    t = LakeTable.load(spark, tp)
+    assert "_col_lsn" in {f.name for f in t.current().schema.fields}
+    # warehouse blind append clears the invariant
+    t.append(t.read().limit(0))
+    assert not t.current().mor_deletes
+    with pytest.raises(RuntimeError, match="write-time arbitration"):
+        runner.replay(spark, feed, tp, chunks_per_batch=3, num_buckets=4,
+                      merge_mode="mor")
+    # compact() restores the invariant; the replay then completes exactly
+    t.compact()
+    runner.replay(spark, feed, tp, chunks_per_batch=3, num_buckets=4,
+                  merge_mode="mor")
+    assert _state(spark, tp) == _oracle()
