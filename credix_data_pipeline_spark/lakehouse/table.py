@@ -135,6 +135,14 @@ class Snapshot:
     # added the file).  Files absent here predate the eq-delete feature and
     # read as seq 0 (older than every possible delete).
     file_seq: dict[str, int] = field(default_factory=dict)
+    # data-file path -> True iff parquet footer stats PROVE the file holds
+    # no ``_col_lsn`` per-column version maps (column absent or all-NULL).
+    # The partial-update fast-path switch: a merge whose batch carries no
+    # patches AND whose dirty buckets' files are all proven map-free takes
+    # the classic row-struct plan — provably identical there — instead of
+    # the K-per-column fold.  False/absent = unknown → fold (conservative).
+    # Computed from footers once per file at commit, like ts_stats.
+    map_stats: dict[str, bool] = field(default_factory=dict)
     # Table properties (Iceberg table-properties analogue): free-form
     # string config carried forward by every commit.  Policy keys consumed
     # by ``operators/maintenance.maintain``:
@@ -590,6 +598,7 @@ class LakeTable:
             ts_stats: dict[str, list[int]] = {}
             col_stats: dict[str, dict[str, list]] = {}
             file_seq: dict[str, int] = {}
+            map_stats: dict[str, bool] = {}
             delete_files: dict[str, list[str]] = {}
             for b, name in m["segments"].items():
                 seg = self._read_segment(name)
@@ -597,6 +606,7 @@ class LakeTable:
                     files[b] = seg["files"]
                 file_stats.update(seg.get("file_stats", {}))
                 ts_stats.update(seg.get("ts_stats", {}))
+                map_stats.update(seg.get("map_stats", {}))
                 for c, per_file in seg.get("col_stats", {}).items():
                     col_stats.setdefault(c, {}).update(per_file)
                 file_seq.update(
@@ -609,6 +619,7 @@ class LakeTable:
             m["ts_stats"] = ts_stats
             m["col_stats"] = col_stats
             m["file_seq"] = file_seq
+            m["map_stats"] = map_stats
             m["delete_files"] = delete_files
         schema = T.StructType.fromJson(m["schema"])
         # legacy manifests (pre field-id feature): positional ids — safe,
@@ -643,6 +654,7 @@ class LakeTable:
             or ("posdel" if m.get("mor_deletes") else "append"),
             eq_deletes=m.get("eq_deletes", []),
             file_seq=m.get("file_seq", {}),
+            map_stats=m.get("map_stats", {}),
             properties=m.get("properties", {}),
             column_defaults=m.get("column_defaults", {}),
             ids_backfilled=backfilled,
@@ -1708,6 +1720,19 @@ class LakeTable:
                 if p in parent_files
                 else mint
             )
+        # Per-file map-presence proof (the partial-update fast-path switch):
+        # carried for survivors, proven from footers for files new in this
+        # commit — same discipline as ts_stats.  Only meaningful while the
+        # schema carries _col_lsn; a file whose footer lacks the column (or
+        # shows it all-NULL) is PROVEN map-free.
+        mstats = {
+            p: v
+            for p, v in (parent.map_stats if parent else {}).items()
+            if p in live_files
+        }
+        if any(f.name == "_col_lsn" for f in schema.fields):
+            for rel in sorted(live_files - set(mstats)):
+                mstats[rel] = self._footer_map_free(rel, "_col_lsn")
         dfiles = (
             delete_files
             if delete_files is not None
@@ -1732,6 +1757,7 @@ class LakeTable:
                 "ts_stats": {p: tstats[p] for p in bfiles if p in tstats},
                 "col_stats": {c: per for c, per in bcol.items() if per},
                 "file_seq": {p: fseq[p] for p in bfiles if p in fseq},
+                "map_stats": {p: mstats[p] for p in bfiles if p in mstats},
                 "delete_files": dfiles.get(b, []),
             })
         manifest = {
@@ -2820,6 +2846,37 @@ class LakeTable:
                 and st.null_count == 0
                 for st in prof[0]
             )
+        except Exception:
+            return False
+
+    def _footer_map_free(self, rel_path: str, col: str) -> bool:
+        """True iff footer stats PROVE the MAP column ``col`` holds no
+        entries in any row of the file (column absent, or every leaf chunk
+        — parquet flattens maps to ``col.key_value.key``/``.value`` leaves
+        — shows zero non-null values).  A NULL map contributes a null slot
+        but no values, so null-only files prove free.  Unknown is False —
+        callers take the fold path."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(os.path.join(self.path, rel_path)).metadata
+            idxs = [
+                i for i in range(md.num_columns)
+                if md.schema.column(i).path == col
+                or md.schema.column(i).path.startswith(col + ".")
+            ]
+            if not idxs:
+                return True  # column not stored: reads project NULL
+            for rg in range(md.num_row_groups):
+                for i in idxs:
+                    st = md.row_group(rg).column(i).statistics
+                    if (
+                        st is None
+                        or st.num_values is None
+                        or st.num_values > 0
+                    ):
+                        return False
+            return True
         except Exception:
             return False
 

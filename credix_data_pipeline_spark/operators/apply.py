@@ -84,6 +84,10 @@ class ApplyResult:
     # rebased over (occ.additive-rebase) — 0 when no conflict or when
     # recovery went through the full re-merge retry instead
     occ_rebased: int = 0
+    # True when this merge ran the column-level fold (patches in the
+    # batch, or stored per-column version maps in a dirty bucket); False
+    # = the classic row-struct plan, incl. map-free patch-history tables
+    fold_path: bool = False
 
 
 class ContractViolation(RuntimeError):
@@ -605,12 +609,25 @@ def apply_batch(
                 "_col_lsn", T.MapType(T.StringType(), T.LongType()), True
             )])
     snap = table.current()
-    # once the table has seen patches, every merge must honor (and
-    # re-emit) the stored per-column versions — full-only batches fold to
-    # exactly the row-level LWW result, so this is a superset, not a fork
-    patch_mode = has_patches or "_col_lsn" in {
-        f.name for f in snap.schema.fields
-    }
+    # Fold admission: the column-level plan is only NEEDED when this batch
+    # carries patches, or a stored row this merge could fold against holds
+    # a per-column version map.  Manifest map_stats prove map-freeness per
+    # FILE from parquet footers (column absent / all-NULL), so a
+    # patch-history table whose patched rows have since been overwritten
+    # and rewritten drops back to the classic row-struct plan — measured
+    # at ~32% merge throughput (BENCH/patch.json) — with zero runtime
+    # probes.  Unknown files (pre-feature manifests) fold conservatively.
+    patch_mode = (
+        "_col_lsn" in {f.name for f in snap.schema.fields}
+    ) and (
+        has_patches
+        or any(
+            not snap.map_stats.get(f, False)
+            for b in dirty
+            for f in snap.files.get(str(b), [])
+        )
+    )
+    res.fold_path = patch_mode
     out_cols = [f.name for f in snap.schema.fields]
     payload_cols = [c for c in out_cols if c not in ENGINE_COLS]
 
@@ -889,6 +906,14 @@ def apply_batch(
     # skew split is unavailable.  Strictly better than a fixed-width
     # repartition at both ends of the scale.
     out = result.drop("_src", *(["_sp"] if pos_del else []))
+    if "_col_lsn" in out_cols and not patch_mode:
+        # classic plan on a (map-free) patch-history table: the schema
+        # still carries the map column — write it as typed NULL, which is
+        # also what keeps the file PROVABLY map-free for the next merge's
+        # fast-path admission (footer num_values == 0)
+        out = out.withColumn(
+            "_col_lsn", F.lit(None).cast("map<string,bigint>")
+        )
     if merge_mode == "mor" and not pos_del:
         out = out.withColumn("_seq", F.lit(batch_id).cast("long"))
     elif pos_del and "_seq" in out_cols:

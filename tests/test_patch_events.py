@@ -284,3 +284,51 @@ def test_blind_fallback_refused_on_patch_history_table(spark, tmp_path):
     runner.replay(spark, feed, tp, chunks_per_batch=3, num_buckets=4,
                   merge_mode="mor")
     assert _state(spark, tp) == _oracle()
+
+
+def test_fold_fast_path_admission(spark, tmp_path):
+    """Map-freeness is proven per FILE from parquet footers (map leaves:
+    zero non-null values), so a patch-history table whose patched rows
+    were overwritten with full events drops back to the classic plan —
+    and a bucket holding live maps keeps the fold."""
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp, "
+           "patch_cols array<string>")
+
+    def df(rows):
+        return spark.createDataFrame(rows, sch)
+
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    from pyspark.sql import types as T
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    table.add_columns([T.StructField(
+        "_col_lsn", T.MapType(T.StringType(), T.LongType()), True)])
+    # full-only batch on an empty patch-armed table: classic plan
+    r0 = apply_batch(table, df(
+        [("I", 1, "c1", 0, "user", "a", None, None, None)]), 0)
+    assert not r0.fold_path
+    # a patch batch folds and leaves a map in the bucket's file
+    r1 = apply_batch(table, df(
+        [("P", 3, "c1", 0, "r2", None, None, None, ["role"])]), 1)
+    assert r1.fold_path
+    assert not all(table.current().map_stats.values())
+    # full-only batch over a map-bearing bucket: fold (must honor the map)
+    r2 = apply_batch(table, df(
+        [("U", 2, "c1", 0, "late", "late", None, None, None)]), 2)
+    assert r2.fold_path
+    row = read_clean(table).collect()[0]
+    assert (row.role, row.text) == ("r2", "late")  # per-column fold held
+    # the full overwrite at a newer LSN resets the map; the rewrite is
+    # provably map-free, so the NEXT merge takes the classic plan again
+    r3 = apply_batch(table, df(
+        [("U", 9, "c1", 0, "fresh", "fresh", None, None, None)]), 3)
+    assert r3.fold_path  # admission decided on the PRE-merge files
+    assert all(table.current().map_stats.values())
+    r4 = apply_batch(table, df(
+        [("U", 10, "c1", 0, "next", "next", None, None, None)]), 4)
+    assert not r4.fold_path
+    assert read_clean(table).collect()[0].role == "next"
