@@ -174,11 +174,19 @@ def table_checks(snap) -> list[tuple[str, str]]:
     )
 
 
+_CHECK_REFS_CACHE: dict[tuple, frozenset] = {}
+
+
 def _check_refs(snap, expr_s: str) -> set[str]:
     """Payload columns a CHECK expression references, by the analyzer:
     remove one column at a time from an empty relation and see whether the
     expression still resolves (robust against quoting/comments, the
-    ``_expr_references`` rule)."""
+    ``_expr_references`` rule).  Cached per (expression, schema shape) —
+    the probes run driver-side per batch otherwise."""
+    key = (expr_s, tuple(sorted(f.name for f in snap.schema.fields)))
+    hit = _CHECK_REFS_CACHE.get(key)
+    if hit is not None:
+        return set(hit)
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
@@ -192,6 +200,7 @@ def _check_refs(snap, expr_s: str) -> set[str]:
             probe.select(F.expr(expr_s)).schema
         except Exception:
             refs.add(f.name)
+    _CHECK_REFS_CACHE[key] = frozenset(refs)
     return refs
 
 
