@@ -378,6 +378,25 @@ def layout_health(spark: SparkSession, table_path: str) -> dict:
             }
             for c in scols
         }
+    if any(f.name == "_col_lsn" for f in snap.schema.fields):
+        # partial-update fold pressure (manifest-only, zero scan): share
+        # of live files PROVEN map-free decides which merges take the
+        # classic plan vs the column-level fold (BENCH/patch.json prices
+        # the difference); buckets holding live maps are the ones whose
+        # dirty batches still fold — the table decays back to classic as
+        # full events overwrite patched keys and rewrites re-prove files
+        live_all = snap.all_files()
+        free = [f for f in live_all if snap.map_stats.get(f, False)]
+        map_buckets = sorted(
+            int(b) for b, fl in snap.files.items()
+            if any(not snap.map_stats.get(f, False) for f in fl)
+        )
+        out["patch_fold"] = {
+            "live_files": len(live_all),
+            "map_free_files": len(free),
+            "map_free_bp": len(free) * 10000 // max(1, len(live_all)),
+            "map_bearing_buckets": map_buckets,
+        }
     return out
 
 

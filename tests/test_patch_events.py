@@ -332,3 +332,24 @@ def test_fold_fast_path_admission(spark, tmp_path):
         [("U", 10, "c1", 0, "next", "next", None, None, None)]), 4)
     assert not r4.fold_path
     assert read_clean(table).collect()[0].role == "next"
+
+
+def test_monitor_reports_fold_pressure(spark, tmp_path):
+    """The layout signal surfaces patch-fold pressure from manifest
+    map_stats alone (zero scan): share of live files proven map-free and
+    the buckets whose merges still fold."""
+    from credix_data_pipeline_spark.streaming.monitoring import layout_health
+
+    feed, tp = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(spark, feed, SPEC)
+    runner.replay(spark, feed, tp, chunks_per_batch=2, num_buckets=4)
+    sig = layout_health(spark, tp)["patch_fold"]
+    assert sig["live_files"] > 0
+    assert sig["map_bearing_buckets"]  # patches left live maps
+    assert 0 <= sig["map_free_bp"] <= 10000
+    # a patch-free table has no signal at all
+    feed2, tp2 = str(tmp_path / "f2"), str(tmp_path / "t2")
+    from dataclasses import replace as _r
+    write_feed(spark, feed2, _r(SPEC, patch_pct=0))
+    runner.replay(spark, feed2, tp2, chunks_per_batch=2, num_buckets=4)
+    assert "patch_fold" not in layout_health(spark, tp2)
