@@ -355,6 +355,63 @@ def _dir_compatible(snap: Snapshot, dinfo: dict | None) -> bool:
     return True
 
 
+# Deterministic in Catalyst's sense but re-bound at every query start —
+# a default carrying one makes pre-add rows read a different value per
+# scan (non-repeatable snapshot reads; relay replicas diverge on
+# never-updated keys).  Class names of the analyzed expression nodes.
+_QUERY_TIME_EXPRS = frozenset({
+    "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
+    "CurrentTimeZone", "CurrentUser",
+})
+
+
+def _validate_default_constant(pdf: DataFrame, c: str, d: str) -> None:
+    """Reject DEFAULT expressions that resolve on the zero-column probe
+    but are not repeatable constants (Iceberg v3 restricts defaults to
+    literals for exactly this reason):
+
+    * aggregates (``max(1)``) — resolve here as an Aggregate plan but
+      throw AnalysisException inside every later read/merge projection,
+      bricking the table;
+    * non-deterministic expressions (``rand()``, ``uuid()``) — every scan
+      of a pre-add row would read a different value;
+    * query-start-time expressions (``current_timestamp()``) —
+      deterministic within one query, different across queries.
+    """
+    plan = pdf._jdf.queryExecution().analyzed()
+    if "Project" not in plan.getClass().getSimpleName():
+        raise ValueError(
+            f"default for {c!r} must be a constant expression, not an "
+            f"aggregate: {d!r} (it would fail inside every later read "
+            "projection)"
+        )
+    root = plan.expressions().apply(0)
+    if not root.deterministic():
+        raise ValueError(
+            f"default for {c!r} is non-deterministic: {d!r} — pre-add "
+            "rows would read a different value on every scan"
+        )
+
+    def _walk(e) -> str | None:
+        name = e.getClass().getSimpleName()
+        if name in _QUERY_TIME_EXPRS:
+            return name
+        ch = e.children()
+        for i in range(ch.size()):
+            hit = _walk(ch.apply(i))
+            if hit:
+                return hit
+        return None
+
+    hit = _walk(root)
+    if hit:
+        raise ValueError(
+            f"default for {c!r} depends on query start time ({hit}): "
+            f"{d!r} — reads would not be repeatable across scans; "
+            "declare the literal value instead"
+        )
+
+
 def default_expr(snap: Snapshot, name: str):
     """The Column filling ``name`` where its data is absent: the declared
     DEFAULT (a constant SQL expression, cast to the column's type) or a
@@ -3204,12 +3261,14 @@ class LakeTable:
             for c, d in defaults.items():
                 try:
                     # constant-ness by construction: zero-column relation
-                    probe.select(F.expr(d).cast(ftypes[c])).schema
+                    pdf = probe.select(F.expr(d).cast(ftypes[c]))
+                    pdf.schema
                 except Exception as e:
                     raise ValueError(
                         f"default for {c!r} is not a constant expression "
                         f"castable to {ftypes[c].simpleString()}: {d!r}: {e}"
                     ) from e
+                _validate_default_constant(pdf, c, d)
             new_defaults = {**snap.column_defaults, **defaults}
         if not new_fields:
             return snap

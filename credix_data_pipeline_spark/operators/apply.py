@@ -204,7 +204,12 @@ def _check_refs(snap, expr_s: str) -> set[str]:
     return refs
 
 
-def rejection_condition(snap, key: list[str], has_patch_cols: bool = False):
+def rejection_condition(
+    snap,
+    key: list[str],
+    has_patch_cols: bool = False,
+    batch_cols: set[str] | None = None,
+):
     """The full dead-letter predicate: structurally malformed events
     (``malformed_condition``) OR any table CHECK constraint failing.
 
@@ -218,15 +223,35 @@ def rejection_condition(snap, key: list[str], has_patch_cols: bool = False):
     read NULL on the event row but mean "unchanged"; the WAP audit is the
     surface that validates the folded post-image.  A structurally valid
     op="P" with a NULL/empty patch_cols sets nothing yet would still win
-    row-level arbitration — it dead-letters as malformed."""
+    row-level arbitration — it dead-letters as malformed.  So do op="P"
+    rows in a batch that carries NO ``patch_cols`` column at all (the
+    set-vs-unchanged distinction is unrecoverable — one stray row from a
+    misconfigured feed quarantines instead of poisoning the whole batch)
+    and, when ``batch_cols`` (the batch's PRE-alignment physical columns)
+    is given, patches whose ``patch_cols`` name a column the batch does
+    not physically carry — folding the aligned NULL would silently turn
+    "unchanged" into a deliberate set at the patch's LSN."""
     bad = malformed_condition(key)
+    if not has_patch_cols:
+        # no envelope column anywhere in the batch: every op="P" row is
+        # structurally malformed (mirrors the NULL/empty-array rule below)
+        bad = bad | (F.col("op") == "P")
     if has_patch_cols:
-        bad = bad | (
-            (F.col("op") == "P")
-            & (F.size(F.coalesce(
-                F.col("patch_cols"), F.array().cast("array<string>")
-            )) == 0)
-        )
+        pc = F.coalesce(F.col("patch_cols").cast("array<string>"),
+                        F.array().cast("array<string>"))
+        bad = bad | ((F.col("op") == "P") & (F.size(pc) == 0))
+        if batch_cols is not None:
+            present = F.array(*[F.lit(c) for c in sorted(batch_cols)])
+            bad = bad | (
+                (F.col("op") == "P")
+                & F.exists(
+                    pc,
+                    # a NULL entry names no column — malformed too
+                    lambda x: F.coalesce(
+                        ~F.array_contains(present, x), F.lit(True)
+                    ),
+                )
+            )
     checks = table_checks(snap)
     if checks:
         # F.expr defers parsing to analysis; validate each expression NOW
@@ -501,9 +526,12 @@ def apply_batch(
     # null-key events, whichever writer carried the batch; the batch first
     # aligns to the table schema so a check referencing a column this
     # batch's chunks predate sees NULL, not an unresolved column
+    orig_cols = set(batch_df.columns)  # PRE-alignment physical schema
     batch_df = align_for_checks(batch_df, snap0)
     bad = rejection_condition(
-        snap0, key, has_patch_cols="patch_cols" in batch_df.columns
+        snap0, key,
+        has_patch_cols="patch_cols" in orig_cols,
+        batch_cols=orig_cols,
     )
 
     # --- single profiling pass over the raw batch: dirty buckets (the
@@ -587,10 +615,23 @@ def apply_batch(
     # phase has nothing to fold against and defers LWW to read, where a
     # partial row cannot be completed.
     has_patches = any(r["np"] for r in good)
+    snap_pre = table.current()
     has_patch_history = "_col_lsn" in {
-        f.name for f in table.current().schema.fields
+        f.name for f in snap_pre.schema.fields
     }
-    if (has_patches or has_patch_history) and merge_mode == "mor" \
+    # Same map_stats admission as patch_mode below: a patch-HISTORY table
+    # whose dirty buckets are all footer-proven map-free and whose batch
+    # carries no patches has nothing the blind path could mis-arbitrate —
+    # the classic row-level plan is provably identical there, so a single
+    # warehouse blind append must not brick every later merge until
+    # compact().  (Non-dirty buckets get no new competitors from this
+    # batch, so their stored maps are unaffected.)
+    stored_maps_live = has_patch_history and any(
+        not snap_pre.map_stats.get(f, False)
+        for b in dirty
+        for f in snap_pre.files.get(str(b), [])
+    )
+    if (has_patches or stored_maps_live) and merge_mode == "mor" \
             and not pos_del:
         # The blind-append path defers LWW to read/compaction, which
         # arbitrates ROW-level — it can neither fold an incoming partial
@@ -606,6 +647,9 @@ def apply_batch(
         )
     if has_patches:
         if "patch_cols" not in batch_df.columns:
+            # unreachable: rejection_condition quarantines every op='P'
+            # row of a patch_cols-less batch, so `good` cannot carry
+            # patches here — kept as an invariant guard
             raise RuntimeError(
                 "batch carries op='P' partial-update events but no "
                 "patch_cols envelope column — the set-vs-unchanged "

@@ -497,9 +497,12 @@ def requeue_failed(
     # re-validate against the FULL rejection predicate (structural +
     # contracts.check.* table properties) — a repair that satisfies the
     # shape but still violates a CHECK would round-trip to quarantine
+    requeue_cols = set(df.columns)  # PRE-alignment physical schema
     df = align_for_checks(df, snap)
     bad = rejection_condition(
-        snap, snap.key, has_patch_cols="patch_cols" in df.columns
+        snap, snap.key,
+        has_patch_cols="patch_cols" in requeue_cols,
+        batch_cols=requeue_cols,
     )
     still_bad = df.filter(bad).count()
     if still_bad:

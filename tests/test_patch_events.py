@@ -164,7 +164,11 @@ def test_patch_revives_tombstone_with_partial_row(spark, tmp_path):
     assert read_clean(table).count() == 0
 
 
-def test_patch_without_patch_cols_refused(spark, tmp_path):
+def test_patch_without_patch_cols_quarantined(spark, tmp_path):
+    """ADVICE r4 #2: op='P' rows in a batch with NO patch_cols column are
+    structurally malformed (set-vs-unchanged unrecoverable) — they
+    dead-letter like null-key events instead of raising and re-failing the
+    whole pipeline on every retry."""
     sch = ("op string, lsn long, conv_id string, turn_idx int, "
            "role string, text string, tool string, ts timestamp")
     tp = str(tmp_path / "t")
@@ -175,8 +179,9 @@ def test_patch_without_patch_cols_refused(spark, tmp_path):
     )
     bad = spark.createDataFrame(
         [("P", 1, "c1", 0, None, "x", None, None)], sch)
-    with pytest.raises(RuntimeError, match="patch_cols"):
-        apply_batch(table, bad, 0)
+    res = apply_batch(table, bad, 0)
+    assert res.rows_quarantined == 1 and res.rows_applied == 0
+    assert read_clean(table).count() == 0
 
 
 def test_patch_rows_exempt_from_payload_checks(spark, tmp_path):
