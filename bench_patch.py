@@ -127,6 +127,12 @@ def main() -> None:
         write_feed(spark, os.path.join(gen, "plain"), FeedSpec(**base))
         write_feed(spark, os.path.join(gen, "patchy"),
                    FeedSpec(**{**base, "patch_pct": 30}))
+        # TOAST-realistic: 30% patches all touching ONE column (the big
+        # text column changed, everything else unavailable) — the shape
+        # the fold's per-column pruning collapses to 3+1 agg states
+        write_feed(spark, os.path.join(gen, "toast"),
+                   FeedSpec(**{**base, "patch_pct": 30,
+                               "patch_variants": (("text",),)}))
         write_feed(spark, os.path.join(gen, "warm"), FeedSpec(
             n_events=200_000, n_conversations=20_000))
         spark.stop()
@@ -135,6 +141,7 @@ def main() -> None:
             "classic": os.path.join(gen, "plain"),
             "fold_nopatch": os.path.join(gen, "plain"),
             "fold_patch": os.path.join(gen, "patchy"),
+            "fold_patch_toast": os.path.join(gen, "toast"),
         }
         for mode, feed in legs.items():
             walls, meta = [], {}

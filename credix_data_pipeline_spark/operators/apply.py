@@ -88,6 +88,10 @@ class ApplyResult:
     # batch, or stored per-column version maps in a dirty bucket); False
     # = the classic row-struct plan, incl. map-free patch-history tables
     fold_path: bool = False
+    # fold pruning telemetry: how many payload columns took their own
+    # per-column max_by (the rest shared one non-patch row winner); None
+    # when the classic plan ran
+    fold_cols_active: int | None = None
 
 
 class ContractViolation(RuntimeError):
@@ -540,19 +544,36 @@ def apply_batch(
     # a null key can never poison the bucket hash.  This replaces what used
     # to be three separate jobs (isEmpty / malformed.count / dirty-distinct).
     t_prof = time.monotonic()
+    prof_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsn").alias("lo"),
+        F.max("lsn").alias("hi"),
+        # partial-update detection rides the same single pass
+        F.sum(
+            F.when(F.col("op") == "P", F.lit(1)).otherwise(F.lit(0))
+        ).alias("np"),
+    ]
+    if "patch_cols" in orig_cols:
+        # the distinct patched-column set rides the same pass too: the
+        # fold prunes its per-column max_by list to these plus whatever
+        # the dirty files' map-key bounds admit (bounded by the schema's
+        # column count, so the agg state stays tiny)
+        prof_aggs.append(
+            F.array_distinct(F.flatten(F.collect_set(
+                F.when(
+                    F.col("op") == "P",
+                    F.coalesce(
+                        F.col("patch_cols").cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    ),
+                )
+            ))).alias("pc")
+        )
     prof = (
         batch_df.groupBy(
             F.when(bad, F.lit(-1)).otherwise(bexpr).alias("_b")
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-            # partial-update detection rides the same single pass
-            F.sum(
-                F.when(F.col("op") == "P", F.lit(1)).otherwise(F.lit(0))
-            ).alias("np"),
-        )
+        .agg(*prof_aggs)
         .collect()
     )
     res.profile_ms = int((time.monotonic() - t_prof) * 1000)
@@ -839,72 +860,158 @@ def apply_batch(
             *(["_sp"] if pos_del else []),
         )
     else:
-        # --- column-level LWW fold (partial-update tables).  Each payload
-        # column takes its own max_by over the rows that SET it — a full
-        # event / delete / the stored row set every column, an op="P" row
-        # only the ones in its patch_cols — ordered per column by the
-        # column's OWN last-set LSN (the stored row contributes its sparse
-        # `_col_lsn` entries, defaulting to the row `_lsn`).  This equals
-        # the sequential global-LSN fold under ANY batching or reordering,
-        # which the row-level max_by cannot provide once updates are
-        # partial.  Still ONE hash aggregation — K max_by expressions
-        # instead of one, all map-side combining; the classic path above
-        # is byte-identical for patch-free tables and skips all of this.
+        # --- column-level LWW fold (partial-update tables), candidate-
+        # decomposed (r4 verdict ask #3).  Per key, only THREE kinds of
+        # row can supply a column's winning value:
+        #   * the (at most one — posdel/CoW invariant) STORED row, whose
+        #     per-column LSNs are its sparse `_col_lsn` entries defaulting
+        #     to the row `_lsn`;
+        #   * the best NON-PATCH event (full events and deletes set every
+        #     column at their own LSN — one shared winner for ALL columns);
+        #   * per column, the best PATCH that names it — needed only for
+        #     columns the batch actually patches (the profile pass's "pc"
+        #     set).
+        # So the hash aggregation carries 3 + |batch-patched| states
+        # instead of K per-column max_bys, and each column's winner is a
+        # POST-aggregation `greatest()` over (at most 3) candidate structs
+        # ordered by (col_lsn, _src, _cts) — pure projection, no extra
+        # shuffle state.  Equals the sequential global-LSN fold under ANY
+        # batching or reordering; the classic path above is byte-identical
+        # for patch-free tables and skips all of this.
         fold_cols = [c for c in payload_cols if c not in key]
-
-        def _sets(c):
-            return (F.col("op") != "P") | F.coalesce(
-                F.array_contains(F.col("_pcols"), c), F.lit(False)
-            )
-
-        def _col_lsn(c):
-            return F.when(
-                F.col("_src") == _SRC_EXISTING,
-                F.coalesce(
-                    F.element_at(F.col("_clsn"), F.lit(c)), F.col("lsn")
-                ),
-            ).otherwise(F.col("lsn"))
-
-        def _ord(c):
-            return F.when(
-                _sets(c),
-                F.struct(_col_lsn(c), F.col("_src"), F.col("_cts")),
-            )
+        batch_patched: set[str] = set()
+        if "patch_cols" in orig_cols:
+            for r in good:
+                batch_patched.update(r["pc"] or [])
+        patched = [c for c in fold_cols if c in batch_patched]
+        res.fold_cols_active = len(patched)
 
         aggs = [
             F.max_by(
                 F.struct(F.col("lsn"), F.col("op"), F.col("_src")), order_key
             ).alias("_w"),
             *sp_agg,
+            # the stored row, whole: values + row lsn + its sparse map (at
+            # most one per key, so a conditional max_by is exact; max_by
+            # because the VALUE struct carries a map, which max() cannot
+            # order — the ordering here is just the scalar lsn)
+            F.max_by(
+                F.when(
+                    F.col("_src") == _SRC_EXISTING,
+                    F.struct(
+                        *[F.col(c) for c in fold_cols],
+                        F.col("lsn").alias("_l"),
+                        F.col("_clsn").alias("_m"),
+                    ),
+                ),
+                F.when(F.col("_src") == _SRC_EXISTING, F.col("lsn")),
+            ).alias("_ex"),
+            # best non-patch EVENT (sets every column at its row LSN)
+            F.max_by(
+                F.struct(
+                    *[F.col(c) for c in fold_cols],
+                    F.col("lsn").alias("_l"),
+                    F.col("_cts").cast("long").alias("_t"),
+                ),
+                F.when(
+                    (F.col("op") != "P") & (F.col("_src") == _SRC_EVENT),
+                    order_key,
+                ),
+            ).alias("_nv"),
         ]
-        for c in fold_cols:
+        for c in patched:
             aggs.append(
                 F.max_by(
                     F.struct(
                         F.col(c).alias("v"),
-                        (F.col("_src") == _SRC_EVENT).alias("e"),
+                        F.col("lsn").alias("_l"),
+                        F.col("_cts").cast("long").alias("_t"),
                     ),
-                    _ord(c),
-                ).alias(f"_f_{c}")
+                    F.when(
+                        (F.col("op") == "P")
+                        & F.coalesce(
+                            F.array_contains(F.col("_pcols"), c),
+                            F.lit(False),
+                        ),
+                        order_key,
+                    ),
+                ).alias(f"_p_{c}")
             )
-            aggs.append(F.max(F.when(_sets(c), _col_lsn(c))).alias(f"_t_{c}"))
         grouped = combined.groupBy(*[F.col(k) for k in key]).agg(*aggs)
 
+        # each candidate contributes a comparable ORDERING struct
+        # (l=col_lsn, s=src, t=commit_ts) — values stay outside the
+        # comparison (a map-typed payload column is not orderable), picked
+        # by matching the winning ordering back to its candidate
+        patched_set = set(patched)
+        ev_ord = F.when(
+            F.col("_nv").isNotNull(),
+            F.struct(
+                F.col("_nv._l").alias("l"),
+                F.lit(_SRC_EVENT).alias("s"),
+                F.col("_nv._t").alias("t"),
+            ),
+        )
+
+        def _st_ord(c):
+            return F.when(
+                F.col("_ex").isNotNull(),
+                F.struct(
+                    F.coalesce(
+                        F.element_at(F.col("_ex._m"), F.lit(c)),
+                        F.col("_ex._l"),
+                    ).alias("l"),
+                    F.lit(_SRC_EXISTING).alias("s"),
+                    F.lit(0).cast("long").alias("t"),
+                ),
+            )
+
+        def _p_ord(c):
+            return F.when(
+                F.col(f"_p_{c}").isNotNull(),
+                F.struct(
+                    F.col(f"_p_{c}._l").alias("l"),
+                    F.lit(_SRC_EVENT).alias("s"),
+                    F.col(f"_p_{c}._t").alias("t"),
+                ),
+            )
+
+        def _resolve(c):
+            """(value, last_set_lsn, from_event) for column ``c`` via a
+            3-way candidate compare — `greatest` skips NULL candidates."""
+            so, eo = _st_ord(c), ev_ord
+            po = _p_ord(c) if c in patched_set else None
+            ords = ([po] if po is not None else []) + [eo, so]
+            m = F.greatest(*ords)
+            chain = []
+            if po is not None:
+                chain.append((po, F.col(f"_p_{c}.v")))
+            chain.append((eo, F.col(f"_nv.{c}")))
+            chain.append((so, F.col(f"_ex.{c}")))
+            val = None
+            for o, v in chain:
+                cond = o.isNotNull() & (o == m)
+                val = F.when(cond, v) if val is None else val.when(cond, v)
+            ev_won = eo.isNotNull() & (eo == m)
+            if po is not None:
+                ev_won = ev_won | (po.isNotNull() & (po == m))
+            return val, m["l"], ev_won
+
+        wins = {c: _resolve(c) for c in fold_cols}
         is_del = F.col("_w.op") == "D"
         # a key changed iff any column (or the row-level winner — covers
         # pure deletes) came from an event; unchanged keys stay stored
         changed = F.col("_w._src") == F.lit(_SRC_EVENT)
         for c in fold_cols:
-            changed = changed | F.coalesce(
-                F.col(f"_f_{c}.e"), F.lit(False)
-            )
+            changed = changed | F.coalesce(wins[c][2], F.lit(False))
+
         # sparse map out: entries only where a column's last-set LSN lags
         # the row LSN (0 = never set); a delete sets everything at its own
         # LSN so tombstones always store NULL
         entries = F.array(*[
             F.struct(
                 F.lit(c).alias("key"),
-                F.coalesce(F.col(f"_t_{c}"), F.lit(0)).alias("value"),
+                F.coalesce(wins[c][1], F.lit(0)).alias("value"),
             )
             for c in fold_cols
         ])
@@ -912,6 +1019,10 @@ def apply_batch(
         col_lsn_out = F.when(
             ~is_del & (F.size(stale) > 0), F.map_from_entries(stale)
         )
+
+        def _fold_val(c):
+            return wins[c][0]
+
         result = grouped.select(
             *[
                 F.col(c)
@@ -919,7 +1030,7 @@ def apply_batch(
                 else F.when(
                     is_del, F.lit(None).cast(snap.schema[c].dataType)
                 )
-                .otherwise(F.col(f"_f_{c}.v"))
+                .otherwise(_fold_val(c))
                 .alias(c)
                 for c in payload_cols
             ],

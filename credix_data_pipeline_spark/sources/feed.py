@@ -25,7 +25,7 @@ import json
 import os
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, EVOLVED_COLUMN
 
@@ -104,6 +104,11 @@ class FeedSpec:
     # unavailable-column shape.  0 keeps the feed schema byte-identical
     # to the classic one (no patch_cols column at all).
     patch_pct: int = 0
+    # Which column sets patch events carry (picked per event by hash).
+    # Default mixes three shapes; a TOAST-realistic feed narrows it to
+    # (("text",),) — patches then touch ONE column, the shape the fold's
+    # per-column pruning is built for.
+    patch_variants: tuple = PATCH_VARIANTS
 
     @property
     def n_keys(self) -> int:
@@ -144,7 +149,7 @@ def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
         & (_h(e, 4) % 3 != 0)
         & (_h(e, 37) % 100 < F.lit(spec.patch_pct))
     )
-    patch_variant = (_h(e, 41) % len(PATCH_VARIANTS)).cast("int")
+    patch_variant = (_h(e, 41) % len(spec.patch_variants)).cast("int")
     # I vs U is cosmetic for an upsert engine (both arms of the MERGE insert
     # when the key is absent); mark the key's plausible first event as I.
     op = (
@@ -183,7 +188,7 @@ def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
     def _payload(name, val, null_lit):
         """NULL on deletes; on patches NULL unless the variant carries it."""
         carried = F.lit(False)
-        for i, cols in enumerate(PATCH_VARIANTS):
+        for i, cols in enumerate(spec.patch_variants):
             if name in cols:
                 carried = carried | (patch_variant == F.lit(i))
         return (
@@ -200,7 +205,7 @@ def change_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
                 F.element_at(
                     F.array(*[
                         F.array(*[F.lit(c) for c in cols])
-                        for cols in PATCH_VARIANTS
+                        for cols in spec.patch_variants
                     ]),
                     patch_variant + 1,
                 ),
@@ -247,6 +252,29 @@ def chunk_expr(spec: FeedSpec):
     )
 
 
+def _peek_avro_schema(paths: list[str]) -> T.StructType:
+    """Reader schema for a pre-registry avro feed: the writer schema from
+    the first container file's header (driver-side, header bytes only)."""
+    from credix_data_pipeline_spark.sources import avro_lite
+
+    for p in paths:
+        cands = (
+            [p] if p.endswith(".avro")
+            else sorted(
+                os.path.join(r, fn)
+                for r, _, fns in os.walk(p)
+                for fn in fns
+                if fn.endswith(".avro")
+            )
+        )
+        for fpath in cands:
+            with open(fpath, "rb") as fh:
+                return avro_lite.from_avro_schema(
+                    avro_lite.decode_schema(fh.read(65536))
+                )
+    raise FileNotFoundError(f"no .avro files under {paths}")
+
+
 def avro_available(spark: SparkSession) -> bool:
     """True iff the 'avro' data source resolves — the exact lookup the
     reader/writer performs (class presence alone is not enough; the
@@ -265,11 +293,11 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
     _schema.json (schema registry; grows at the evolution point)."""
     if spec.file_format not in ("parquet", "avro"):
         raise ValueError(f"unsupported feed format {spec.file_format!r}")
-    if spec.file_format == "avro" and not avro_available(spark):
-        raise RuntimeError(
-            "feed format 'avro' requires the external spark-avro module: "
-            "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>"
-        )
+    # avro without the external spark-avro module falls back to the
+    # vendored pure-Python OCF codec (sources/avro_lite.py) — the write
+    # is still distributed (per-partition encode) and reads stay Arrow-
+    # batched, so S4's "change files are Avro" shape runs everywhere
+    lite_avro = spec.file_format == "avro" and not avro_available(spark)
     os.makedirs(path, exist_ok=True)
     df = change_events_df(spark, spec)
     base = df.withColumn("chunk", chunk_expr(spec))
@@ -294,19 +322,32 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
     )
     allev = base.unionByName(dup_chunked)
     fmt = spec.file_format
+
+    def _write_group(df, sub):
+        if lite_avro:
+            from credix_data_pipeline_spark.sources import avro_lite
+
+            sch = T.StructType(
+                [f for f in df.schema.fields if f.name != "chunk"]
+            )
+            avro_lite.write_avro_partitioned(
+                df, os.path.join(path, sub), sch
+            )
+        else:
+            df.write.partitionBy("chunk").mode("overwrite").format(
+                fmt
+            ).save(os.path.join(path, sub))
+
     if has_evo:
-        pre = allev.filter(F.col("chunk") < evo_chunk).drop(EVOLVED_COLUMN.name)
-        post = allev.filter(F.col("chunk") >= evo_chunk)
-        pre.write.partitionBy("chunk").mode("overwrite").format(fmt).save(
-            os.path.join(path, "pre")
+        _write_group(
+            allev.filter(F.col("chunk") < evo_chunk).drop(
+                EVOLVED_COLUMN.name
+            ),
+            "pre",
         )
-        post.write.partitionBy("chunk").mode("overwrite").format(fmt).save(
-            os.path.join(path, "post")
-        )
+        _write_group(allev.filter(F.col("chunk") >= evo_chunk), "post")
     else:
-        allev.write.partitionBy("chunk").mode("overwrite").format(fmt).save(
-            os.path.join(path, "pre")
-        )
+        _write_group(allev, "pre")
 
     # Enumerate chunk dirs in replay order (chunk id = arrival order).
     chunks: list[str] = []
@@ -320,8 +361,6 @@ def write_feed(spark: SparkSession, path: str, spec: FeedSpec) -> dict:
     chunks = [p for _, p in sorted(chunks)]
 
     # NB: StructType.add() mutates in place — build a fresh StructType.
-    from pyspark.sql import types as T
-
     base_schema = CHANGE_SCHEMA
     if spec.patch_pct > 0:
         # partial-update feeds carry the patch_cols ENVELOPE column —
@@ -390,7 +429,16 @@ def append_chunk(spark: SparkSession, path: str, df: DataFrame) -> str:
         sub = f"requeue-{_uuid.uuid4().hex[:12]}"
         rel = f"{sub}/chunk={ordinal}"
         fmt = man.get("format", "parquet")
-        df.write.mode("overwrite").format(fmt).save(os.path.join(path, rel))
+        if fmt == "avro" and not avro_available(df.sparkSession):
+            from credix_data_pipeline_spark.sources import avro_lite
+
+            avro_lite.write_avro_partitioned(
+                df, os.path.join(path, rel), df.schema, chunk_col=None
+            )
+        else:
+            df.write.mode("overwrite").format(fmt).save(
+                os.path.join(path, rel)
+            )
         man["chunks"].append(rel)
         man.setdefault("schemas", {})[sub] = df.schema.jsonValue()
         tmp = os.path.join(path, f"_feed.json.tmp-{ordinal}")
@@ -423,9 +471,15 @@ def read_chunks(
     ``schemas`` (a pre-registry manifest), parquet falls back to
     ``mergeSchema`` discovery and other formats to engine inference.
     """
-    from pyspark.sql import types as T
-
     def _read(paths: list[str], schema: T.StructType | None) -> DataFrame:
+        if file_format == "avro" and not avro_available(spark):
+            # vendored OCF decode: binaryFile scan → mapInPandas, typed
+            # under the registry schema (sources/avro_lite.py)
+            from credix_data_pipeline_spark.sources import avro_lite
+
+            if schema is None:
+                schema = _peek_avro_schema(paths)
+            return avro_lite.read_avro_dirs(spark, paths, schema)
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)

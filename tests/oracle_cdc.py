@@ -55,8 +55,9 @@ def event_py(e: int, spec: FeedSpec) -> dict:
     role = ROLES[h_py(e, 17) % 4]
     tool = TOOLS[h_py(e, 19) % 4] if role == "tool" else None
 
+    variants = getattr(spec, "patch_variants", PATCH_VARIANTS)
     patch_cols = (
-        list(PATCH_VARIANTS[h_py(e, 41) % len(PATCH_VARIANTS)])
+        list(variants[h_py(e, 41) % len(variants)])
         if is_patch
         else None
     )

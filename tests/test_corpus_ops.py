@@ -286,13 +286,18 @@ def test_benchmark_decontam_excludes_test_split_and_bounds_overlap(spark):
         )
 
 
-def test_stratified_sample_hits_exact_quota_and_is_deterministic(spark):
-    """Every language stratum samples exactly ceil(n/DEN) docs, and two
-    independent runs pick the identical doc set (hash-ordered rank)."""
+def test_stratified_sample_within_binomial_envelope_and_deterministic(spark):
+    """The hash-threshold sample tracks the exact-rank oracle's quota per
+    stratum within the binomial envelope (±4√n + 1), two independent runs
+    pick the identical doc set, and the production plan carries NO window
+    or sort (the r4 scale-cliff fix)."""
+    import math
+
     from credix_data_pipeline_spark.plans.corpus_ops import (
         SAMPLE_DEN,
         SAMPLE_NUM,
         q_stratified_sample,
+        q_stratified_sample_exact_rank,
     )
 
     a = q_stratified_sample(spark, SF_DIR).collect()
@@ -300,16 +305,30 @@ def test_stratified_sample_hits_exact_quota_and_is_deterministic(spark):
     for r in a:
         by_lang.setdefault(r.lang, []).append(r)
     assert len(by_lang) > 1
+    oracle = q_stratified_sample_exact_rank(spark, SF_DIR).collect()
+    oracle_quota = {}
+    for r in oracle:
+        if r.in_sample:
+            oracle_quota[r.lang] = oracle_quota.get(r.lang, 0) + 1
     for lang, rs in by_lang.items():
         n = rs[0].stratum_n
         assert len(rs) == n
+        got = sum(r.in_sample for r in rs)
+        # the exact-rank oracle's quota is ceil(n/DEN); the hash form must
+        # land within the binomial envelope around it
         quota = (n * SAMPLE_NUM + SAMPLE_DEN - 1) // SAMPLE_DEN
-        assert sum(r.in_sample for r in rs) == quota
-        assert sorted(r.rk for r in rs) == list(range(1, n + 1))
+        assert oracle_quota.get(lang, 0) == quota
+        assert abs(got - quota) <= 4 * math.sqrt(n) + 1, (lang, got, quota, n)
     b = q_stratified_sample(spark, SF_DIR).collect()
-    assert {(r.doc_id) for r in a if r.in_sample} == {
-        (r.doc_id) for r in b if r.in_sample
+    assert {r.doc_id for r in a if r.in_sample} == {
+        r.doc_id for r in b if r.in_sample
     }
+    # scale posture: membership is a per-row projection — no per-stratum
+    # sort/window anywhere in the optimized plan, and the lang-count join
+    # is broadcast
+    plan = q_stratified_sample(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_dup_passage_score_agrees_with_pure_python(spark):

@@ -358,3 +358,86 @@ def test_monitor_reports_fold_pressure(spark, tmp_path):
     write_feed(spark, feed2, _r(SPEC, patch_pct=0))
     runner.replay(spark, feed2, tp2, chunks_per_batch=2, num_buckets=4)
     assert "patch_fold" not in layout_health(spark, tp2)
+
+
+def test_fold_prunes_per_column_aggs_to_patched_set(spark, tmp_path):
+    """r4 verdict ask #3: a patch batch touching one column against a
+    map-free store folds ONE column (the rest ride the shared non-patch
+    winner) — and the result still equals the sequential fold."""
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp, "
+           "patch_cols array<string>")
+
+    def df(rows):
+        return spark.createDataFrame(rows, sch)
+
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    r0 = apply_batch(table, df([
+        ("I", 1, "c1", 0, "user", "orig", "toolA", None, None),
+        ("I", 2, "c2", 0, "asst", "other", None, None, None),
+    ]), 0)
+    assert r0.fold_path is False and r0.fold_cols_active is None
+    # first patch: stored files predate _col_lsn -> proven map-free, so
+    # active == exactly the batch's patched set
+    r1 = apply_batch(table, df([
+        ("P", 10, "c1", 0, None, "patched", None, None, ["text"]),
+    ]), 1)
+    assert r1.fold_path is True and r1.fold_cols_active == 1
+    row = read_clean(table).filter(F.col("conv_id") == "c1").collect()[0]
+    assert (row.role, row.text, row.tool, row._lsn) == (
+        "user", "patched", "toolA", 10
+    )
+    # a later FULL event older than the patch but newer than the stored
+    # column versions must still win the columns the patch left alone —
+    # the pruned fold's shared winner honors stored map bounds
+    r2 = apply_batch(table, df([
+        ("U", 5, "c1", 0, "admin", "mid", "toolB", None, None),
+    ]), 2)
+    assert r2.fold_path is True
+    row = read_clean(table).filter(F.col("conv_id") == "c1").collect()[0]
+    # text stays at LSN 10 (patch), role/tool move to LSN 5 (full update)
+    assert (row.role, row.text, row.tool, row._lsn) == (
+        "admin", "patched", "toolB", 10
+    )
+
+
+def test_fold_patchfree_batch_against_map_bearing_store(spark, tmp_path):
+    """A batch with ZERO patches merging into buckets whose stored rows
+    carry live sparse maps folds with NO per-column aggregation at all
+    (candidates: stored row + best full event) and still honors the
+    stored per-column versions exactly."""
+    sch = ("op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp, "
+           "patch_cols array<string>")
+
+    def df(rows):
+        return spark.createDataFrame(rows, sch)
+
+    tp = str(tmp_path / "t")
+    from credix_data_pipeline_spark.schema import CHANGE_SCHEMA, target_schema_for
+    table = LakeTable.create(
+        spark, tp, target_schema_for(CHANGE_SCHEMA),
+        key=["conv_id", "turn_idx"], num_buckets=2, bucket_by=["conv_id"],
+    )
+    apply_batch(table, df([
+        ("I", 1, "c1", 0, "user", "orig", "toolA", None, None),
+    ]), 0)
+    apply_batch(table, df([
+        ("P", 10, "c1", 0, None, "patched", None, None, ["text"]),
+    ]), 1)
+    t2 = LakeTable.load(spark, tp)
+    r = apply_batch(t2, df([
+        ("U", 5, "c1", 0, "admin", "mid", "toolB", None, None),
+    ]), 2)
+    # no patches in the batch -> zero per-column aggregation states; the
+    # stored map still arbitrates through the candidate compare
+    assert r.fold_path is True and r.fold_cols_active == 0
+    row = read_clean(t2).collect()[0]
+    assert (row.role, row.text, row.tool, row._lsn) == (
+        "admin", "patched", "toolB", 10
+    )
