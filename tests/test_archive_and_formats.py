@@ -4,7 +4,8 @@ The reference moves successfully-loaded landing files to an `archive/`
 prefix (gcp_resource.py:88-109) and its Datastream feed is Avro
 (datastream_streams.tf:73-79).  Archive is fully testable here; avro needs
 the external spark-avro module, so its test asserts the gated behavior and
-exercises the full round-trip only when the module is present.
+exercised end-to-end everywhere: spark-avro when the module is present,
+the vendored pure-Python OCF codec (sources/avro_lite.py) otherwise.
 """
 
 from __future__ import annotations
@@ -17,7 +18,6 @@ from credix_data_pipeline_spark.lakehouse import LakeTable
 from credix_data_pipeline_spark.operators.apply import read_clean
 from credix_data_pipeline_spark.sources.feed import (
     FeedSpec,
-    avro_available,
     write_feed,
 )
 from credix_data_pipeline_spark.streaming import runner
@@ -75,31 +75,43 @@ def test_archive_on_success(spark, tmp_path):
     )
 
 
-def test_avro_feed_round_trip_or_gated(spark, tmp_path):
+def test_avro_feed_round_trip(spark, tmp_path):
+    """S4 end-to-end on real .avro container files.  Without spark-avro
+    the vendored pure-Python OCF codec (sources/avro_lite.py) carries the
+    write AND the distributed binaryFile→mapInPandas read, so this runs
+    everywhere; final state must equal the parquet twin byte-for-byte."""
     feed, table = str(tmp_path / "af"), str(tmp_path / "at")
     spec = FeedSpec(file_format="avro", **SPEC)
-    if not avro_available(spark):
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            write_feed(spark, feed, spec)
-        return
     write_feed(spark, feed, spec)
+    # the chunks really are Avro object container files
+    pre = os.path.join(feed, "pre")
+    avro_files = [
+        os.path.join(r, fn)
+        for r, _, fns in os.walk(pre)
+        for fn in fns
+        if fn.endswith(".avro")
+    ]
+    assert avro_files, "avro feed wrote no .avro files"
+    with open(avro_files[0], "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"
     stats = runner.replay(
         spark, feed, table, chunks_per_batch=2, num_buckets=4,
         collect_stats=False,
     )
     assert stats.rows_in > 0
-    assert len(_rows(spark, table)) > 0
+    pfeed, ptable = str(tmp_path / "pf"), str(tmp_path / "pt")
+    write_feed(spark, pfeed, FeedSpec(**SPEC))
+    runner.replay(spark, pfeed, ptable, chunks_per_batch=2, num_buckets=4,
+                  collect_stats=False)
+    assert _rows(spark, table) == _rows(spark, ptable)
 
 
-def test_avro_evolution_round_trip_or_gated(spark, tmp_path):
+def test_avro_evolution_round_trip(spark, tmp_path):
     """S4 full parity: an avro feed WITH in-flight evolution replays like
     the parquet one (per-chunk reader schemas from the manifest registry +
-    unionByName alignment).  Without spark-avro only the gate is testable."""
+    unionByName alignment) — via spark-avro when present, the vendored
+    codec otherwise."""
     spec = FeedSpec(file_format="avro", evolution_frac=0.5, **SPEC)
-    if not avro_available(spark):
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            write_feed(spark, str(tmp_path / "ae"), spec)
-        return
     feed, table = str(tmp_path / "ae"), str(tmp_path / "aet")
     write_feed(spark, feed, spec)
     runner.replay(spark, feed, table, chunks_per_batch=2, num_buckets=4,
@@ -147,3 +159,44 @@ def test_unknown_format_rejected(spark, tmp_path):
         write_feed(
             spark, str(tmp_path / "uf"), FeedSpec(file_format="orc2", **SPEC)
         )
+
+
+def test_avro_lite_codec_round_trip():
+    """Pure-codec unit test: all supported shapes survive encode→decode
+    under both codecs, and the header-only schema peek agrees."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.sources import avro_lite
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType(), True),
+        T.StructField("l", T.LongType(), True),
+        T.StructField("i", T.IntegerType(), True),
+        T.StructField("b", T.BooleanType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("arr", T.ArrayType(T.StringType()), True),
+    ])
+    rows = [
+        {"s": "héllo Ｗｉｄｅ", "l": -(2**40), "i": -7, "b": True,
+         "d": 1.5, "ts": datetime(2024, 1, 2, 3, 4, 5, 123456),
+         "arr": ["a", "b", None]},
+        {"s": None, "l": 0, "i": None, "b": False, "d": None,
+         "ts": None, "arr": []},
+        {"s": "", "l": 2**41 + 1, "i": 2**30, "b": None, "d": -0.25,
+         "ts": datetime(1969, 12, 31, 23, 59, 59), "arr": None},
+    ]
+    asch = avro_lite.to_avro_schema(schema)
+    for codec in ("deflate", "null"):
+        data = avro_lite.encode_container(rows, asch, codec=codec)
+        assert data[:4] == b"Obj\x01"
+        sch2, out = avro_lite.decode_container(data)
+        assert sch2 == asch
+        assert out == rows
+        assert avro_lite.decode_schema(data) == asch
+    # spark schema round-trips through the avro schema too
+    assert avro_lite.from_avro_schema(asch) == T.StructType([
+        T.StructField(f.name, f.dataType, True) for f in schema.fields
+    ])
