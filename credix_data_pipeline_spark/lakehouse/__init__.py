@@ -18,7 +18,11 @@ scratch, Iceberg-style:
 On a real cluster with ``iceberg-spark-runtime`` on the classpath, the apply
 path (operators/apply.py) can target a genuine Iceberg catalog instead; the
 semantics here are deliberately identical (snapshot isolation, CoW MERGE,
-ADD COLUMNS) so the swap is a sink change, not an engine change.
+ADD COLUMNS) so the swap is a sink change, not an engine change.  That claim
+is interface-tested: ``lakehouse/contract.py`` pins the exact ``MergeSink``
+surface apply_batch needs, and tests/test_sink_contract.py drives the same
+apply code through a second (in-memory) implementation plus a real-Iceberg
+smoke that runs wherever the jar ships.
 """
 
 from credix_data_pipeline_spark.lakehouse.table import CommitConflict, LakeTable
