@@ -9,9 +9,9 @@ only the single hop was priced.  This bench runs the full 3-hop chain at
                      ──publish──▶ relay2 ──replay──▶ gold
 
 and reports, per hop: wall seconds, sustained events/s (source events
-over hop wall), and the hop's residual LAG (upstream max ``_lsn`` minus
-replica max ``_lsn`` — 0 after a full drain, the monitor's freshness
-signal for a relay consumer).  End-to-end throughput is source events
+over hop wall), and the hop's residual LAG in rows (upstream live rows minus replica
+live rows — 0 after a full drain; raw ``_lsn`` cannot compare across
+hops because relay replicas mint their own ``chunk<<40`` LSN space).  End-to-end throughput is source events
 over the whole chain's wall (each hop re-merges the net changes, so the
 chain does ~3x the single-hop merge work).  Final gold state must be
 byte-equal to bronze — the bench asserts it.
@@ -42,17 +42,6 @@ TUNING = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.driver.memory": "24g",
 }
-
-
-def _max_lsn(spark, table_path):
-    from pyspark.sql import functions as F
-
-    from credix_data_pipeline_spark.lakehouse import LakeTable
-    from credix_data_pipeline_spark.operators.apply import read_current
-
-    t = LakeTable.load(spark, table_path)
-    r = read_current(t).agg(F.max("_lsn").alias("m")).collect()[0]
-    return int(r["m"] or 0)
 
 
 def _worker(n_events: int) -> None:
@@ -109,19 +98,24 @@ def _worker(n_events: int) -> None:
         hops.append(("gold", time.monotonic() - t2))
         e2e = time.monotonic() - t0
 
-        src_lsn = _max_lsn(spark, bronze)
-        lags = {
-            "bronze": 0,
-            "silver": src_lsn - _max_lsn(spark, silver),
-            "gold": src_lsn - _max_lsn(spark, gold),
-        }
-        rows = {
-            n: read_clean(LakeTable.load(spark, p)).count()
+        payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        clean = {
+            n: read_clean(LakeTable.load(spark, p)).select(*payload)
             for n, p in (("bronze", bronze), ("silver", silver),
                          ("gold", gold))
         }
-        assert rows["bronze"] == rows["silver"] == rows["gold"], rows
+        rows = {n: df.count() for n, df in clean.items()}
+        lags = {
+            "bronze": 0,
+            "silver": rows["bronze"] - rows["silver"],
+            "gold": rows["bronze"] - rows["gold"],
+        }
         assert lags["silver"] == 0 and lags["gold"] == 0, lags
+        # payload byte-equality end-to-end (relay replicas re-mint _lsn,
+        # so the compare is on payload columns)
+        diff = clean["bronze"].exceptAll(clean["gold"]).count() \
+            + clean["gold"].exceptAll(clean["bronze"]).count()
+        assert diff == 0, f"gold diverged from bronze on {diff} rows"
         gold_monitor = monitoring.monitor(spark, gold)
         print(json.dumps({
             "hops": {n: round(w, 3) for n, w in hops},
