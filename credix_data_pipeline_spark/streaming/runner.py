@@ -811,6 +811,13 @@ def stream(
             "stream_ddl() (segmented availableNow) or replay()"
         )
     feed_format: str = manifest.get("format", "parquet")
+    if feed_format == "avro" and not feed_mod.avro_available(spark):
+        raise RuntimeError(
+            "Structured Streaming over an avro feed needs the external "
+            "spark-avro module (the SS file source cannot use the "
+            "vendored avro_lite decoder) — install spark-avro or use "
+            "replay(), which reads avro feeds everywhere"
+        )
     feed_schema = T.StructType.fromJson(manifest["schema"])
     target_schema = _target_schema_base(feed_schema, manifest)
 
@@ -1086,6 +1093,13 @@ def stream_ddl(
         )
     chunks: list[str | None] = manifest["chunks"]
     feed_format: str = manifest.get("format", "parquet")
+    if feed_format == "avro" and not feed_mod.avro_available(spark):
+        raise RuntimeError(
+            "Structured Streaming over an avro feed needs the external "
+            "spark-avro module (the SS file source cannot use the "
+            "vendored avro_lite decoder) — install spark-avro or use "
+            "replay(), which reads avro feeds everywhere"
+        )
 
     suffix = f"_{source}" if source else ""
     segs = _ddl_segments(chunks, ddl_map)

@@ -200,3 +200,23 @@ def test_avro_lite_codec_round_trip():
     assert avro_lite.from_avro_schema(asch) == T.StructType([
         T.StructField(f.name, f.dataType, True) for f in schema.fields
     ])
+
+
+def test_stream_refuses_lite_avro_feed_loudly(spark, tmp_path):
+    """Structured Streaming's file source cannot route through the
+    vendored codec — stream()/stream_ddl() over an avro feed without
+    spark-avro must refuse with the fix named, while replay() works."""
+    from credix_data_pipeline_spark.sources.feed import avro_available
+
+    if avro_available(spark):
+        pytest.skip("spark-avro present: SS reads avro natively here")
+    feed = str(tmp_path / "af")
+    write_feed(spark, feed, FeedSpec(file_format="avro", **SPEC))
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        runner.stream(spark, feed, str(tmp_path / "t1"))
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        runner.stream_ddl(spark, feed, str(tmp_path / "t2"))
+    st = runner.replay(spark, feed, str(tmp_path / "t3"),
+                       chunks_per_batch=2, num_buckets=4,
+                       collect_stats=False)
+    assert st.batches > 0
