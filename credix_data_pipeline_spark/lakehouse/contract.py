@@ -176,7 +176,16 @@ class InMemorySink:
         for r in rows:
             d = r.asDict(recursive=False)
             b = int(d.pop("__b"))
-            fresh.setdefault(b, []).append(
+            if b not in fresh:
+                # the contract: replace_buckets replaces EXACTLY the
+                # declared buckets — a row outside them means the caller
+                # broke the dirty-set discipline, not something to paper
+                # over by silently clobbering an undeclared bucket
+                raise ValueError(
+                    f"row for bucket {b} outside the replaced set "
+                    f"{sorted(fresh)}"
+                )
+            fresh[b].append(
                 {f.name: d.get(f.name) for f in cur.schema.fields}
             )
         self._rows.update(fresh)

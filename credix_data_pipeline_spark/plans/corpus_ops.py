@@ -149,7 +149,9 @@ _EXACT_BASELINE_CACHE: dict[tuple, object] = {}
 
 
 def _exact_baseline(name, plan_fn, spark, sf_dir):
-    key = (name, sf_dir, id(spark))
+    # applicationId, not id(spark): object ids are reused after gc, and a
+    # stale DataFrame from a stopped session must never be served
+    key = (name, sf_dir, spark.sparkContext.applicationId)
     df = _EXACT_BASELINE_CACHE.get(key)
     if df is None:
         df = plan_fn(spark, sf_dir).persist()

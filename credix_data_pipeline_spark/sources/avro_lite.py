@@ -136,8 +136,25 @@ def _enc_value(out: bytearray, t, v) -> None:
         return
     if isinstance(t, dict):
         if t.get("logicalType") == "timestamp-micros":
-            epoch = v.timestamp() if hasattr(v, "timestamp") else float(v)
-            out += _zz_enc(int(round(epoch * 1_000_000)))
+            if hasattr(v, "timestamp"):
+                from datetime import datetime as _dt, timezone
+
+                # Spark collects timestamps as NAIVE datetimes in the
+                # (UTC-pinned) session zone; datetime.timestamp() would
+                # reinterpret them in the HOST zone.  Pin UTC explicitly
+                # and subtract epochs in INTEGER microseconds — float
+                # seconds round at modern epochs (~1.7e15 us).
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=timezone.utc)
+                delta = v - _dt(1970, 1, 1, tzinfo=timezone.utc)
+                us = (
+                    delta.days * 86_400_000_000
+                    + delta.seconds * 1_000_000
+                    + delta.microseconds
+                )
+            else:
+                us = int(v)
+            out += _zz_enc(us)
             return
         if t["type"] == "array":
             items = list(v)
@@ -170,13 +187,12 @@ def _dec_value(buf: memoryview, pos: int, t):
     if isinstance(t, dict):
         if t.get("logicalType") == "timestamp-micros":
             us, pos = _zz_dec(buf, pos)
-            from datetime import datetime, timezone
+            from datetime import datetime, timedelta
 
-            return (
-                datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
-                .replace(tzinfo=None),
-                pos,
-            )
+            # integer-exact inverse of the encoder (fromtimestamp on a
+            # float-second value rounds microseconds at modern epochs);
+            # naive UTC, matching Spark's collected representation
+            return datetime(1970, 1, 1) + timedelta(microseconds=us), pos
         if t["type"] == "array":
             items = []
             while True:

@@ -220,3 +220,48 @@ def test_stream_refuses_lite_avro_feed_loudly(spark, tmp_path):
                        chunks_per_batch=2, num_buckets=4,
                        collect_stats=False)
     assert st.batches > 0
+
+
+def test_avro_lite_timestamps_are_utc_and_microsecond_exact():
+    """Encode must not reinterpret naive datetimes in the HOST zone, and
+    decode must not round microseconds through float seconds — pinned by
+    encoding under a non-UTC TZ env and by extreme-precision values."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from credix_data_pipeline_spark.sources import avro_lite
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType(), True)])
+    asch = avro_lite.to_avro_schema(schema)
+    rows = [
+        {"ts": datetime(2024, 1, 2, 3, 4, 5, 999999)},
+        {"ts": datetime(2038, 1, 19, 3, 14, 7, 1)},
+        {"ts": datetime(1969, 12, 31, 23, 59, 59, 500001)},
+    ]
+    data = avro_lite.encode_container(rows, asch)
+    _, out = avro_lite.decode_container(data)
+    assert out == rows  # microsecond-exact both directions
+    # host-TZ independence: a subprocess pinned to a +14h zone must
+    # produce byte-identical container payloads
+    code = textwrap.dedent("""
+        import sys
+        from datetime import datetime
+        sys.path.insert(0, %r)
+        from pyspark.sql import types as T
+        from credix_data_pipeline_spark.sources import avro_lite
+        schema = T.StructType([T.StructField("ts", T.TimestampType(), True)])
+        rows = [{"ts": datetime(2024, 1, 2, 3, 4, 5, 999999)},
+                {"ts": datetime(2038, 1, 19, 3, 14, 7, 1)},
+                {"ts": datetime(1969, 12, 31, 23, 59, 59, 500001)}]
+        data = avro_lite.encode_container(rows, avro_lite.to_avro_schema(schema))
+        sys.stdout.buffer.write(data)
+    """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "TZ": "Pacific/Kiritimati"}
+    other = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, check=True).stdout
+    assert other == data
