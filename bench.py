@@ -104,7 +104,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         **MONITOR_QUERIES,
         **TEMPORAL_QUERIES,
     }
+    from credix_data_pipeline_spark.plans import corpus_ops
+
     for trial in range(2):
+        # Each trial is self-contained: the session-scoped exact-baseline
+        # cache (ann_cosine_topk / dedup_minhash_lsh / components reused by
+        # the recall + canonical queries) resets, so a query's number is
+        # its first-computation cost within one session, never a warm
+        # cache read from the PREVIOUS trial — best-of-2 stays honest.
+        for df in corpus_ops._EXACT_BASELINE_CACHE.values():
+            df.unpersist()
+        corpus_ops._EXACT_BASELINE_CACHE.clear()
         for name, (fn, _sql) in all_queries.items():
             t0 = time.monotonic()
             _materialize(fn(spark, sf_dir))

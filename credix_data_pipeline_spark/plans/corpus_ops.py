@@ -369,6 +369,12 @@ def _minhash_verify(sr: DataFrame, cand: DataFrame) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    return _exact_baseline(
+        "dedup_minhash_lsh", _q_dedup_minhash_lsh_plan, spark, sf_dir
+    )
+
+
+def _q_dedup_minhash_lsh_plan(spark, sf_dir):
     sr = _shingle_rows(spark, sf_dir)
     bands = _minhash_bands(sr)
     ba = bands.alias("ba")
@@ -1816,6 +1822,14 @@ def components_from_pairs(
 
 
 def q_near_dup_components(spark, sf_dir, max_rounds: int = 20):
+    if max_rounds != 20:  # non-default rounds: bypass the shared cache
+        return _q_near_dup_components_plan(spark, sf_dir, max_rounds)
+    return _exact_baseline(
+        "near_dup_components", _q_near_dup_components_plan, spark, sf_dir
+    )
+
+
+def _q_near_dup_components_plan(spark, sf_dir, max_rounds: int = 20):
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return components_from_pairs(pairs, max_rounds=max_rounds)
 
